@@ -1,0 +1,115 @@
+"""Text-analysis expression library (north-star LLM-data ops).
+
+Everything here is built-in `pyspark.sql.functions` compositions — no
+Python UDFs — so the hot path stays inside whole-stage codegen and each
+expression has an exact ANSI-SQL twin for the DuckDB oracle.
+
+Ops: tokenization, token/char stats, quality scoring, stopword ratio,
+n-gram heuristic language ID, document fingerprinting, shingling for
+MinHash/Jaccard (operators.dedup builds on these).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .strings import md5_bigint
+
+# tiny embedded stopword lists for the n-gram/stopword language heuristic
+EN_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+DA_STOPWORDS = ("og", "i", "det", "at", "en", "til", "er", "som", "på", "af")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; drops empty tokens (leading/trailing ws).
+
+    DuckDB twin: ``list_filter(string_split_regex(text, '\\s+'), x -> x <> '')``.
+    """
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """punctuation chars / total chars (quality-scoring feature)."""
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokens(F.lower(text))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    n = F.size(toks)
+    return F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: long-enough, low punctuation,
+    some stopwords (prose-like). Deterministic, SQL-expressible."""
+    len_ok = F.when(F.length(text) >= 100, F.lit(1.0)).otherwise(
+        F.length(text) / F.lit(100.0)
+    )
+    return F.round(
+        0.4 * len_ok + 0.3 * (1.0 - punct_ratio(text)) + 0.3 * stopword_ratio(text),
+        6,
+    )
+
+
+def lang_guess(text: Column) -> Column:
+    """Stopword-count language heuristic (en vs da vs unknown)."""
+    toks = tokens(F.lower(text))
+    n_en = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    n_da = F.size(F.filter(toks, lambda t: t.isin(*DA_STOPWORDS)))
+    return (
+        F.when((n_en == 0) & (n_da == 0), "unknown")
+        .when(n_en >= n_da, "en")
+        .otherwise("da")
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprint/dedup: lowercase, collapse whitespace,
+    strip non-word chars."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^\w\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint = md5 of normalized text (exact-dup key)."""
+    return F.md5(normalized_text(text))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles of the normalized text, as an array of strings.
+
+    Built via sliding index: transform over [0 .. n-k] joining k tokens.
+    DuckDB twin uses generate_subscripts-free list comprehension
+    (list_transform(range(...))) — see operators.dedup for the exact SQL.
+    """
+    toks = F.split(normalized_text(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_value(shingle: Column, seed: int) -> Column:
+    """One MinHash hash-function evaluation: stable md5-derived BIGINT of
+    (seed || shingle); min() over shingles per doc = the signature slot."""
+    return md5_bigint(F.concat(F.lit(f"s{seed}:"), shingle))

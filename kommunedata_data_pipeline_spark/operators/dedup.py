@@ -1,0 +1,293 @@
+"""Deduplication operators for LLM training-data pipelines (north star).
+
+Four families over a `documents(doc_id, text, ...)` table:
+
+- exact:      md5 fingerprint of normalized text → groupBy (one shuffle,
+              map-side combinable; at 100 TB this is the cheapest possible
+              full-corpus dedup).
+- n-gram Jaccard: shingle → explode → equi-join on shingle → pair counts →
+              Jaccard filter. Scale path: drop ultra-common shingles
+              (document-frequency cap) before the join to bound fan-out.
+- MinHash-LSH: per-doc signature computed as ONE expression (no explode ×
+              num_hashes), banded; candidate pairs only within a band
+              bucket — the standard sub-quadratic near-dup path.
+- SimHash:    32-bit token-set simhash per doc (bit-majority), bucketed by
+              band for candidate generation.
+
+Every hash is md5-derived (functions.strings.md5_bigint) so the DuckDB
+oracle computes bit-identical values — Spark's murmur `hash()` would not
+be reproducible cross-engine.
+
+All pure Catalyst expressions — the hot paths (hashing, shingling,
+signatures) stay in whole-stage codegen; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.strings import md5_bigint
+from ..functions.text import fingerprint, normalized_text, word_shingles
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Groups of byte-identical (after normalization) docs: one row per
+    duplicated fingerprint with the member doc_ids and the kept (min) id."""
+    return (
+        documents.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_dups") > 1)
+        .orderBy("fp")
+    )
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Keep one doc per normalized-text fingerprint (lowest doc_id wins).
+    Deterministic keep-first (SURVEY §2.7 D1 at corpus scale)."""
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    return (
+        documents.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — shared base for Jaccard/MinHash."""
+    return (
+        documents.select(
+            "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, k: int = 3, threshold: float = 0.8, df_cap: int | None = None
+) -> DataFrame:
+    """Near-dup pairs by k-word-shingle Jaccard ≥ threshold.
+
+    Plan: shingles → (optional DF-cap on hot shingles) → self equi-join on
+    shingle with doc_a < doc_b → count common → join per-doc sizes →
+    jaccard = common / (|A| + |B| - common).
+
+    `df_cap`: drop shingles appearing in more than df_cap docs before the
+    join — at 100 TB a single boilerplate shingle otherwise creates a
+    quadratic hot key; this is the standard frequency-cap trick and only
+    loosens recall on docs made *entirely* of boilerplate.
+    """
+    sh = doc_shingles(documents, k).cache()
+    if df_cap is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > df_cap).select("shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+def minhash_signatures(documents: DataFrame, k: int = 3, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>[num_hashes]) — signature slot i is
+    min over shingles of md5_bigint('s{i}:' || shingle).
+
+    Computed as one expression over the shingle array (transform-of-
+    array_min-of-transform): no row explosion by num_hashes, so the cost is
+    one codegen'd pass per doc regardless of signature width."""
+    sh = word_shingles(F.col("text"), k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                sh,
+                lambda x: F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("s"), s.cast("string"), F.lit(":"), x)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ),
+    )
+    return documents.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by signature similarity.
+
+    signature → split into `bands` bands of r = num_hashes/bands slots →
+    band key = md5(band slots) → docs sharing any band bucket are
+    candidates → verify: fraction of equal signature slots ≥ threshold
+    (an unbiased Jaccard estimate).
+
+    Scale: the only shuffle on the full corpus is groupBy(band_key);
+    pair fan-out is bounded per bucket. This is the canonical
+    sub-quadratic near-dedup for 100 TB corpora.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(documents, k, num_hashes).cache()
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", F.slice(F.col("sig"), b * r + 1, r).cast("array<string>")
+                        )
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(num_hashes)),
+        6,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _nth_bit(h, i):
+    """Bit i of non-negative bigint h (< 2^32) via floor/pow arithmetic.
+
+    Not shiftright: (a) PySpark's shiftright wants a literal int, not a
+    Column; (b) the DuckDB oracle's double→BIGINT cast ROUNDS while
+    Spark's truncates — explicit floor() is bit-identical in both engines
+    (exact in double for h < 2^53)."""
+    return F.floor(h / F.pow(F.lit(2.0), i.cast("double"))).cast("bigint") % 2
+
+
+def _simhash_expr(toks, nbits: int):
+    """Bit-majority simhash over a token array (weight 1 per distinct
+    token): bit i of the result is 1 iff more than half the token-hashes
+    have bit i set. Pure expression tree — one codegen'd pass per doc."""
+    th = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    )
+    n = F.size(th)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(nbits - 1)),
+        lambda i: F.when(
+            F.aggregate(
+                th,
+                F.lit(0).cast("bigint"),
+                lambda a, h: a + _nth_bit(h, i),
+            )
+            * 2
+            > n.cast("bigint"),
+            F.pow(F.lit(2.0), i.cast("double")).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+
+def simhash_docs(documents: DataFrame, nbits: int = 32) -> DataFrame:
+    """(doc_id, simhash) for the corpus — the oracle-checked surface."""
+    toks = F.array_distinct(F.split(normalized_text(F.col("text")), " "))
+    return documents.select(
+        "doc_id", _simhash_expr(toks, nbits).alias("simhash")
+    ).orderBy("doc_id")
+
+
+def simhash_near_pairs(documents: DataFrame, nbits: int = 32, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+
+    Candidate generation: band the nbits into 4 chunks — any two docs with
+    Hamming distance ≤ 3 share at least one exact chunk (pigeonhole), and
+    in practice chunk-sharing recalls most pairs up to max_hamming; join
+    per chunk then verify true Hamming. Scale: groupBy chunk value is the
+    only corpus-wide shuffle."""
+    chunks = 4
+    w = nbits // chunks
+    sims = simhash_docs(documents, nbits)
+    # chunk c key = floor(simhash / 2^(c*w)) % 2^w — contiguous w-bit slice
+    banded = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(chunks - 1)),
+                lambda c: F.struct(
+                    c.alias("chunk"),
+                    (
+                        F.floor(
+                            F.col("simhash")
+                            / F.pow(F.lit(2.0), (c * w).cast("double"))
+                        ).cast("bigint")
+                        % F.lit(1 << w).cast("bigint")
+                    ).alias("ckey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.chunk").alias("chunk"), F.col("bk.ckey").alias("ckey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.aggregate(
+        F.sequence(F.lit(0), F.lit(nbits - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + _nth_bit(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")), i),
+    ).cast("int")
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,105 @@
+"""Relational combinators (SURVEY §2.2 filters/projections, §2.5 windows,
+§2.6 sorts/limits, §2.7 set ops/dedup).
+
+Each operator is a named, tested function over DataFrames, expressed with
+built-ins so Catalyst can push filters into scans and fuse projections
+into whole-stage codegen. At 100 TB the only shuffles here are the
+explicit ones: dropDuplicates, the window partitionBy, and exceptAll.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def filter_doc_type(df: DataFrame, keep: str = "referat", col: str = "doc_type") -> DataFrame:
+    """P2 — keep rows whose type contains `referat` (drop agendas);
+    reference scraper_svendborg.py:119-122 et al. Case-insensitive."""
+    return df.where(F.lower(F.col(col)).contains(keep.lower()))
+
+
+def filter_municipality(df: DataFrame, needle: str | None, col: str = "municipality") -> DataFrame:
+    """P3 — env MUNICIPALITY_FILTER case-insensitive substring
+    (scraper.py:346-351). None/empty → no-op (reference semantics)."""
+    if not needle:
+        return df
+    return df.where(F.upper(F.col(col)).contains(needle.upper()))
+
+
+def drop_null_required(df: DataFrame, *cols: str) -> DataFrame:
+    """P6 — row-shape guards: post-extraction not-null requirements
+    (scraper_glostrup.py:177-194)."""
+    out = df
+    for c in cols:
+        out = out.where(F.col(c).isNotNull())
+    return out
+
+
+def dedup_by(df: DataFrame, *keys: str) -> DataFrame:
+    """D1/D2 — distinct-by-URL; the reference's seen-sets
+    (scraper.py:116-132) and O(n²) linear scans
+    (scraper_svendborg.py:155) become one hash dedup.
+
+    Scale note: dropDuplicates shuffles on the key — at 100 TB prefer
+    `dedup_by_keep_first` when an ordering matters, else this map-side
+    combinable form."""
+    return df.dropDuplicates(list(keys))
+
+
+def dedup_keep_first(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """Deterministic dedup: keep the first row per key under an explicit
+    ordering (the reference keeps first-seen page order, O3 — Spark must
+    reify order as data, SURVEY §7.4)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def per_group_limit(
+    df: DataFrame, partition_cols: list[str], order: list[Column], n: int | None
+) -> DataFrame:
+    """W1/W2 — per-source LIMIT (MAX_DOWNLOADS slice, scraper.py:135-137,
+    380-381). Applied AFTER filters/dedup: the limit counts post-filter rows
+    (scraper_svendborg.py:171-189 — W2 semantics). None → unlimited
+    (DOWNLOAD_LIMIT env unset, scraper_utils.py:89-97)."""
+    if n is None:
+        return df
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def global_limit(df: DataFrame, n: int | None) -> DataFrame:
+    """O4 — DOWNLOAD_LIMIT global cap (scraper_utils.py:89-97)."""
+    return df if n is None else df.limit(n)
+
+
+def union_pages(*dfs: DataFrame) -> DataFrame:
+    """D3 — union of per-page frames (pagination append loops,
+    scraper.py:120-145). unionByName so column order never bites."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def new_files(after: DataFrame, before: DataFrame) -> DataFrame:
+    """D4 — set difference `files_now - files_before`
+    (scraper.py:241-243) as exceptAll."""
+    return after.exceptAll(before)
+
+
+def with_fallback_sequence(
+    df: DataFrame, partition_cols: list[str], order: list[Column], out_col: str = "seq"
+) -> DataFrame:
+    """W3 — fallback sequence numbering for date-less rows
+    (`svendborg_referat_{offset}` scraper_svendborg.py:150-152)."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
+    return df.withColumn(out_col, F.row_number().over(w))

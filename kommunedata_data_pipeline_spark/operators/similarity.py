@@ -1,0 +1,123 @@
+"""Similarity search over an embedding column (north-star ANN ops).
+
+`embeddings(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)`.
+
+- brute-force cosine top-k: broadcast the (small) query set against the
+  full corpus; dot/norms via zip_with + aggregate folds (sequential,
+  deterministic — bit-identical to the DuckDB oracle's list fold).
+- LSH-bucketed ANN: sign-bit random-hyperplane-style bucketing using the
+  first `nbits` dimensions as deterministic "hyperplanes" (sign of each
+  coordinate) — queries only scan their own bucket. The scale path:
+  bucket key is a shuffle key, each bucket a tiny candidate set.
+
+Scale (100 TB): brute force is O(Q·N) — fine for small Q with broadcast;
+the bucketed variant shards N by key so per-task candidate sets fit in
+memory. Both avoid Python: the whole distance computation is Catalyst
+higher-order functions inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    queries: (query_id, q_embedding). Broadcast-joined against the corpus
+    (no shuffle of the big side); ranking is fully deterministic: rounded
+    similarity desc, then vec_id asc as tiebreak."""
+    joined = embeddings.crossJoin(
+        F.broadcast(queries.select(query_id, F.col("q_embedding")))
+    ).where(F.col("vec_id") != F.col(query_id))
+    scored = joined.select(
+        F.col(query_id),
+        F.col("vec_id"),
+        F.round(cosine(F.col("embedding"), F.col("q_embedding")), 5).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "vec_id", "cosine_sim", "rank")
+        .orderBy(query_id, "rank")
+    )
+
+
+def sign_bucket(embedding: Column, nbits: int = 8) -> Column:
+    """Deterministic coarse quantizer: bucket = Σ 2^i · [e_i > 0] over the
+    first nbits dims. A stand-in for random hyperplanes that both engines
+    compute identically (no RNG needed)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(nbits - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(embedding, (i + 1).cast("int")) > 0,
+            F.pow(F.lit(2.0), i.cast("double")).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nbits: int = 8,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-bucket.
+
+    Same scoring/ranking as brute force but the join is an equi-join on
+    bucket — at corpus scale this is a standard shuffle-partitioned probe
+    instead of a full scan per query (recall < 1 by design)."""
+    cand = embeddings.withColumn("bucket", sign_bucket(F.col("embedding"), nbits))
+    q = queries.withColumn("bucket", sign_bucket(F.col("q_embedding"), nbits))
+    joined = cand.join(
+        F.broadcast(q.select(query_id, "q_embedding", "bucket")), "bucket"
+    ).where(F.col("vec_id") != F.col(query_id))
+    scored = joined.select(
+        F.col(query_id),
+        F.col("vec_id"),
+        F.round(cosine(F.col("embedding"), F.col("q_embedding")), 5).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "vec_id", "cosine_sim", "rank")
+        .orderBy(query_id, "rank")
+    )

@@ -1,0 +1,71 @@
+"""Batch sources (SURVEY §2.1 S1/S2/S14-S17).
+
+The reference reads its config CSV with pandas + a stdlib-csv fallback
+(scraper.py:278-298) and URL lists with open()+strip (get_start_url.py:24-34).
+Here every source is a declarative `spark.read` so Catalyst gets pushdown,
+pruning, and partition discovery for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import STAR_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one star-schema table. Parquet → predicate pushdown
+    + column pruning happen in the scan node (check `PushedFilters` in
+    `.explain("formatted")`).
+
+    events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
+    default — read nanos as long (runtime-settable legacy conf) and
+    floor-convert to microseconds (same truncation DuckDB applies when
+    casting TIMESTAMP_NS → TIMESTAMP)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in STAR_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each star table as a temp view for the SQL surface."""
+    for name in STAR_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_config_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — config scan, reference scraper.py:278-298 (`Base URL,Start URL`).
+
+    One parser (Spark's CSV source); the reference's pandas→csv fallback
+    chain (C4) is unnecessary.
+    """
+    df = spark.read.option("header", True).csv(path)
+    return df.toDF(*[c.strip().lower().replace(" ", "_") for c in df.columns])
+
+
+def read_url_list(spark: SparkSession, path: str) -> DataFrame:
+    """S2 — text-lines scan, reference get_start_url.py:24-34: strip blanks,
+    keep http(s) lines only."""
+    return (
+        spark.read.text(path)
+        .select(F.trim("value").alias("url"))
+        .where(F.col("url").startswith("http"))
+    )
+
+
+def read_binary_blobs(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
+    """Landed-blob scan (S12 at rest): `binaryFile` gives
+    (path, modificationTime, length, content BINARY) — the Spark-native way
+    to re-scan what the reference lands on disk/S3 (scraper.py:228-258)."""
+    return (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
