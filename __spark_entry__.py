@@ -983,6 +983,216 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(d).select("doc_id").orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# near-duplicate detection & similarity search (north star)
+
+_SHINGLES_CTE = f"""
+    norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    shl AS (SELECT doc_id, CASE WHEN len(w) >= 3
+            THEN list_transform(range(0, len(w)-2),
+                                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+            ELSE [array_to_string(w, ' ')] END AS shingles FROM toks),
+    sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl)
+"""
+
+
+@_q(
+    "q_minhash_signatures",
+    f"""
+    WITH {_SHINGLES_CTE},
+    seeds AS (SELECT unnest(range(0, 16)) AS seed)
+    SELECT doc_id, CAST(seed AS INT) AS seed,
+           min(('0x' || substr(md5('s' || seed || ':' || shingle), 1, 8))::BIGINT)
+             AS minhash
+    FROM sh CROSS JOIN seeds
+    GROUP BY doc_id, seed
+    ORDER BY doc_id, seed
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 hash functions over 3-word shingles),
+    computed as ONE expression per doc — no row explosion by hash count.
+    md5-derived hashes are bit-identical to the DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signatures(d, 3, 16).select(
+        "doc_id", F.posexplode("sig").alias("seed", "minhash")
+    ).orderBy("doc_id", "seed")
+
+
+@_q(
+    "q_minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    mh AS (
+      SELECT doc_id, seed,
+             min(('0x' || substr(md5('s' || seed || ':' || shingle), 1, 8))::BIGINT)
+               AS minhash
+      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    banded AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS bkey
+      FROM mh GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             round(sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / 16.0, 6)
+               AS est_jaccard
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.doc_a
+      JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM est
+    WHERE est_jaccard >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: banded signatures → bucket join →
+    signature-similarity verify. The sub-quadratic 100 TB dedup path: the
+    only full-corpus shuffle is groupBy(band key)."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, 3, 16, 4, 0.5)
+
+
+@_q(
+    "q_ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (shingle equi-join). The
+    ground-truth for MinHash; at 100 TB runs with a document-frequency
+    cap on hot shingles (df_cap) to bound the join fan-out."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, 3, 0.5)
+
+
+@_q(
+    "q_simhash",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, list_distinct(string_split(t, ' ')) AS w FROM norm),
+    th AS (SELECT doc_id,
+                  list_transform(w, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+           FROM toks)
+    SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), i ->
+      CASE WHEN 2 * list_sum(list_transform(hs,
+                     h -> CAST(floor(h / pow(2, i)) AS BIGINT) % 2)) > len(hs)
+           THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM th ORDER BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit bit-majority SimHash per document (near-dup fingerprint;
+    Hamming-banded pair generation lives in operators.dedup)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_docs(d, 32)
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_embedding[i] AS DOUBLE)))"
+)
+_NORM_E_SQL = "sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_NORM_Q_SQL = "sqrt(list_sum(list_transform(q.q_embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@_q(
+    "q_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_embedding
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round({_DOT_SQL} / ({_NORM_E_SQL} * {_NORM_Q_SQL}), 5) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline): broadcast query set
+    × corpus, distance fully inside codegen (zip_with + sequential fold —
+    deterministic, bit-matches the oracle's list fold)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return brute_force_topk(e, q, 5)
+
+
+@_q(
+    "q_ann_lsh_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(0, 8), i ->
+               CASE WHEN embedding[i+1] > 0 THEN CAST(pow(2, i) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_embedding, bucket
+          FROM b WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round({_DOT_SQL} / ({_NORM_E_SQL} * {_NORM_Q_SQL}), 5) AS cosine_sim
+      FROM b e JOIN q ON e.bucket = q.bucket
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: sign-bucket coarse quantizer (IVF/LSH-style) —
+    candidates restricted to the query's bucket; the 100 TB scale path
+    (equi-join on bucket instead of full scan per query)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return lsh_bucketed_topk(e, q, 5, 8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
