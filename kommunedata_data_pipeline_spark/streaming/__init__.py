@@ -1,0 +1,19 @@
+from .windows import (
+    foreach_batch_idempotent_sink,
+    read_events_stream,
+    run_to_memory,
+    session_agg,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+__all__ = [
+    "foreach_batch_idempotent_sink",
+    "read_events_stream",
+    "run_to_memory",
+    "session_agg",
+    "sliding_counts",
+    "streaming_dedup",
+    "tumbling_counts",
+]

@@ -1,0 +1,138 @@
+"""Structured Streaming operators over the events table (SURVEY §2.10).
+
+The reference's incremental semantics — high-watermark NEW mode (ST1,
+scraper_utils.py:72-87), exactly-once landing via anti-join + idempotent
+put (ST2, scraper.py:210-222), periodic full re-scan (ST4) — map to:
+
+- ``withWatermark`` + windowed aggregation (tumbling/sliding/session);
+- ``dropDuplicates`` under a watermark (streaming dedup);
+- ``foreachBatch`` sink that anti-joins each micro-batch against the
+  landed keys before appending (the exactly-once upsert);
+- ``Trigger.AvailableNow`` ≈ the reference's cron full re-scan.
+
+Tests drive these with the parquet file source + a memory sink and
+``processAllAvailable()`` — a real streaming execution, synchronously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (readers.py note)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ns epoch → timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("path", f"{sf_dir}")
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts with late-data watermark (the streaming twin
+    of q_tumbling_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (gap-merged) — the streaming-native
+    sessionization (batch twin: q_sessionize's lag+cumsum)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked exactly-once dedup on event_id (ST2 semantics in
+    stream form: state for one watermark horizon)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming query to completion against the available data
+    (real streaming execution, synchronous): memory sink +
+    processAllAvailable; returns the stopped query. Results:
+    ``spark.sql(f"SELECT * FROM {name}")``."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def foreach_batch_idempotent_sink(
+    stream_df: DataFrame, out_path: str, keys: list[str]
+):
+    """ST2 — exactly-once landing: every micro-batch is anti-joined
+    against the already-landed keys before an append-mode write (the
+    reference's head_object-then-put, scraper_utils.py:56-70, as one
+    batch-level set operation). Re-delivered rows land zero times."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates(keys)
+        try:
+            existing = spark.read.parquet(out_path).select(*keys)
+            fresh = fresh.join(existing, keys, "left_anti")
+        except Exception:
+            pass  # first batch: nothing landed yet
+        fresh.write.mode("append").parquet(out_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", out_path + "_chk")
+        .trigger(availableNow=True)
+    )

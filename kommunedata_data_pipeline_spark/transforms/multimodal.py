@@ -1,0 +1,155 @@
+"""Multimodal columns (north star): image/audio/video as opaque BINARY
+columns with typed metadata.
+
+Real here (no external libs needed, fully tested):
+- format sniffing from magic bytes (PNG/JPEG/GIF/PDF/WAV/MP4/WEBP);
+- PNG dimension extraction from the IHDR chunk;
+- WAV sample-rate/channels from the fmt chunk;
+- batch plumbing: Arrow-batched ``mapInPandas`` with explicit schema —
+  the shape every decode/feature-extract step at 100 TB uses (narrow,
+  no shuffle, blobs never leave the scan partition).
+
+Stubbed (decode libraries are not in this container; deterministic fake
+keeps tests meaningful): pixel decode, resize, frame sampling, feature
+extraction. Each stub produces a deterministic md5-derived vector so the
+downstream plumbing (schema, partitioning, batch shape) is exercised
+end-to-end; swap `_fake_features` for a real decoder on a cluster image.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_META_SCHEMA = (
+    "media_id string, fmt string, n_bytes long, width int, height int, "
+    "sample_rate int, channels int"
+)
+
+FEATURES_SCHEMA = "media_id string, fmt string, features array<float>"
+
+
+def sniff_format(blob: bytes | None) -> str:
+    if not blob:
+        return "empty"
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if blob[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if blob[:5] == b"%PDF-":
+        return "pdf"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "wav"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        return "webp"
+    if len(blob) > 11 and blob[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
+
+
+def _png_dims(blob: bytes) -> tuple[int | None, int | None]:
+    # IHDR is always the first chunk: length(4) 'IHDR'(4) width(4) height(4)
+    if len(blob) >= 24 and blob[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", blob[16:24])
+        return int(w), int(h)
+    return None, None
+
+
+def _wav_audio_meta(blob: bytes) -> tuple[int | None, int | None]:
+    # RIFF....WAVE then chunks; 'fmt ' holds channels(2 LE) + sample_rate(4 LE)
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (clen,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        if cid == b"fmt " and pos + 16 <= len(blob):
+            (channels,) = struct.unpack("<H", blob[pos + 10 : pos + 12])
+            (rate,) = struct.unpack("<I", blob[pos + 12 : pos + 16])
+            return int(rate), int(channels)
+        pos += 8 + clen + (clen % 2)
+    return None, None
+
+
+def extract_media_meta(df: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
+    """Typed metadata from opaque binary: one narrow Arrow-batched pass
+    over the scan — the multimodal analogue of the header-only read."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(blob) if blob is not None else None
+                fmt = sniff_format(blob)
+                width = height = sample_rate = channels = None
+                if fmt == "png":
+                    width, height = _png_dims(blob)
+                elif fmt == "wav":
+                    sample_rate, channels = _wav_audio_meta(blob)
+                rows.append(
+                    (str(mid), fmt, len(blob) if blob else 0, width, height, sample_rate, channels)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "fmt", "n_bytes", "width", "height", "sample_rate", "channels",
+                ],
+            )
+
+    return df.select(
+        df[id_col].cast("string").alias(id_col), df[content_col].alias(content_col)
+    ).mapInPandas(batches, MEDIA_META_SCHEMA)
+
+
+def _fake_features(blob: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder/embedder: md5-derived
+    floats in [0,1). STUB — replace with a real decode + model on a
+    cluster image that ships the decode libs."""
+    h = hashlib.md5(blob or b"").digest()
+    return [int.from_bytes(h[i * 2 : i * 2 + 2], "big") / 65536.0 for i in range(dim)]
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content", dim: int = 8
+) -> DataFrame:
+    """Decode → feature-extract plumbing (resize/frame-sample collapse to
+    the same batch shape). Deterministic fake features exercise schema,
+    batching and downstream similarity joins end-to-end."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (
+                    str(mid),
+                    sniff_format(bytes(blob) if blob is not None else None),
+                    _fake_features(bytes(blob) if blob is not None else b"", dim),
+                )
+                for mid, blob in zip(pdf[id_col], pdf[content_col])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "fmt", "features"])
+
+    return df.select(
+        df[id_col].cast("string").alias(id_col), df[content_col].alias(content_col)
+    ).mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Deterministic minimal PNG (header + IHDR only) for fixtures."""
+    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def make_wav(sample_rate: int, channels: int) -> bytes:
+    """Deterministic minimal WAV (RIFF + fmt chunk) for fixtures."""
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16)
+    return b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt

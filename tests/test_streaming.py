@@ -1,0 +1,71 @@
+"""Structured Streaming tests (SURVEY §7.3 M6): real streaming execution
+via the parquet file source + memory sink, driven synchronously with
+processAllAvailable. Exactly-once sink proven by re-delivery."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kommunedata_data_pipeline_spark.sources.readers import load_table
+from kommunedata_data_pipeline_spark.streaming.windows import (
+    foreach_batch_idempotent_sink,
+    read_events_stream,
+    run_to_memory,
+    session_agg,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tumbling_counts_matches_batch(spark):
+    stream = tumbling_counts(read_events_stream(spark, SF))
+    run_to_memory(stream, "t_tumbling", output_mode="complete")
+    got = spark.sql("SELECT sum(n) AS n FROM t_tumbling").collect()[0].n
+    expected = load_table(spark, SF, "events").count()
+    assert got == expected
+
+
+def test_sliding_counts_double_count(spark):
+    stream = sliding_counts(read_events_stream(spark, SF))
+    run_to_memory(stream, "t_sliding", output_mode="complete")
+    got = spark.sql("SELECT sum(n) AS n FROM t_sliding").collect()[0].n
+    expected = load_table(spark, SF, "events").count()
+    assert got == 2 * expected  # 1h window / 30min slide → every event twice
+
+
+def test_session_agg_runs_and_covers_all_events(spark):
+    stream = session_agg(read_events_stream(spark, SF))
+    run_to_memory(stream, "t_sessions", output_mode="complete")
+    rows = spark.sql("SELECT sum(n_events) AS n, count(*) AS s FROM t_sessions").collect()[0]
+    assert rows.n == load_table(spark, SF, "events").count()
+    assert rows.s > 0
+
+
+def test_streaming_dedup(spark):
+    stream = streaming_dedup(read_events_stream(spark, SF))
+    run_to_memory(stream, "t_dedup", output_mode="append")
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM t_dedup").collect()[0]
+    assert got.n == got.d
+
+
+def test_foreach_batch_idempotent_sink(spark):
+    """ST2 — run the sink twice over the same source: the second run must
+    land zero new rows (anti-join vs landed keys)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        out = f"{tmp}/landed"
+        ev = read_events_stream(spark, SF).select("event_id", "ts", "event_type")
+        q = foreach_batch_idempotent_sink(ev, out, ["event_id"]).start()
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(out).count()
+        assert n1 == load_table(spark, SF, "events").count()
+        # re-deliver everything: fresh checkpoint, same data
+        import shutil
+
+        shutil.rmtree(out + "_chk")
+        q2 = foreach_batch_idempotent_sink(ev, out, ["event_id"]).start()
+        q2.awaitTermination(120)
+        n2 = spark.read.parquet(out).count()
+        assert n2 == n1  # exactly-once: nothing landed twice

@@ -1,0 +1,107 @@
+"""Tests for document transforms (T1-T5 plumbing) and multimodal binary
+ops — rows-only / golden-fixture strategy (SURVEY §5 item 3)."""
+
+from pyspark.sql import functions as F
+
+from kommunedata_data_pipeline_spark.fixtures import agenda_items_fixture
+from kommunedata_data_pipeline_spark.transforms.documents import (
+    convert_docx_to_pdf,
+    dead_letter_split,
+    html_select_div,
+    html_to_text,
+    merge_pdf_parts,
+    strip_images,
+    synthesize_meeting_html,
+)
+from kommunedata_data_pipeline_spark.transforms.multimodal import (
+    extract_features,
+    extract_media_meta,
+    make_png,
+    make_wav,
+    sniff_format,
+)
+
+
+def test_html_to_text(spark):
+    html = "<html><head><title>x</title></head><body><p>Hello&nbsp;<b>World</b></p><script>evil()</script></body></html>"
+    got = spark.createDataFrame([(html,)], "h string").select(
+        html_to_text(F.col("h")).alias("t")
+    ).collect()[0].t
+    assert got == "Hello World"
+
+
+def test_html_select_div_and_strip_images(spark):
+    html = '<div class="junk">no</div><div class="node__content">payload <img src="a.wmf"/> here</div>'
+    df = spark.createDataFrame([(html,)], "h string")
+    sel = df.select(html_select_div(F.col("h"), "node__content").alias("v")).collect()[0].v
+    assert "payload" in sel and "junk" not in sel
+    stripped = df.select(strip_images(F.col("h")).alias("v")).collect()[0].v
+    assert ".wmf" not in stripped
+
+
+def test_synthesize_meeting_html_orders_items(spark):
+    items = agenda_items_fixture(spark)
+    meetings = items.select("meeting_key").distinct()
+    out = synthesize_meeting_html(meetings, items).orderBy("meeting_key").collect()
+    m1 = next(r for r in out if r.meeting_key == "m1")
+    # items must appear in item_no order despite shuffled input
+    i1 = m1.doc_html.index("Punkt 1")
+    i2 = m1.doc_html.index("Punkt 2")
+    i3 = m1.doc_html.index("Punkt 3")
+    assert i1 < i2 < i3
+
+
+def test_convert_docx_dispatch_and_try_struct(spark):
+    blobs = spark.createDataFrame(
+        [("a.pdf", "pdf", b"%PDF-1.4 x"), ("b.docx", "docx", b"PK\x03\x04fake")],
+        "doc_key string, fmt string, content binary",
+    )
+    out = convert_docx_to_pdf(blobs).collect()
+    by_key = {r.doc_key: r for r in out}
+    assert by_key["a.pdf"].ok and bytes(by_key["a.pdf"].content) == b"%PDF-1.4 x"
+    # docx path: renderers absent in this container → contained failure
+    assert not by_key["b.docx"].ok and "NotImplemented" in by_key["b.docx"].error
+    good, dead = dead_letter_split(convert_docx_to_pdf(blobs))
+    assert good.count() == 1 and dead.count() == 1
+
+
+def test_merge_pdf_parts_order(spark):
+    parts = spark.createDataFrame(
+        [("m1", 2, b"B"), ("m1", 1, b"A"), ("m1", 3, b"C"), ("m2", 1, b"X")],
+        "doc_key string, part_no int, content binary",
+    )
+    out = {r.doc_key: r for r in merge_pdf_parts(parts).collect()}
+    assert out["m1"].n_parts == 3
+    assert bytes(out["m1"].content).endswith(b"ABC")
+    assert bytes(out["m2"].content).endswith(b"X")
+
+
+def test_sniff_format():
+    assert sniff_format(make_png(4, 3)) == "png"
+    assert sniff_format(make_wav(44100, 2)) == "wav"
+    assert sniff_format(b"%PDF-1.7 ...") == "pdf"
+    assert sniff_format(b"\xff\xd8\xff\xe0junk") == "jpeg"
+    assert sniff_format(None) == "empty"
+    assert sniff_format(b"????????") == "unknown"
+
+
+def test_extract_media_meta(spark):
+    df = spark.createDataFrame(
+        [("p1", make_png(640, 480)), ("w1", make_wav(16000, 1)), ("u1", b"xx")],
+        "media_id string, content binary",
+    )
+    got = {r.media_id: r for r in extract_media_meta(df).collect()}
+    assert (got["p1"].fmt, got["p1"].width, got["p1"].height) == ("png", 640, 480)
+    assert (got["w1"].fmt, got["w1"].sample_rate, got["w1"].channels) == ("wav", 16000, 1)
+    assert got["u1"].fmt == "unknown"
+
+
+def test_extract_features_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", make_png(2, 2)), ("b", make_png(2, 2))],
+        "media_id string, content binary",
+    )
+    rows = extract_features(df, dim=8).collect()
+    feats = {r.media_id: r.features for r in rows}
+    assert feats["a"] == feats["b"]  # same bytes → same features
+    assert len(feats["a"]) == 8 and all(0.0 <= v < 1.0 for v in feats["a"])
