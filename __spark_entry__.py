@@ -41,6 +41,7 @@ from kommunedata_data_pipeline_spark.operators.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
     minhash_signatures,
+    minhash_slot_sql,
     ngram_jaccard_pairs,
     simhash_docs,
 )
@@ -997,15 +998,22 @@ _SHINGLES_CTE = f"""
 """
 
 
+_MINHASH_SLOT_SQL = minhash_slot_sql("seed", "h")
+_BASEHASH_CTE = """
+    hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+           FROM sh)
+"""
+
+
 @_q(
     "q_minhash_signatures",
     f"""
     WITH {_SHINGLES_CTE},
+    {_BASEHASH_CTE},
     seeds AS (SELECT unnest(range(0, 16)) AS seed)
     SELECT doc_id, CAST(seed AS INT) AS seed,
-           min(('0x' || substr(md5('s' || seed || ':' || shingle), 1, 8))::BIGINT)
-             AS minhash
-    FROM sh CROSS JOIN seeds
+           min({_MINHASH_SLOT_SQL}) AS minhash
+    FROM hs CROSS JOIN seeds
     GROUP BY doc_id, seed
     ORDER BY doc_id, seed
     """,
@@ -1024,12 +1032,12 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_minhash_lsh_pairs",
     f"""
     WITH {_SHINGLES_CTE},
+    {_BASEHASH_CTE},
     seeds AS (SELECT unnest(range(0, 16)) AS seed),
     mh AS (
       SELECT doc_id, seed,
-             min(('0x' || substr(md5('s' || seed || ':' || shingle), 1, 8))::BIGINT)
-               AS minhash
-      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+             min({_MINHASH_SLOT_SQL}) AS minhash
+      FROM hs CROSS JOIN seeds GROUP BY doc_id, seed
     ),
     banded AS (
       SELECT doc_id, seed // 4 AS band,

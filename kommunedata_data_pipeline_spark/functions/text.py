@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .expr import let
 from .strings import md5_bigint
 
 # tiny embedded stopword lists for the n-gram/stopword language heuristic
@@ -92,21 +93,28 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles of the normalized text, as an array of strings.
 
     Built via sliding index: transform over [0 .. n-k] joining k tokens.
-    DuckDB twin uses generate_subscripts-free list comprehension
-    (list_transform(range(...))) — see operators.dedup for the exact SQL.
+    The token array is let-bound so normalize+split runs ONCE per row —
+    referenced directly inside the per-index lambda it would re-evaluate
+    per shingle per use (no CSE inside Catalyst lambdas; see
+    functions.expr.let). DuckDB twin uses list_transform(range(...)) —
+    see operators.dedup for the exact SQL.
     """
-    toks = F.split(normalized_text(text), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(
-        n >= k,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+
+    def _shingles(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(
+            n >= k,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)],
+                ),
             ),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    return let(F.split(normalized_text(text), " "), _shingles)
 
 
 def minhash_value(shingle: Column, seed: int) -> Column:

@@ -24,9 +24,10 @@ signatures) stay in whole-stage codegen; no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.expr import let
 from ..functions.strings import md5_bigint
 from ..functions.text import fingerprint, normalized_text, word_shingles
 
@@ -110,30 +111,48 @@ def ngram_jaccard_pairs(
     return out
 
 
+# Affine MinHash family over a prime modulus: slot i value of base hash h
+# is ((2i+1)*h + i*MINHASH_C) mod MINHASH_P. One md5 per shingle (the base
+# hash), then num_hashes cheap multiply-adds — vs num_hashes md5s per
+# shingle for the salted-md5 family. h < 2^32 and 2i+1 <= 2*num_hashes so
+# every product stays far below 2^63 (exact in BIGINT on both engines).
+MINHASH_P = 4294967311  # smallest prime > 2^32
+MINHASH_C = 2654435761  # Knuth's multiplicative-hash constant
+
+
+def minhash_slot_sql(seed: str, h: str) -> str:
+    """DuckDB-side twin of one affine slot evaluation (kept here so the
+    Spark expression and oracle SQL can't drift apart)."""
+    return f"((2*{seed}+1)*{h} + {seed}*{MINHASH_C}) % {MINHASH_P}"
+
+
 def minhash_signatures(documents: DataFrame, k: int = 3, num_hashes: int = 16) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>[num_hashes]) — signature slot i is
-    min over shingles of md5_bigint('s{i}:' || shingle).
+    min over shingles of ((2i+1)*md5_bigint(shingle) + i*C) mod P.
 
-    Computed as one expression over the shingle array (transform-of-
-    array_min-of-transform): no row explosion by num_hashes, so the cost is
-    one codegen'd pass per doc regardless of signature width."""
-    sh = word_shingles(F.col("text"), k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                sh,
-                lambda x: F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit("s"), s.cast("string"), F.lit(":"), x)), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
-            )
-        ),
-    )
-    return documents.select("doc_id", sig.alias("sig"))
+    The shingle-hash array is let-bound (functions.expr.let) so the
+    normalize/shingle/md5 pass runs exactly once per doc; each signature
+    slot is then an array_min over cheap affine arithmetic. No row
+    explosion by num_hashes, no repeated md5."""
+
+    def _sig(hs: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda s: F.array_min(
+                F.transform(
+                    hs,
+                    lambda h: (
+                        (2 * s.cast("bigint") + 1) * h + s.cast("bigint") * MINHASH_C
+                    )
+                    % MINHASH_P,
+                )
+            ),
+        )
+
+    # NB: explicit unary lambda — md5_bigint(col, offset=0) is 2-ary, and
+    # F.transform would otherwise feed the array index into `offset`.
+    hashed = F.transform(word_shingles(F.col("text"), k), lambda x: md5_bigint(x))
+    return documents.select("doc_id", let(hashed, _sig).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -212,25 +231,30 @@ def _nth_bit(h, i):
 def _simhash_expr(toks, nbits: int):
     """Bit-majority simhash over a token array (weight 1 per distinct
     token): bit i of the result is 1 iff more than half the token-hashes
-    have bit i set. Pure expression tree — one codegen'd pass per doc."""
+    have bit i set. The token-hash array is let-bound so tokenization+md5
+    run once per doc, not once per bit (functions.expr.let)."""
+
+    def _sim(th):
+        n = F.size(th)
+        bits = F.transform(
+            F.sequence(F.lit(0), F.lit(nbits - 1)),
+            lambda i: F.when(
+                F.aggregate(
+                    th,
+                    F.lit(0).cast("bigint"),
+                    lambda a, h: a + _nth_bit(h, i),
+                )
+                * 2
+                > n.cast("bigint"),
+                F.pow(F.lit(2.0), i.cast("double")).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        return F.aggregate(bits, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
     th = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
     )
-    n = F.size(th)
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(nbits - 1)),
-        lambda i: F.when(
-            F.aggregate(
-                th,
-                F.lit(0).cast("bigint"),
-                lambda a, h: a + _nth_bit(h, i),
-            )
-            * 2
-            > n.cast("bigint"),
-            F.pow(F.lit(2.0), i.cast("double")).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint")),
-    )
-    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return let(th, _sim)
 
 
 def simhash_docs(documents: DataFrame, nbits: int = 32) -> DataFrame:

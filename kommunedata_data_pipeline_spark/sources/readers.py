@@ -29,7 +29,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # Per-row compute-heavy tables (md5 shingling, vector math). A small
+        # local parquet file is ONE input split (one row group — not
+        # splittable further), which serializes the whole hash pipeline on
+        # one core; redistribute up to the session's parallelism. At real
+        # scale the scan has thousands of natural splits and this branch is
+        # a no-op. Filters still push to the scan (Catalyst moves them
+        # through Repartition).
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
