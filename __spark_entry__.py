@@ -45,8 +45,19 @@ from kommunedata_data_pipeline_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_docs,
 )
+from kommunedata_data_pipeline_spark.functions.text import (
+    bpe_token_count,
+    rolling_fingerprint,
+    rolling_hashes,
+    BPE_TOKEN_RE,
+    ROLL_B,
+    ROLL_P,
+    ROLL_TOK_MOD,
+)
+from kommunedata_data_pipeline_spark.operators.joins import asof_join
 from kommunedata_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
+    embedding_near_dup_pairs,
     lsh_bucketed_topk,
 )
 from kommunedata_data_pipeline_spark.plans.pipeline import flagship_meetings_to_fetch
@@ -1199,6 +1210,496 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
     return lsh_bucketed_topk(e, q, 5, 8)
+
+
+# --------------------------------------------------------------------------
+# relational expansion: subquery / outer-join / cube shapes (TPC-H-style,
+# adapted to the trimmed star schema — no partsupp/commitdate/shipmode)
+
+
+@_q(
+    "q4_exists_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS decorrelates to a left-semi join; at scale
+    the orders date filter prunes before the shuffle."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — 4-way join + group + top-k. nation broadcasts;
+    customer⋈orders⋈lineitem shuffle on the keys; deterministic top-20
+    (rounded revenue desc, custkey tiebreak)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q14_promo_effect",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional aggregation ratio over a broadcast
+    dim join (part is the small side)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@_q(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN (1, 5, 9, 13, 17, 21)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp → lineitem): NOT IN subquery as a
+    broadcast left-anti join + count distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size").isin(1, 5, 9, 13, 17, 21))
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@_q(
+    "q17_small_qty",
+    """
+    WITH thresh AS (
+      SELECT l_partkey AS t_partkey, round(0.2 * avg(l_quantity), 6) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part   ON p_partkey = l_partkey
+    JOIN thresh ON t_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < qty_threshold
+    """,
+)
+def q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (per-part avg
+    quantity) decorrelated into an aggregate + re-join; the threshold is
+    rounded identically on both engines to pin the float boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_threshold")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(thresh, F.col("t_partkey") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice, round(sum(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+    GROUP BY c_name, c_custkey, o_orderkey, order_date, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — IN-subquery with HAVING as a semi join; dates
+    emitted as ISO strings (cross-engine timestamp stringification
+    differs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__s"))
+        .where(F.col("__s") > 180)
+        .select("l_orderkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(big.withColumnRenamed("l_orderkey", "__k"), F.col("o_orderkey") == F.col("__k"), "left_semi")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@_q(
+    "q19_disjunctive",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — disjunction of conjunctive range predicates;
+    Catalyst extracts the common l_quantity bounds for scan pushdown and
+    the join stays broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@_q(
+    "q22_no_orders",
+    """
+    WITH ab AS (SELECT round(avg(c_acctbal), 2) AS avg_bal
+                FROM customer WHERE c_acctbal > 0)
+    SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey, ab
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q22_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar subquery (global avg, broadcast as a 1-row
+    frame) + NOT EXISTS (left-anti on orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    ab = c.where(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    recent = o.where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_q(
+    "q_outer_join_agg",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + aggregation with null-preserving counts: every
+    customer appears, zero-order customers with n_orders = 0."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "q_cube_aggregate",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def q_cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of the two dims) — partial
+    aggregation covers all sets in one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# as-of join (extended surface, SURVEY §2.3 note)
+
+
+@_q(
+    "q_asof_join",
+    """
+    WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') t
+      WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id,
+           epoch_us(c.ts) AS click_ts_us,
+           epoch_us(p.ts) AS purchase_ts_us,
+           p.event_id AS purchase_event_id,
+           round(p.value, 2) AS purchase_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each click paired with the user's latest
+    preceding purchase. Spark side is the union-sort-fill plan (one
+    shuffle on user_id, no per-key quadratic blowup) — see
+    operators.joins.asof_join; oracle uses DuckDB's native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    j = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["event_id", "value"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.unix_micros("asof_ts").alias("purchase_ts_us"),
+        F.col("asof_event_id").alias("purchase_event_id"),
+        F.round("asof_value", 2).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# north-star additions: embedding near-dup, rolling-hash fingerprint,
+# BPE-ish token counting
+
+
+@_q(
+    "q_embedding_near_dup",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(0, 8), i ->
+               CASE WHEN embedding[i+1] > 0 THEN CAST(pow(2, i) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS bucket
+      FROM embeddings
+    )
+    , scored AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             round(
+               list_sum(list_transform(range(1, len(x.embedding) + 1),
+                 i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+               5) AS cosine_sim
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b, cosine_sim FROM scored
+    WHERE cosine_sim >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (5th dedup family): sign-bucket
+    candidate generation (equi-join shuffle — the sub-quadratic scale
+    path) + exact cosine verify."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, nbits=8, threshold=0.3)
+
+
+@_q(
+    "q_rolling_fingerprint",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    th AS (SELECT doc_id,
+                  list_transform(string_split(t, ' '),
+                    x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % {ROLL_TOK_MOD}) AS h
+           FROM norm),
+    rh AS (SELECT doc_id, CASE WHEN len(h) >= 4 THEN
+             list_transform(range(0, len(h) - 3), i ->
+               (h[i+1]*{ROLL_B**3} + h[i+2]*{ROLL_B**2} + h[i+3]*{ROLL_B} + h[i+4])
+               % {ROLL_P})
+           ELSE [] END AS r FROM th)
+    SELECT doc_id, CAST(len(r) AS INT) AS n_windows, list_min(r) AS min_rhash
+    FROM rh ORDER BY doc_id
+    """,
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint (winnowing-style min
+    over all 4-token windows) — the fingerprinting family's near-dup
+    prefilter; token hashes computed once per doc (let-bound)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(rolling_hashes(F.col("text"), 4)).alias("n_windows"),
+        rolling_fingerprint(F.col("text"), 4).alias("min_rhash"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "q_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+             AS INT) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (north star): whitespace tokens and a
+    GPT-2-style BPE pre-tokenizer regex — pure regexp_extract_all, stays
+    in codegen."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -121,3 +121,60 @@ def minhash_value(shingle: Column, seed: int) -> Column:
     """One MinHash hash-function evaluation: stable md5-derived BIGINT of
     (seed || shingle); min() over shingles per doc = the signature slot."""
     return md5_bigint(F.concat(F.lit(f"s{seed}:"), shingle))
+
+
+# BPE-ish pre-tokenizer pattern (GPT-2-style, simplified to the ASCII
+# classes both Java regex and DuckDB's RE2 treat identically): a token is
+# an optional leading space + a letter run, digit run, or symbol run.
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex (north star: token counting =
+    whitespace + a BPE-ish regex; `token_count` above is the whitespace
+    one). DuckDB twin: ``len(regexp_extract_all(text, pattern))``."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+# Rabin-Karp rolling-hash fingerprint parameters. Token base-hashes are
+# folded mod 2^15 so the w-term polynomial stays exact in BIGINT on both
+# engines (max term B^(w-1) * 2^15 ~ 3e15 << 2^63, no modular Horner
+# needed — DuckDB lacks a portable fold).
+ROLL_B = 4567
+ROLL_P = 4294967311
+ROLL_TOK_MOD = 32768
+
+
+def rolling_hashes(text: Column, w: int = 4) -> Column:
+    """Array of Rabin-Karp polynomial hashes of every w-token window of the
+    normalized text: rh(i) = (sum_j h(tok[i+j]) * B^(w-1-j)) mod P with
+    h(t) = md5_bigint(t) mod 2^15. Documents shorter than w tokens yield
+    an empty array. Token hashes are let-bound — computed once per doc."""
+
+    def _roll(th: Column) -> Column:
+        n = F.size(th)
+        idx = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
+        poly = lambda i: (
+            sum(
+                F.element_at(th, (i + j + 1).cast("int")) * (ROLL_B ** (w - 1 - j))
+                for j in range(w)
+            )
+            % ROLL_P
+        )
+        return F.when(n >= w, F.transform(idx, poly)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    th = F.transform(
+        F.split(normalized_text(text), " "),
+        lambda t: md5_bigint(t) % ROLL_TOK_MOD,
+    )
+    return let(th, _roll)
+
+
+def rolling_fingerprint(text: Column, w: int = 4) -> Column:
+    """Winnowing-style document fingerprint: the minimum rolling hash over
+    all w-token windows (null for docs shorter than w tokens). Robust to
+    local edits away from the minimizing window — the cheap near-dup
+    prefilter of the fingerprinting family."""
+    return F.array_min(rolling_hashes(text, w))

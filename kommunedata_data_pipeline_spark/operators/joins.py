@@ -13,7 +13,7 @@ unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -57,3 +57,61 @@ def assemble_parent_child(
         ).alias("items")
     )
     return parents.join(items, on=key, how="left")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the latest right row of the
+    same `on` key with right_ts <= left_ts; nulls when none precedes.
+
+    Not in the reference (SURVEY §2.3 notes the extended surface adds
+    range/as-of joins); implemented as the scale-canonical union-sort-fill:
+    tag both sides, union, and `last(payload, ignorenulls)` over a
+    (key, ts, side) window — ONE shuffle on the key, no per-row probing,
+    no join explosion on hot keys (vs. a theta-join which is quadratic per
+    key). Ties: a right row at exactly left_ts wins (sorted before the
+    left row via the side column); multiple right rows at the same ts
+    resolve to the last by payload struct order — pre-dedup the right side
+    for full determinism.
+    """
+    right_payload = right_payload or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    payload_t = F.struct(
+        F.col(right_ts).alias(f"{prefix}{right_ts}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_payload],
+    )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload_t.alias("__p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        *[F.col(c) for c in left.columns if c != on],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side", "__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).withColumn(
+        "__last", F.last("__p", ignorenulls=True).over(w)
+    )
+    out_cols = [on] + [c for c in left.columns if c != on]
+    return (
+        filled.where(F.col("__side") == 1)
+        .select(*out_cols, F.col("__last.*"))
+    )

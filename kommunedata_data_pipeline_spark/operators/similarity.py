@@ -121,3 +121,35 @@ def lsh_bucketed_topk(
         .select(query_id, "vec_id", "cosine_sim", "rank")
         .orderBy(query_id, "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, nbits: int = 8, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the 5th dedup family of the
+    north star): candidate pairs share a sign-bucket (the quantizer above),
+    then exact cosine >= threshold verifies.
+
+    Scale: the full-corpus shuffle is the equi-join on bucket; per-bucket
+    candidate sets are small (2^nbits buckets), so the quadratic step is
+    local and bounded — same shape as the MinHash band join. Recall misses
+    only pairs straddling a sign flip in the first nbits dims; raise recall
+    by unioning a second bucket over dims nbits..2*nbits (multi-probe), at
+    one extra shuffle."""
+    b = embeddings.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding"), nbits).alias("bucket")
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, "bucket")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 5).alias(
+                "cosine_sim"
+            ),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
