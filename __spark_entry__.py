@@ -1702,6 +1702,114 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# streaming surface (SURVEY §2.10) — REAL Structured Streaming executions
+# (file source → watermark/window → memory sink, driven to completion).
+# q_stream_dedup has an exact oracle (dedup on a unique key emits every
+# row); windowed aggs in append mode hold back windows inside the
+# watermark horizon, which no batch SQL expresses — rows-only checks.
+
+
+@_q(
+    "q_stream_dedup",
+    """
+    SELECT event_id, user_id, event_type FROM events ORDER BY event_id
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dropDuplicates on event_id (ST2 exactly-once
+    semantics in stream form). event_id is unique, so the emitted stream
+    equals the input relation — an exact SQL oracle for a streaming op."""
+    from kommunedata_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        streaming_dedup,
+    )
+
+    s = streaming_dedup(read_events_stream(spark, sf_dir)).select(
+        "event_id", "user_id", "event_type"
+    )
+    run_to_memory(s, "q_stream_dedup_sink")
+    return spark.table("q_stream_dedup_sink").orderBy("event_id")
+
+
+@_q("q_stream_tumbling")  # rows-only: append-mode emission has no SQL twin
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation with a 2h late-data
+    watermark, driven to completion over the events file source."""
+    from kommunedata_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    s = tumbling_counts(read_events_stream(spark, sf_dir))
+    run_to_memory(s, "q_stream_tumbling_sink")
+    return spark.table("q_stream_tumbling_sink").orderBy("window_start", "event_type")
+
+
+@_q("q_stream_session")  # rows-only: append-mode emission has no SQL twin
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-merged session windows (session_window) under a
+    watermark — the streaming-native sessionization."""
+    from kommunedata_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        session_agg,
+    )
+
+    s = session_agg(read_events_stream(spark, sf_dir))
+    run_to_memory(s, "q_stream_session_sink")
+    return spark.table("q_stream_session_sink").orderBy("session_start", "user_id")
+
+
+# --------------------------------------------------------------------------
+# multimodal surface (north star): opaque binary columns + typed metadata.
+# The blobs are deterministic functions of doc_id, so the binary
+# round-trip (encode → magic-byte sniff → header decode) has a pure-SQL
+# arithmetic oracle.
+
+
+@_q(
+    "q_media_meta",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS fmt,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 36 END AS BIGINT) AS n_bytes,
+           CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id % 16 + 1) * 8 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id % 7 + 1) * 8 AS INT) END AS height,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END AS INT) END AS channels
+    FROM documents ORDER BY media_id
+    """,
+)
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction: synthesize PNG/WAV blobs from
+    doc_id (Arrow-batched mapInPandas), then header-decode them back in a
+    second narrow pass. The oracle recomputes the expected metadata by
+    arithmetic — verifying the full binary round-trip."""
+    from kommunedata_data_pipeline_spark.transforms.multimodal import (
+        extract_media_meta,
+        synthetic_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_media_meta(synthetic_media(d)).orderBy("media_id")
+
+
+@_q("q_media_features")  # rows-only: md5-derived fake features, no SQL twin
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → feature-extract plumbing over binary media (stubbed
+    deterministic features; real schema/batching/partitioning)."""
+    from kommunedata_data_pipeline_spark.transforms.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(synthetic_media(d)).orderBy("media_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

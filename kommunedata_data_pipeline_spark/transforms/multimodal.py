@@ -153,3 +153,27 @@ def make_wav(sample_rate: int, channels: int) -> bytes:
     """Deterministic minimal WAV (RIFF + fmt chunk) for fixtures."""
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16)
     return b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+
+
+def synthetic_media(documents: DataFrame) -> DataFrame:
+    """Deterministic media corpus derived from the documents table: even
+    doc_ids become PNGs (dims arithmetic on doc_id), odd ones WAVs. The
+    blob content is an exact function of doc_id, so metadata extraction
+    has a pure-SQL oracle — the binary round-trip (encode → sniff →
+    header-decode) is what gets verified."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    blob = make_png((did % 16 + 1) * 8, (did % 7 + 1) * 8)
+                else:
+                    blob = make_wav(8000 + (did % 8) * 1000, 2 if did % 4 == 3 else 1)
+                rows.append((str(did), blob))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return documents.select("doc_id").mapInPandas(
+        batches, "media_id string, content binary"
+    )
