@@ -615,7 +615,6 @@ def q_date_parse_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "meeting_date"
             ),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -674,7 +673,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (
-        ev.select("event_id", k.alias("k")).where(F.col("k") > 90).orderBy("event_id")
+        ev.select("event_id", k.alias("k")).where(F.col("k") > 90)
     )
 
 
@@ -909,7 +908,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_measured"),
         F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         F.round(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
-    ).orderBy("doc_id")
+    )
 
 
 @_q(
@@ -936,7 +935,7 @@ def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", "lang", lang_guess(F.col("text")).alias("lang_guess")
-    ).orderBy("doc_id")
+    )
 
 
 @_q(
@@ -958,9 +957,7 @@ def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document-quality score for corpus filtering."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score(F.col("text")).alias("quality")).orderBy(
-        "doc_id"
-    )
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
 @_q(
@@ -975,7 +972,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting — md5 over whitespace/punct-normalized text
     (exact-dedup key; byte-identical across engines)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
 @_q(
@@ -992,7 +989,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep lowest doc_id per normalized-text fingerprint."""
     d = _t(spark, sf_dir, "documents")
-    return dedup_exact(d).select("doc_id").orderBy("doc_id")
+    return dedup_exact(d).select("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -1036,7 +1033,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return minhash_signatures(d, 3, 16).select(
         "doc_id", F.posexplode("sig").alias("seed", "minhash")
-    ).orderBy("doc_id", "seed")
+    )
 
 
 @_q(
@@ -1609,7 +1606,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("asof_ts").alias("purchase_ts_us"),
         F.col("asof_event_id").alias("purchase_event_id"),
         F.round("asof_value", 2).alias("purchase_value"),
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1676,7 +1673,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(rolling_hashes(F.col("text"), 4)).alias("n_windows"),
         rolling_fingerprint(F.col("text"), 4).alias("min_rhash"),
-    ).orderBy("doc_id")
+    )
 
 
 @_q(
@@ -1699,7 +1696,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count(F.col("text")).alias("n_ws_tokens"),
         bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1794,7 +1791,9 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    return extract_media_meta(synthetic_media(d)).orderBy("media_id")
+    # no orderBy: a global sort's range-partitioner sampling would execute
+    # the two-stage Python chain twice; the driver compares order-insensitively
+    return extract_media_meta(synthetic_media(d))
 
 
 @_q("q_media_features")  # rows-only: md5-derived fake features, no SQL twin
@@ -1807,7 +1806,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    return extract_features(synthetic_media(d)).orderBy("media_id")
+    return extract_features(synthetic_media(d))
 
 
 def entry(spark: SparkSession) -> DataFrame:

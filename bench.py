@@ -26,8 +26,23 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="kommunedata-bench")
 
-    # warm-up: JVM + parquet footers (not timed)
+    # warm-up (not timed): JVM + parquet footers, and the Python worker
+    # pool — the first Arrow-UDF stage otherwise pays a one-off storm of
+    # 32 forked workers importing pandas, misattributed to whichever
+    # query alphabetically sorts first.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    def _warm(it):
+        import pandas as pd
+
+        import kommunedata_data_pipeline_spark.transforms.multimodal  # noqa: F401
+
+        for pdf in it:
+            yield pd.DataFrame({"id": pdf["id"]})
+
+    spark.range(256).repartition(
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ).mapInPandas(_warm, "id long").count()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):

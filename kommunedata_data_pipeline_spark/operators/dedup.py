@@ -106,7 +106,6 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
     return out
 
@@ -214,7 +213,6 @@ def minhash_lsh_pairs(
         cand.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -262,7 +260,7 @@ def simhash_docs(documents: DataFrame, nbits: int = 32) -> DataFrame:
     toks = F.array_distinct(F.split(normalized_text(F.col("text")), " "))
     return documents.select(
         "doc_id", _simhash_expr(toks, nbits).alias("simhash")
-    ).orderBy("doc_id")
+    )
 
 
 def simhash_near_pairs(documents: DataFrame, nbits: int = 32, max_hamming: int = 6) -> DataFrame:
@@ -313,5 +311,4 @@ def simhash_near_pairs(documents: DataFrame, nbits: int = 32, max_hamming: int =
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= max_hamming)
-        .orderBy("doc_a", "doc_b")
     )

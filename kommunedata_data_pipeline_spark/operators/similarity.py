@@ -151,5 +151,4 @@ def embedding_near_dup_pairs(
             ),
         )
         .where(F.col("cosine_sim") >= threshold)
-        .orderBy("vec_a", "vec_b")
     )
