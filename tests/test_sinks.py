@@ -1,0 +1,84 @@
+"""Sink battery (SURVEY §2.1 S14-S18, ST2 idempotency)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kommunedata_data_pipeline_spark.sources.sinks import (
+    load_catalog,
+    upsert_partitioned,
+    write_csv,
+    write_dead_letter,
+    write_partitioned,
+    write_text,
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_key string, municipality string, committee string, n int"
+    )
+
+
+def test_partitioned_write_layout(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    df = _batch(
+        spark,
+        [
+            ("2025-01-01_aarhus_oek.pdf", "aarhus", "oek", 1),
+            ("2025-01-02_odense_plan.pdf", "odense", "plan", 2),
+        ],
+    )
+    write_partitioned(df, out)
+    # Hive-style partition dirs => partition pruning for P3/P5 predicates
+    assert (tmp_path / "sink" / "municipality=aarhus" / "committee=oek").exists()
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    # partition filter prunes directories (pushed to the file index)
+    assert back.where(F.col("municipality") == "aarhus").count() == 1
+
+
+def test_upsert_is_idempotent(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    b1 = _batch(
+        spark,
+        [
+            ("k1", "aarhus", "oek", 1),
+            ("k1", "aarhus", "oek", 1),  # in-batch dup (D1)
+            ("k2", "odense", "plan", 2),
+        ],
+    )
+    assert upsert_partitioned(b1, out, ["doc_key"]) == 2
+    # exact re-delivery lands zero rows (ST2)
+    assert upsert_partitioned(b1, out, ["doc_key"]) == 0
+    # overlapping new batch lands only the novel key (J2 anti-join)
+    b2 = _batch(spark, [("k2", "odense", "plan", 2), ("k3", "aarhus", "oek", 3)])
+    assert upsert_partitioned(b2, out, ["doc_key"]) == 1
+    assert spark.read.parquet(out).count() == 3
+    cat = load_catalog(spark, out, ["doc_key"])
+    assert sorted(r.doc_key for r in cat.collect()) == ["k1", "k2", "k3"]
+
+
+def test_csv_and_text_sinks(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("https://a.dk", "https://a.dk/s")], "base_url string, start_url string"
+    )
+    write_csv(df, str(tmp_path / "cfg"))
+    back = spark.read.option("header", True).csv(str(tmp_path / "cfg"))
+    assert back.columns == ["base_url", "start_url"] and back.count() == 1
+
+    urls = spark.createDataFrame([("https://b.dk",), ("https://a.dk",)], "url string")
+    write_text(urls, str(tmp_path / "urls"))
+    lines = [r.value for r in spark.read.text(str(tmp_path / "urls")).collect()]
+    assert lines == ["https://a.dk", "https://b.dk"]  # sorted (O2)
+
+
+def test_dead_letter_split_write(spark, tmp_path):
+    rows = spark.createDataFrame(
+        [("u1", None), ("u2", "parse failure")], "url string, error string"
+    )
+    ok, bad = rows.where(F.col("error").isNull()), rows.where(F.col("error").isNotNull())
+    write_dead_letter(ok, bad, str(tmp_path / "landed"))
+    assert spark.read.parquet(str(tmp_path / "landed")).count() == 1
+    q = spark.read.parquet(str(tmp_path / "landed_quarantine"))
+    assert [r.error for r in q.collect()] == ["parse failure"]
