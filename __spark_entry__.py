@@ -54,7 +54,7 @@ from kommunedata_data_pipeline_spark.functions.text import (
     ROLL_P,
     ROLL_TOK_MOD,
 )
-from kommunedata_data_pipeline_spark.operators.joins import asof_join
+from kommunedata_data_pipeline_spark.operators.joins import asof_join, range_join_binned
 from kommunedata_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
@@ -1607,6 +1607,62 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_event_id").alias("purchase_event_id"),
         F.round("asof_value", 2).alias("purchase_value"),
     )
+
+
+@_q(
+    "q_range_join",
+    """
+    WITH e AS (SELECT event_id AS err_id, CAST(ts AS TIMESTAMP) AS start_ts,
+                      CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS end_ts
+               FROM events WHERE event_type = 'error'),
+    c AS (SELECT CAST(ts AS TIMESTAMP) AS cts FROM events WHERE event_type = 'click')
+    SELECT err_id, CAST(count(cts) AS BIGINT) AS n_clicks
+    FROM e LEFT JOIN c ON cts >= start_ts AND cts < end_ts
+    GROUP BY err_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: clicks inside each error's 5-min
+    window. Spark side is the binned equi-join rewrite (no nested-loop —
+    plan-audited in test_plans); oracle is DuckDB's native theta join."""
+    ev = _t(spark, sf_dir, "events")
+    errs = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(F.col("ts").alias("cts"))
+    j = range_join_binned(clicks, errs, "cts", "start_ts", "end_ts", 300)
+    counts = j.groupBy("err_id").agg(F.count("*").alias("n_clicks"))
+    return (
+        errs.select("err_id")
+        .join(counts, "err_id", "left")
+        .select("err_id", F.coalesce("n_clicks", F.lit(0).cast("bigint")).alias("n_clicks"))
+    )
+
+
+@_q(
+    "q_stream_stateful",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(coalesce(value, 0.0)), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals in the state store. The events file arrives
+    as one micro-batch, so the emitted updates equal a plain groupBy —
+    an exact SQL oracle for arbitrary-state streaming."""
+    from kommunedata_data_pipeline_spark.streaming.stateful import user_running_totals
+    from kommunedata_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    s = user_running_totals(read_events_stream(spark, sf_dir))
+    run_to_memory(s, "q_stream_stateful_sink", output_mode="update")
+    return spark.table("q_stream_stateful_sink")
 
 
 # --------------------------------------------------------------------------

@@ -115,3 +115,46 @@ def asof_join(
         filled.where(F.col("__side") == 1)
         .select(*out_cols, F.col("__last.*"))
     )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_width_s: int = 300,
+) -> DataFrame:
+    """Range (interval-containment) join: point rows matched to interval
+    rows with start <= point < end — without the theta-join trap.
+
+    A naive `ON p.ts BETWEEN i.s AND i.e` is a BroadcastNestedLoopJoin
+    (O(|P|·|I|), plan-audited away in test_plans). The scale-canonical
+    rewrite bins time into fixed buckets: each point lands in exactly one
+    bin, each interval replicates to the bins it overlaps, and the join
+    becomes an EQUI-join on bin + an exact containment filter. Shuffle
+    cost O(|P| + |I|·bins_per_interval); no pair explosion beyond true
+    candidates sharing a bucket. bin_width should be on the order of the
+    typical interval length (each interval then replicates to ~2 bins).
+
+    Each (point, interval) candidate meets in exactly the point's bin, so
+    no post-join dedup is needed.
+    """
+    bw = F.lit(bin_width_s * 1_000_000).cast("bigint")
+    p = points.withColumn("__bin", F.floor(F.unix_micros(F.col(point_ts)) / bw))
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_ts)) / bw),
+                F.floor(F.unix_micros(F.col(end_ts)) / bw),
+            )
+        ),
+    )
+    return (
+        p.join(i, "__bin")
+        .where(
+            (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+        )
+        .drop("__bin")
+    )

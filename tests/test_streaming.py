@@ -69,3 +69,50 @@ def test_foreach_batch_idempotent_sink(spark):
         q2.awaitTermination(120)
         n2 = spark.read.parquet(out).count()
         assert n2 == n1  # exactly-once: nothing landed twice
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches — the
+    second batch's emitted totals include the first batch's rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kommunedata_data_pipeline_spark.streaming.stateful import (
+        COUNTS_SCHEMA,
+        user_running_totals,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    rows1 = spark.createDataFrame(
+        [(1, 1000, 7, "click", 1.0, None), (2, 2000, 7, "click", 2.0, None)],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    rows2 = spark.createDataFrame(
+        [(3, 3000, 7, "click", 3.0, None), (4, 4000, 8, "view", 5.0, None)],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    rows1.coalesce(1).write.parquet(str(src / "a.parquet"))
+    rows2.coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(rows1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    out = user_running_totals(stream.withColumn("ts", F.timestamp_micros(F.col("ts"))))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_t")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    emitted = spark.sql("SELECT * FROM stateful_t").collect()
+    # user 7 appears once per batch containing their rows; the LAST emission
+    # carries the running total across batches (2 rows then 3)
+    u7 = sorted(r.n_events for r in emitted if r.user_id == 7)
+    assert u7[-1] == 3 and u7[0] == 2
+    u8 = [r for r in emitted if r.user_id == 8]
+    assert len(u8) == 1 and u8[0].n_events == 1 and u8[0].total_value == 5.0
