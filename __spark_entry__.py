@@ -1755,6 +1755,91 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_window_frames",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           lead(o_totalprice) OVER w AS next_price,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2)
+             AS moving_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family + lead + bounded sliding frame (4-row moving
+    sum; a 4-value avg of 2-decimal prices ties at the half-cent and
+    rounds differently across engines) — one shuffle on the partition key
+    serves every function
+    (single Window spec)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wavg = w.rowsBetween(-3, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(wavg), 2).alias("moving_sum"),
+    )
+
+
+@_q(
+    "q_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() flags, run through the
+    spark.sql() surface on a registered view — identical SQL text runs on
+    both engines (the engine exposes the full SQL API, not just the
+    DataFrame DSL)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@_q(
+    "q_distinct_two_phase",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count via two hash aggregates (skew-safe scale path
+    for COUNT(DISTINCT) on hot keys — see operators.aggregates)."""
+    from kommunedata_data_pipeline_spark.operators.aggregates import (
+        distinct_count_two_phase,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return distinct_count_two_phase(ev, "event_type", "user_id", "n_users")
+
+
 # --------------------------------------------------------------------------
 # streaming surface (SURVEY §2.10) — REAL Structured Streaming executions
 # (file source → watermark/window → memory sink, driven to completion).

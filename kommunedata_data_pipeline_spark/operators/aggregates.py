@@ -51,3 +51,22 @@ def distinct_set(df: DataFrame, col: str) -> DataFrame:
     """A5 — set-accumulate distinct values (unique_final_portals,
     get_base_url.py:84-110)."""
     return df.select(col).distinct().orderBy(col)
+
+
+def distinct_count_two_phase(
+    df: DataFrame, key: str, distinct_col: str, alias: str = "n_distinct"
+) -> DataFrame:
+    """Exact COUNT(DISTINCT x) per key as two hash aggregates:
+    distinct (key, x) pairs first (map-side combine collapses dups before
+    the shuffle), then a count per key.
+
+    At 100 TB this is the skew-safe exact-distinct: a direct
+    count(distinct) on a hot key funnels that key's whole value set
+    through one task's expand, while phase 1 here shards (key, x) pairs
+    uniformly across the cluster; phase 2 sees pre-shrunk rows."""
+    return (
+        df.select(key, distinct_col)
+        .dropDuplicates([key, distinct_col])
+        .groupBy(key)
+        .agg(F.count("*").alias(alias))
+    )

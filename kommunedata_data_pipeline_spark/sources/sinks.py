@@ -95,3 +95,23 @@ def write_dead_letter(
     the job for one bad row."""
     ok_rows.write.mode("append").parquet(path)
     bad_rows.write.mode("append").parquet(path + quarantine_suffix)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Bucketed table for co-located joins: rows are hash-distributed into
+    `num_buckets` files per partition by the join key and sorted within
+    buckets, so a join of two tables bucketed the same way needs NO
+    exchange and NO sort (plan-audited in test_plans) — the standard way
+    to amortize one shuffle across every future join on that key at
+    100 TB. Registered via saveAsTable (bucket metadata lives in the
+    catalog); `path` makes it an external table."""
+    w = df.write.bucketBy(num_buckets, *bucket_cols).sortBy(*bucket_cols)
+    if path:
+        w = w.option("path", path)
+    w.mode("overwrite").saveAsTable(table)

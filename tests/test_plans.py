@@ -84,3 +84,32 @@ def test_partition_pruning_on_sink(spark, tmp_path):
     p = buf.getvalue()
     pf = p.split("PartitionFilters:")[1].split("\n")[0]
     assert "municipality" in pf  # directory-level pruning, not a row filter
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key join with zero Exchange and
+    zero Sort nodes — the one-shuffle-amortized-forever scale pattern."""
+    from kommunedata_data_pipeline_spark.sources.sinks import write_bucketed
+
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 7).alias("v")
+    )
+    items = spark.range(0, 5000).select(
+        (F.col("id") % 1000).alias("o_orderkey"), (F.col("id") % 13).alias("q")
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, str(tmp_path / "bo"))
+    write_bucketed(items, "b_items", ["o_orderkey"], 8, str(tmp_path / "bi"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(spark.table("b_items"), "o_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # bucketing replaces the shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
