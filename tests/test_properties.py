@@ -1,0 +1,143 @@
+"""Property-based tests (SURVEY §5 item 4) — hypothesis drives randomized
+inputs through the Spark operators and checks them against independent
+in-Python models (pandas merge_asof, brute-force theta join, round-trip
+identities)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kommunedata_data_pipeline_spark.functions.dates import parse_meeting_date
+from kommunedata_data_pipeline_spark.operators.joins import asof_join, range_join_binned
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_MONTHS_DA = [
+    "januar", "februar", "marts", "april", "maj", "juni",
+    "juli", "august", "september", "oktober", "november", "december",
+]
+
+
+def _fmt(d: dt.date, kind: int) -> str:
+    if kind == 0:
+        return d.strftime("%Y-%m-%d")
+    if kind == 1:
+        return d.strftime("%d-%m-%Y")
+    if kind == 2:
+        return d.strftime("%d.%m.%Y")
+    return f"{d.day}. {_MONTHS_DA[d.month - 1]} {d.year} - 15:30"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.dates(dt.date(1990, 1, 1), dt.date(2035, 12, 31)),
+            st.integers(0, 3),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_date_parse_round_trips_all_formats(spark, cases):
+    rows = [(i, _fmt(d, k)) for i, (d, k) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, raw string")
+    got = {
+        r.i: r.parsed
+        for r in df.select(
+            "i", parse_meeting_date(F.col("raw")).alias("parsed")
+        ).collect()
+    }
+    for i, (d, _) in enumerate(cases):
+        assert got[i] == d, (i, cases[i], got[i])
+
+
+@settings(**_SETTINGS)
+@given(
+    points=st.lists(st.integers(0, 3_000), min_size=1, max_size=60, unique=True),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 3_000), st.integers(1, 900)),
+        min_size=1,
+        max_size=30,
+    ),
+    bin_s=st.sampled_from([1, 7, 60, 300]),
+)
+def test_range_join_matches_theta_model(spark, points, intervals, bin_s):
+    """Binned equi-join rewrite == brute-force containment, for any bin
+    width (bins are an execution detail, never semantics)."""
+    p = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(points)], "pid int, sec long"
+    ).select("pid", F.timestamp_seconds("sec").alias("pts"))
+    iv = spark.createDataFrame(
+        [(i, s, s + w) for i, (s, w) in enumerate(intervals)],
+        "iid int, s long, e long",
+    ).select(
+        "iid",
+        F.timestamp_seconds("s").alias("sts"),
+        F.timestamp_seconds("e").alias("ets"),
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_binned(p, iv, "pts", "sts", "ets", bin_s).collect()
+    }
+    expected = {
+        (pi, ii)
+        for pi, pv in enumerate(points)
+        for ii, (s, w) in enumerate(intervals)
+        if s <= pv < s + w
+    }
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=1,
+        max_size=40,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """Union-sort-fill as-of == pandas merge_asof (backward, exact
+    matches allowed), per key."""
+    right = list({(k, t): (k, t) for k, t in right}.values())  # unique (k,t)
+    l_df = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid int, k int, sec long"
+    ).select("lid", "k", F.timestamp_seconds("sec").alias("ts"))
+    r_df = spark.createDataFrame(
+        [(k, t, t * 10) for k, t in right], "k int, sec long, payload long"
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "payload")
+    got = {
+        r.lid: r.asof_payload
+        for r in asof_join(
+            l_df, r_df, on="k", left_ts="ts", right_ts="ts", right_payload=["payload"]
+        ).collect()
+    }
+    lp = pd.DataFrame({"lid": range(len(left)), "k": [k for k, _ in left], "t": [t for _, t in left]})
+    rp = pd.DataFrame({"k": [k for k, _ in right], "t": [t for _, t in right], "payload": [t * 10 for _, t in right]})
+    merged = pd.merge_asof(
+        lp.sort_values(["t", "lid"]),
+        rp.sort_values("t"),
+        on="t",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    for _, row in merged.iterrows():
+        exp = None if pd.isna(row["payload"]) else int(row["payload"])
+        assert got[int(row["lid"])] == exp, (row["lid"], exp, got[int(row["lid"])])
