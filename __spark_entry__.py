@@ -1036,10 +1036,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "q_minhash_lsh_pairs",
-    f"""
-    WITH {_SHINGLES_CTE},
+_LSH_PAIRS_CTES = f"""{_SHINGLES_CTE},
     {_BASEHASH_CTE},
     seeds AS (SELECT unnest(range(0, 16)) AS seed),
     mh AS (
@@ -1065,9 +1062,17 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN mh ma ON ma.doc_id = c.doc_a
       JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
       GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT doc_a, doc_b, est_jaccard FROM est
-    WHERE est_jaccard >= 0.5
+    ),
+    lsh_pairs AS (
+      SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    )"""
+
+
+@_q(
+    "q_minhash_lsh_pairs",
+    f"""
+    WITH {_LSH_PAIRS_CTES}
+    SELECT doc_a, doc_b, est_jaccard FROM lsh_pairs
     ORDER BY doc_a, doc_b
     """,
 )
@@ -1077,6 +1082,37 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only full-corpus shuffle is groupBy(band key)."""
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, 3, 16, 4, 0.5)
+
+
+@_q(
+    "q_dup_clusters",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM lsh_pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    MinHash-LSH pair graph (iterative min-label propagation with
+    lineage-truncating checkpoints — a genuinely iterative DataFrame
+    algorithm). Oracle: DuckDB recursive CTE computing min reachable id
+    per node."""
+    from kommunedata_data_pipeline_spark.operators.dedup import dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_clusters(minhash_lsh_pairs(d, 3, 16, 4, 0.5))
 
 
 @_q(

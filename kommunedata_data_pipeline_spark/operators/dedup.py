@@ -312,3 +312,54 @@ def simhash_near_pairs(documents: DataFrame, nbits: int = 32, max_hamming: int =
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id),
+    cluster_id = min doc_id in the component. The step after any pair
+    generator (MinHash/SimHash/Jaccard/embedding): "these 2M pairs are
+    really 300k groups; keep one doc per group".
+
+    Iterative min-label propagation: each node takes the min label among
+    itself and its neighbours until fixpoint — O(component diameter)
+    rounds, each one equi-join + groupBy (no driver-side graph).
+    `localCheckpoint` truncates lineage every round (the standard guard
+    against exponential plan growth in iterative DataFrame algorithms);
+    convergence is checked with a cheap count per round. Near-dup
+    components are small cliques/chains, so rounds ≈ 2-4 in practice.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
