@@ -82,3 +82,18 @@ def test_dead_letter_split_write(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "landed")).count() == 1
     q = spark.read.parquet(str(tmp_path / "landed_quarantine"))
     assert [r.error for r in q.collect()] == ["parse failure"]
+
+
+def test_binary_blob_reader(spark, tmp_path):
+    """S12-at-rest — binaryFile scan of landed blobs gives
+    (path, modificationTime, length, content)."""
+    from kommunedata_data_pipeline_spark.sources.readers import read_binary_blobs
+
+    (tmp_path / "a.pdf").write_bytes(b"%PDF-1.4 aaa")
+    (tmp_path / "b.pdf").write_bytes(b"%PDF-1.4 bb")
+    (tmp_path / "skip.txt").write_bytes(b"nope")
+    df = read_binary_blobs(spark, str(tmp_path), "*.pdf")
+    rows = {r.path.split("/")[-1]: bytes(r.content) for r in df.collect()}
+    assert set(rows) == {"a.pdf", "b.pdf"}
+    assert rows["a.pdf"].startswith(b"%PDF-1.4")
+    assert {r.length for r in df.collect()} == {12, 11}
