@@ -1876,6 +1876,52 @@ def q_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_count_two_phase(ev, "event_type", "user_id", "n_users")
 
 
+@_q(
+    "q_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.90), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear-interpolation). The scale path
+    swaps in approx_percentile (t-digest sketch, one pass, mergeable)
+    when exactness isn't required."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
+    )
+
+
+@_q(
+    "q_base64_roundtrip",
+    """
+    SELECT doc_id, to_base64(encode(text)) AS b64,
+           CAST(octet_length(from_base64(to_base64(encode(text)))) AS INT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — base64 encode/decode round trip over UTF-8 bytes (the
+    reference decodes CDP PDF payloads, scraper_svendborg.py:268)."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.base64(F.col("text").cast("binary"))
+    # Spark emits MIME base64 (CRLF every 76 chars); canonicalize to the
+    # unwrapped form DuckDB produces. unbase64 accepts both.
+    b = F.regexp_replace(raw, "\r\n", "")
+    return d.select(
+        "doc_id",
+        b.alias("b64"),
+        F.length(F.unbase64(b)).alias("n_bytes"),
+    )
+
+
 # --------------------------------------------------------------------------
 # streaming surface (SURVEY §2.10) — REAL Structured Streaming executions
 # (file source → watermark/window → memory sink, driven to completion).
