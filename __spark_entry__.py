@@ -85,6 +85,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _dec(c: str):
+    """Money column as exact DECIMAL(18,2) — decimal sums are
+    order-independent, so rounded aggregates can't flip a cent between
+    runs/engines the way double partial-sum reordering can (the driver
+    hash-compares values; this removes a whole class of flaky diffs)."""
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _rev():
+    """round(sum(price * (1 - discount)), 2) in exact decimal, emitted
+    as double (both engines convert the identical decimal the same way)."""
+    return F.round(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2
+    ).cast("double")
+
+
+
 # --------------------------------------------------------------------------
 # relational core (SURVEY §2.2, §2.4-2.8)
 
@@ -94,12 +111,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                          AS sum_qty,
-           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)                                       AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)             AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_charge,
            round(avg(l_quantity), 4)                                          AS avg_qty,
-           round(avg(l_extendedprice), 4)                                     AS avg_price,
-           round(avg(l_discount), 4)                                          AS avg_disc,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)                  AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)                  AS avg_disc,
            count(*)                                                           AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -116,21 +133,25 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2
+            ).cast("double").alias("sum_disc_price"),
             F.round(
                 F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
+                    _dec("l_extendedprice")
+                    * (1 - _dec("l_discount"))
+                    * (1 + _dec("l_tax"))
                 ),
                 2,
-            ).alias("sum_charge"),
+            ).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_dec("l_discount")).cast("double") / F.count("*"), 4
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -141,7 +162,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT o_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
            strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
            o_orderpriority
     FROM customer
@@ -169,11 +190,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(_rev().alias("revenue"))
         .select(
             "o_orderkey",
             "revenue",
@@ -189,7 +206,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier",
     """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -222,11 +239,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(_rev().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -234,7 +247,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -252,7 +265,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") >= 0.03)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(
+        F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
 
 
 @_q(
@@ -369,7 +386,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber, l_partkey FROM (
       SELECT l_orderkey, l_linenumber, l_partkey,
              row_number() OVER (PARTITION BY l_orderkey
-                                ORDER BY l_linenumber) AS rn
+                                ORDER BY l_linenumber, l_partkey) AS rn
       FROM lineitem
     ) WHERE rn = 1
     ORDER BY l_orderkey
@@ -380,7 +397,10 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit ordering (the reference's first-seen-wins seen-set,
     scraper.py:116-132; order reified as data per SURVEY §7.4)."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # ordering must be TOTAL over the output columns — (l_orderkey,
+    # l_linenumber) is not unique in this data, and a tie would make the
+    # kept row nondeterministic across runs/engines
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
     return (
         li.select("l_orderkey", "l_linenumber", "l_partkey")
         .withColumn("rn", F.row_number().over(w))
@@ -457,7 +477,7 @@ def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(r_name, 'ALL') AS region,
            coalesce(n_name, 'ALL') AS nation,
            count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_balance
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -477,7 +497,7 @@ def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
@@ -528,9 +548,9 @@ def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey,
            row_number() OVER w AS seq,
            lag(o_totalprice) OVER w AS prev_price,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
                                          ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_total
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -548,12 +568,10 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.row_number().over(w).alias("seq"),
             F.lag("o_totalprice").over(w).alias("prev_price"),
-            F.round(
-                F.sum("o_totalprice").over(
-                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                ),
-                2,
-            ).alias("running_total"),
+            F.sum(_dec("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+            .alias("running_total"),
         )
         .orderBy("o_custkey", "seq")
     )
@@ -1282,7 +1300,7 @@ def q4_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c_custkey, c_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1311,9 +1329,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _rev().alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -1323,10 +1339,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q14_promo_effect",
     """
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                                  ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
     """,
@@ -1386,7 +1402,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey AS t_partkey, round(0.2 * avg(l_quantity), 6) AS qty_threshold
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem
     JOIN part   ON p_partkey = l_partkey
     JOIN thresh ON t_partkey = l_partkey
@@ -1406,7 +1422,11 @@ def q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(thresh, F.col("t_partkey") == F.col("l_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+        F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2).alias(
+            "avg_yearly"
+        )
+    )
     )
 
 
@@ -1459,7 +1479,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q19_disjunctive",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
        OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
@@ -1491,9 +1511,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.where(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        _rev().alias("revenue")
     )
 
 
@@ -1502,7 +1520,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ab AS (SELECT round(avg(c_acctbal), 2) AS avg_bal
                 FROM customer WHERE c_acctbal > 0)
-    SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    SELECT n_name, count(*) AS numcust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey, ab
     WHERE c_acctbal > avg_bal
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -1529,7 +1547,7 @@ def q22_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy("n_name")
     )
@@ -1539,7 +1557,7 @@ def q22_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_outer_join_agg",
     """
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
     FROM customer LEFT JOIN orders ON o_custkey = c_custkey
     GROUP BY c_custkey
     ORDER BY c_custkey
@@ -1555,9 +1573,9 @@ def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
-                "total_spent"
-            ),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spent"),
         )
         .orderBy("c_custkey")
     )
@@ -1568,7 +1586,7 @@ def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY status, priority
@@ -1580,7 +1598,10 @@ def q_cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -1799,9 +1820,9 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(dense_rank() OVER w AS INT) AS drnk,
            CAST(ntile(4) OVER w AS INT) AS quartile,
            lead(o_totalprice) OVER w AS next_price,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
                                          ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2)
+                                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS moving_sum
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -1823,7 +1844,7 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
         F.lead("o_totalprice").over(w).alias("next_price"),
-        F.round(F.sum("o_totalprice").over(wavg), 2).alias("moving_sum"),
+        F.sum(_dec("o_totalprice")).over(wavg).cast("double").alias("moving_sum"),
     )
 
 
