@@ -1667,6 +1667,118 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    j AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+      FROM part
+      JOIN ps ON l_partkey = p_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE p_size = 10
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                   ORDER BY s_acctbal, s_suppkey) AS rn
+      FROM j
+    )
+    SELECT p_partkey, p_name, s_suppkey AS best_suppkey,
+           s_name AS best_supplier, s_acctbal AS best_acctbal
+    FROM r WHERE rn = 1
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp → distinct lineitem pairs): argmin per
+    group — the correlated min subquery decorrelated into a window
+    row_number with a unique tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") == 10)
+    s = _t(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    j = (
+        p.join(ps, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("s_suppkey").alias("best_suppkey"),
+            F.col("s_name").alias("best_supplier"),
+            F.col("s_acctbal").alias("best_acctbal"),
+        )
+    )
+
+
+@_q(
+    "q_arg_extremes",
+    """
+    SELECT n_name,
+           count(*) AS n_customers,
+           max(c_acctbal) AS max_bal,
+           max_by(c_name, c_custkey) AS newest_customer,
+           min_by(c_name, c_custkey) AS first_customer
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin aggregates) over a unique ordering
+    key — single-pass, map-side combinable (vs. the window+filter shape
+    which shuffles the full row set)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.max_by("c_name", "c_custkey").alias("newest_customer"),
+            F.min_by("c_name", "c_custkey").alias("first_customer"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_q(
+    "q_ngram_jaccard_capped",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sh_capped AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh
+                        GROUP BY shingle HAVING count(*) <= 20)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_capped GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh_capped a JOIN sh_capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+)
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df_cap scale guard exercised with an oracle: shingles present
+    in more than 20 documents are dropped BEFORE the self-join — at
+    100 TB a single boilerplate shingle otherwise makes one join key
+    quadratic. Sizes/Jaccard are computed on the capped shingle set."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, 3, 0.5, df_cap=20)
+
+
+@_q(
     "q_range_join",
     """
     WITH e AS (SELECT event_id AS err_id, CAST(ts AS TIMESTAMP) AS start_ts,

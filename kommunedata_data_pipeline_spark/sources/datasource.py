@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 LISTING_DDL = (
@@ -93,6 +94,59 @@ class ListingReader(DataSourceReader):
                 )
 
 
+class ListingStreamReader(SimpleDataSourceStreamReader):
+    """Incremental portal polling as a Structured Streaming source
+    (ST4's periodic re-scan turned into a real stream): the offset is
+    {portal filename → pages already emitted}, so each micro-batch
+    emits only NEW pages/portals — the reference's SCRAPE_MODE=NEW
+    without re-reading anything already seen. `readBetweenOffsets`
+    replays a committed range deterministically for recovery
+    (exactly-once on top of the checkpoint log)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"pages": {}}
+
+    def _load(self, fname: str):
+        with open(os.path.join(self.path, fname)) as fh:
+            return json.load(fh)
+
+    def _rows(self, fname: str, first_page: int, last_page: int):
+        muni, committee = fname[:-5].split("__", 1)
+        pages = self._load(fname)
+        for page_no in range(first_page, min(last_page, len(pages))):
+            for pos, row in enumerate(pages[page_no]):
+                yield (
+                    muni, committee, page_no, pos,
+                    row["url"], row.get("raw_date"), row.get("raw_type"),
+                )
+
+    def read(self, start: dict):
+        seen = dict(start.get("pages", {}))
+        end = {"pages": dict(seen)}
+        rows = []
+        for fname in sorted(os.listdir(self.path)):
+            if not fname.endswith(".json"):
+                continue
+            n = len(self._load(fname))
+            done = seen.get(fname, 0)
+            if n > done:
+                rows.extend(self._rows(fname, done, n))
+                end["pages"][fname] = n
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        s, e = start.get("pages", {}), end.get("pages", {})
+        rows = []
+        for fname, n in sorted(e.items()):
+            done = s.get(fname, 0)
+            if n > done:
+                rows.extend(self._rows(fname, done, n))
+        return iter(rows)
+
+
 class ListingDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -103,6 +157,9 @@ class ListingDataSource(DataSource):
 
     def reader(self, schema) -> ListingReader:
         return ListingReader(self.options)
+
+    def simpleStreamReader(self, schema) -> ListingStreamReader:
+        return ListingStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -57,3 +57,45 @@ def test_end_to_end_filtered_read(spark, tmp_path):
         .where((F.col("municipality") == "odense") & (F.col("committee") == "oek"))
     )
     assert [r.url for r in df.collect()] == ["o1"]
+
+
+def test_streaming_source_emits_only_new_pages(spark, tmp_path):
+    """ST4/ST1 as a real stream: batch 1 emits the existing portal, a new
+    page + a new portal appear, batch 2 emits ONLY the delta."""
+    import json as _json
+
+    register(spark)
+    (tmp_path / "aarhus__oek.json").write_text(_json.dumps(
+        [[{"url": "a1", "raw_date": "01-02-2025", "raw_type": "Referat"}]]
+    ))
+    stream = (
+        spark.readStream.format("kommunedata_listings")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("listing_stream")
+        .option("checkpointLocation", str(tmp_path / "_chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r.url for r in spark.sql("SELECT * FROM listing_stream").collect()}
+        assert got1 == {"a1"}
+
+        # page appended to the existing portal + a brand-new portal
+        (tmp_path / "aarhus__oek.json").write_text(_json.dumps(
+            [[{"url": "a1", "raw_date": "01-02-2025", "raw_type": "Referat"}],
+             [{"url": "a2", "raw_date": "02-02-2025", "raw_type": "Referat"}]]
+        ))
+        (tmp_path / "odense__plan.json").write_text(_json.dumps(
+            [[{"url": "o1", "raw_date": "03-02-2025", "raw_type": "Dagsorden"}]]
+        ))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM listing_stream").collect()
+        assert {r.url for r in rows} == {"a1", "a2", "o1"}
+        assert len(rows) == 3  # a1 NOT re-emitted
+    finally:
+        q.stop()
