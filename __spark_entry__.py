@@ -2124,6 +2124,92 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_chunk_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    ch AS (SELECT doc_id, w,
+                  greatest(CAST(ceil((len(w) - 8) / 56.0) AS INT), 1) AS n_chunks
+           FROM toks),
+    expanded AS (SELECT doc_id, w, unnest(range(0, n_chunks)) AS i FROM ch)
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           array_to_string(w[CAST(i*56+1 AS BIGINT):CAST(i*56+64 AS BIGINT)], ' ')
+             AS chunk_text,
+           CAST(least(len(w) - i*56, 64) AS INT) AS n_tokens
+    FROM expanded
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: 64-token windows with 8-token overlap
+    (stride 56), last window = remainder. One codegen'd pass per doc
+    (token array let-bound), then posexplode — no Python."""
+    from kommunedata_data_pipeline_spark.functions.text import chunk_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(chunk_spans(F.col("text"), 64, 8)).alias("c")
+    ).select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens")
+
+
+@_q(
+    "q_tfidf_top_terms",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: term explode → per-doc TF →
+    document-frequency join → score + window top-k. Two shuffles
+    (doc-term agg, term df) — the canonical distributed TF-IDF."""
+    d = _t(spark, sf_dir, "documents")
+    from kommunedata_data_pipeline_spark.functions.text import normalized_text
+
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+@_q(
     "q_media_meta",
     """
     SELECT CAST(doc_id AS VARCHAR) AS media_id,

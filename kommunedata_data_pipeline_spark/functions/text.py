@@ -178,3 +178,29 @@ def rolling_fingerprint(text: Column, w: int = 4) -> Column:
     local edits away from the minimizing window — the cheap near-dup
     prefilter of the fingerprinting family."""
     return F.array_min(rolling_hashes(text, w))
+
+
+def chunk_spans(text: Column, chunk_tokens: int = 64, overlap: int = 8) -> Column:
+    """Array of (chunk_id, chunk_text, n_tokens) structs: fixed-size token
+    windows with overlap — the standard training-data chunker. Stride =
+    chunk_tokens - overlap; the last window is the remainder (>0 tokens).
+    Token array let-bound: tokenization runs once per doc."""
+    stride = chunk_tokens - overlap
+
+    def _chunks(toks: Column) -> Column:
+        n = F.size(toks)
+        n_chunks = F.greatest(
+            F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.concat_ws(
+                    " ", F.slice(toks, i * stride + 1, chunk_tokens)
+                ).alias("chunk_text"),
+                F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+            ),
+        )
+
+    return let(tokens(text), _chunks)
