@@ -2124,6 +2124,65 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_stats_moments",
+    """
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd,
+           round(var_samp(value), 3) AS var,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_uid,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_uid
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (stddev/variance/correlation/covariance)
+    per key — single-pass streaming moments, map-side combinable."""
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 3).alias("var"),
+        F.round(F.corr(F.col("value"), uid), 6).alias("corr_uid"),
+        F.round(F.covar_samp(F.col("value"), uid), 4).alias("covar_uid"),
+    )
+
+
+@_q(
+    "q_array_ops",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 5) AS min_v,
+           round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 5) AS max_v,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm,
+           round(CAST(list_sort(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)))[32] AS DOUBLE), 5) AS p_mid,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+    FROM embeddings
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 array-function battery over the embedding column: element
+    casts, min/max, sequential-fold squared norm, sort + index (exact
+    mid order statistic), predicate count — all codegen'd higher-order
+    functions, no UDF."""
+    e = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_min(dbl), 5).alias("min_v"),
+        F.round(F.array_max(dbl), 5).alias("max_v"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x), 4
+        ).alias("sq_norm"),
+        F.round(F.element_at(F.array_sort(dbl), 32), 5).alias("p_mid"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@_q(
     "q_chunk_documents",
     f"""
     WITH toks AS (
