@@ -439,7 +439,6 @@ def q_parent_child_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("items"),
         )
         .withColumnRenamed("l_orderkey", "o_orderkey")
-        .orderBy("o_orderkey")
     )
 
 

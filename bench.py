@@ -24,7 +24,16 @@ from kommunedata_data_pipeline_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark(app_name="kommunedata-bench")
+    # size shuffle partitions to the data (the knob is an upper bound —
+    # AQE coalesces below it, but the initial task count still costs
+    # scheduling time per stage): ~16 MB per partition, floor 8, cap at
+    # the core count. At 100 TB the same rule lands at the core count.
+    total_mb = sum(
+        os.path.getsize(os.path.join(sf_dir, f)) for f in os.listdir(sf_dir)
+    ) / 1e6
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    parts = max(8, min(cpus, int(total_mb // 16) + 1))
+    spark = get_spark(app_name="kommunedata-bench", shuffle_partitions=parts)
 
     # warm-up (not timed): JVM + parquet footers, and the Python worker
     # pool — the first Arrow-UDF stage otherwise pays a one-off storm of

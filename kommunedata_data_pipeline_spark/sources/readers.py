@@ -28,16 +28,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("documents", "embeddings"):
-        # Per-row compute-heavy tables (md5 shingling, vector math). A small
-        # local parquet file is ONE input split (one row group — not
-        # splittable further), which serializes the whole hash pipeline on
-        # one core; redistribute up to the session's parallelism. At real
-        # scale the scan has thousands of natural splits and this branch is
-        # a no-op. Filters still push to the scan (Catalyst moves them
-        # through Repartition).
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("orders", "events", "documents", "embeddings"):
+        # (lineitem deliberately excluded: its queries are scan+aggregate
+        # shaped — map-side partial agg over one split beats paying a
+        # 600k-row shuffle first; the per-row-heavy work in this suite
+        # lives on the tables below)
+        # Fact tables in this testdata are single-row-group files = ONE
+        # input split (parquet can't split below a row group), so every
+        # map-side stage (scan, filter, regex/hash work, partial agg)
+        # would run on one core while the other 31 idle. Redistribute up
+        # to the session's parallelism: a one-off ~10 MB shuffle buys
+        # 32-way map parallelism. At real scale the scan has thousands of
+        # natural splits and this branch is a no-op. Catalyst still pushes
+        # filters and column pruning through Repartition into the scan.
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
