@@ -2057,9 +2057,10 @@ def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # streaming surface (SURVEY §2.10) — REAL Structured Streaming executions
 # (file source → watermark/window → memory sink, driven to completion).
-# q_stream_dedup has an exact oracle (dedup on a unique key emits every
-# row); windowed aggs in append mode hold back windows inside the
-# watermark horizon, which no batch SQL expresses — rows-only checks.
+# Every streaming query here has an EXACT batch-SQL oracle: dedup on a
+# unique key emits the input relation, and append-mode watermark holdback
+# is deterministic over a finite input — emitted windows are exactly
+# those with window_end <= max(ts) - watermark, expressible as a HAVING.
 
 
 @_q(
@@ -2085,7 +2086,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_dedup_sink").orderBy("event_id")
 
 
-@_q("q_stream_tumbling")  # rows-only: append-mode emission has no SQL twin
+@_q(
+    "q_stream_tumbling",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+           <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 2 HOUR
+    """,
+)
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window streaming aggregation with a 2h late-data
     watermark, driven to completion over the events file source."""
@@ -2100,7 +2111,24 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_tumbling_sink").orderBy("window_start", "event_type")
 
 
-@_q("q_stream_session")  # rows-only: append-mode emission has no SQL twin
+@_q(
+    "q_stream_session",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    s AS (SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+    SELECT min(ts) AS session_start, max(ts) + INTERVAL 10 MINUTE AS session_end,
+           user_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+    FROM g GROUP BY user_id, sid
+    HAVING max(ts) + INTERVAL 10 MINUTE
+           <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 30 MINUTE
+    """,
+)
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user gap-merged session windows (session_window) under a
     watermark — the streaming-native sessionization."""
