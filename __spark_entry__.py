@@ -2324,10 +2324,49 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(synthetic_media(d))
 
 
-@_q("q_media_features")  # rows-only: md5-derived fake features, no SQL twin
+def _media_lut_sql() -> str:
+    """The synthetic blob (and hence its md5-derived feature vector) is a
+    pure function of doc_id mod 112 (lcm of the parity/dimension/rate
+    moduli), so a 112-entry VALUES lookup gives the oracle EXACT expected
+    features at any scale factor. Each feature is k/65536 with k < 2^16 —
+    exactly representable in FLOAT, so both engines emit identical
+    values. Computed at import from the same make_png/make_wav/
+    _fake_features code the operator uses (no drift possible)."""
+    from kommunedata_data_pipeline_spark.transforms.multimodal import (
+        _fake_features,
+        make_png,
+        make_wav,
+    )
+
+    rows = []
+    for m in range(112):
+        if m % 2 == 0:
+            blob = make_png((m % 16 + 1) * 8, (m % 7 + 1) * 8)
+        else:
+            blob = make_wav(8000 + (m % 8) * 1000, 2 if m % 4 == 3 else 1)
+        feats = ", ".join(
+            f"{int(f * 65536)}/65536.0" for f in _fake_features(blob)
+        )
+        rows.append(f"({m}, [{feats}])")
+    return "lut(m, f) AS (SELECT * FROM (VALUES " + ", ".join(rows) + "))"
+
+
+@_q(
+    "q_media_features",
+    f"""
+    WITH {_media_lut_sql()}
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS fmt,
+           CAST(f AS REAL[]) AS features
+    FROM documents JOIN lut ON doc_id % 112 = m
+    """,
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → feature-extract plumbing over binary media (stubbed
-    deterministic features; real schema/batching/partitioning)."""
+    deterministic features; real schema/batching/partitioning). The
+    oracle recomputes the expected md5-derived vectors via a
+    doc_id-mod-112 lookup — the full binary encode→hash→vector round
+    trip is value-checked in SQL."""
     from kommunedata_data_pipeline_spark.transforms.multimodal import (
         extract_features,
         synthetic_media,
