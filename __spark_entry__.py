@@ -1983,6 +1983,33 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_unpivot_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, metric, value FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+      FROM lineitem WHERE l_orderkey % 1000 = 0
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey % 1000 = 0
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_orderkey % 1000 = 0
+    )
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of q_pivot_event_types) via the
+    native unpivot operator — one pass, no self-union of scans."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 1000 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    ).withColumn("metric", F.regexp_replace("metric", "^l_", ""))
+
+
+@_q(
     "q_range_join",
     """
     WITH e AS (SELECT event_id AS err_id, CAST(ts AS TIMESTAMP) AS start_ts,
