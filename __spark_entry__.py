@@ -1983,6 +1983,37 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_map_ops",
+    """
+    SELECT user_id,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS INT) AS clicks,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS INT) AS purchases,
+           CAST(count(DISTINCT event_type) AS INT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user event counts assembled into a
+    MAP<STRING,INT> (map_from_entries over collect_list), then probed
+    with element_at and map_keys. The oracle recomputes the extracted
+    scalars relationally — maps never cross the engine boundary (their
+    stringification is engine-specific)."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", F.col("n").cast("int")))
+        ).alias("counts")
+    )
+    return m.select(
+        "user_id",
+        F.coalesce(F.element_at("counts", "click"), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at("counts", "purchase"), F.lit(0)).alias("purchases"),
+        F.size(F.map_keys("counts")).alias("n_types"),
+    )
+
+
+@_q(
     "q_unpivot_metrics",
     """
     SELECT l_orderkey, l_linenumber, metric, value FROM (
