@@ -1983,6 +1983,55 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_calendar_fill",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('month', min(o_orderdate)) AS lo,
+             date_trunc('month', max(o_orderdate)) AS hi
+      FROM orders
+    ),
+    months AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM bounds
+    ),
+    actual AS (
+      SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(CAST(months.month AS DATE), '%Y-%m') AS month,
+           CAST(coalesce(actual.n, 0) AS BIGINT) AS n_orders
+    FROM months LEFT JOIN actual ON months.month = actual.month
+    ORDER BY month
+    """,
+)
+def q_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free time series: a generated month spine (sequence + explode
+    from the data's own bounds) left-joined to actual counts, zeros
+    filled — the standard calendar-fill pattern; the spine is one row
+    then explodes, never a driver-side loop."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    months = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month")
+    )
+    actual = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        months.join(actual, "month", "left")
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+@_q(
     "q_map_ops",
     """
     SELECT user_id,

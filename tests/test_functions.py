@@ -119,3 +119,38 @@ def test_token_count_and_lang(spark):
     assert _one(spark, lang_guess(F.lit("the cat is on the mat"))) == "en"
     assert _one(spark, lang_guess(F.lit("det er en god dag og vi er glade"))) == "da"
     assert _one(spark, lang_guess(F.lit("xyz qqq"))) == "unknown"
+
+
+def test_let_evaluates_value_exactly_once(spark):
+    """functions.expr.let — the binding must evaluate its value once per
+    row regardless of how many times the body references it. Measured
+    via a plan-size proxy: the bound expression appears ONCE in the
+    analyzed plan, vs N times when referenced directly."""
+    from pyspark.sql import functions as F
+
+    from kommunedata_data_pipeline_spark.functions.expr import let
+
+    df = spark.createDataFrame([("a b c d e",)], "t string")
+    heavy = F.split(F.regexp_replace(F.col("t"), r"\s+", " "), " ")
+
+    bound = let(heavy, lambda arr: F.size(arr) + F.size(arr) + F.size(arr))
+    inline = F.size(heavy) + F.size(heavy) + F.size(heavy)
+
+    assert df.select(bound.alias("n")).first().n == df.select(inline.alias("n")).first().n == 15
+    plan_bound = df.select(bound.alias("n"))._jdf.queryExecution().analyzed().toString()
+    plan_inline = df.select(inline.alias("n"))._jdf.queryExecution().analyzed().toString()
+    assert plan_bound.count("regexp_replace") == 1
+    assert plan_inline.count("regexp_replace") == 3
+
+
+def test_let_nests_inside_lambdas(spark):
+    from pyspark.sql import functions as F
+
+    from kommunedata_data_pipeline_spark.functions.expr import let
+
+    df = spark.createDataFrame([(4,)], "x int")
+    expr = let(
+        F.sequence(F.lit(1), F.col("x")),
+        lambda seq: F.aggregate(seq, F.lit(0), lambda a, v: a + v),
+    )
+    assert df.select(expr.alias("s")).first().s == 10
