@@ -1983,6 +1983,33 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_from_json_struct",
+    """
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INT)
+                                       IS NOT NULL) AS BIGINT) AS n_parsed,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_total,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def q_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with a DECLARED schema (vs
+    q_json_extract's path probing) — the struct parses once per row and
+    every field access is a cheap struct getter; malformed rows become
+    null structs, counted via the FILTER twin."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.col("p.k")).alias("n_parsed"),
+        F.sum(F.col("p.k")).alias("k_total"),
+        F.max(F.col("p.k")).alias("k_max"),
+    )
+
+
+@_q(
     "q_calendar_fill",
     """
     WITH bounds AS (
