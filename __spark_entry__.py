@@ -1983,6 +1983,65 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE),
+                    '%Y-%m-%d') AS due_date,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                AS INT) AS days_to_epoch_end,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS iso_weekday
+    FROM orders WHERE o_orderkey % 500 = 0
+    """,
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7 date arithmetic battery: interval add, day diff, month end,
+    ISO weekday (Spark weekday()+1 == DuckDB isodow — dayofweek() is
+    Sunday-based and differs)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 500 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_epoch_end"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        (F.weekday(d) + 1).alias("iso_weekday"),
+    )
+
+
+@_q(
+    "q_first_last_window",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_order,
+           CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value with explicit frames (last_value needs the
+    full-partition frame — the default frame ends at CURRENT ROW, a
+    classic silent-wrong-answer) + partition-wide count."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wall = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.count("*").over(wall).alias("n_orders"),
+    )
+
+
+@_q(
     "q_from_json_struct",
     """
     SELECT event_type,
