@@ -72,15 +72,34 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-query detail goes to a sidecar file + stderr: the r1 driver
+    # truncated the 2.4 KB single-line JSON mid-string ("parsed": null),
+    # so stdout carries ONE short parseable line only.
+    detail = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
+    with open(sidecar, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail), file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": {},
+                "queries_file": "BENCH_QUERIES.json",
+                "n_queries": len(timings),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

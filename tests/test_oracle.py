@@ -34,16 +34,21 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v):
+    """Dtype-preserving canonical form. The driver's value-hash treats an
+    int64 3 and a float64 3.0 as DIFFERENT (the r1 q_pivot_event_types /
+    q_sessionize failures were DuckDB HUGEINT→float64 vs Spark bigint);
+    Python's `3 == 3.0` would mask that, so numerics carry a type tag."""
     if v is None:
         return None
-    if isinstance(v, (np.integer,)):
-        return int(v)
-    if isinstance(v, (np.floating,)):
-        v = float(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("f", "NaN")
+        return ("f", f)
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None)
     if isinstance(v, dt.datetime):
