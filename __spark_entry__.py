@@ -2708,18 +2708,19 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction: synthesize PNG/WAV blobs from
-    doc_id (Arrow-batched mapInPandas), then header-decode them back in a
-    second narrow pass. The oracle recomputes the expected metadata by
-    arithmetic — verifying the full binary round-trip."""
+    doc_id and header-decode them back in ONE fused Arrow-batched
+    mapInPandas pass (the unfused synthesize→extract pair stays available
+    as composable operators; fusing halves the Arrow traffic). The oracle
+    recomputes the expected metadata by arithmetic — verifying the full
+    binary round-trip."""
     from kommunedata_data_pipeline_spark.transforms.multimodal import (
-        extract_media_meta,
-        synthetic_media,
+        synthetic_media_meta,
     )
 
     d = _t(spark, sf_dir, "documents")
     # no orderBy: a global sort's range-partitioner sampling would execute
-    # the two-stage Python chain twice; the driver compares order-insensitively
-    return extract_media_meta(synthetic_media(d))
+    # the Python chain twice; the driver compares order-insensitively
+    return synthetic_media_meta(d)
 
 
 def _media_lut_sql() -> str:
@@ -2766,12 +2767,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-mod-112 lookup — the full binary encode→hash→vector round
     trip is value-checked in SQL."""
     from kommunedata_data_pipeline_spark.transforms.multimodal import (
-        extract_features,
-        synthetic_media,
+        synthetic_media_features,
     )
 
     d = _t(spark, sf_dir, "documents")
-    return extract_features(synthetic_media(d))
+    return synthetic_media_features(d)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -66,6 +66,9 @@ def distinct_count_two_phase(
     uniformly across the cluster; phase 2 sees pre-shrunk rows."""
     return (
         df.select(key, distinct_col)
+        # COUNT(DISTINCT x) ignores NULL x; dropDuplicates would keep one
+        # NULL row per key and count(*) would count it — filter first.
+        .where(F.col(distinct_col).isNotNull())
         .dropDuplicates([key, distinct_col])
         .groupBy(key)
         .agg(F.count("*").alias(alias))

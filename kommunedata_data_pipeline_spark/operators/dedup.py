@@ -362,4 +362,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_iter without a fixpoint: labels on a long-chain
+        # component would be silently wrong — fail loudly instead.
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation did not converge within "
+            f"{max_iter} iterations ({changed} labels still changing); "
+            f"raise max_iter (diameter bound) for this graph"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -38,11 +38,24 @@ def write_partitioned(
 def load_catalog(spark: SparkSession, path: str, keys: list[str]) -> DataFrame | None:
     """The landed-keys catalog: key columns only (column-pruned scan of
     the sink — the batched replacement for per-row head_object probes,
-    scraper.py:210-222). None if nothing landed yet."""
+    scraper.py:210-222). None if nothing landed yet.
+
+    Only the nothing-landed-yet case (missing path / empty dir with no
+    schema) maps to None; any other read failure propagates — treating a
+    transient catalog error as "empty" would make the idempotent upsert
+    silently re-append already-landed rows."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(path).select(*keys).dropDuplicates(keys)
-    except Exception:
-        return None
+    except AnalysisException as exc:
+        cond = (exc.getCondition() or "") if hasattr(exc, "getCondition") else ""
+        msg = str(exc)
+        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
+            "PATH_NOT_FOUND" in msg or "Unable to infer schema" in msg
+        ):
+            return None
+        raise
 
 
 def upsert_partitioned(

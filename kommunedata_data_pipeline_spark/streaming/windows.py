@@ -122,13 +122,15 @@ def foreach_batch_idempotent_sink(
     batch-level set operation). Re-delivered rows land zero times."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..sources.sinks import load_catalog
+
         spark = batch_df.sparkSession
         fresh = batch_df.dropDuplicates(keys)
-        try:
-            existing = spark.read.parquet(out_path).select(*keys)
+        # load_catalog narrows to path-not-found only; a transient read
+        # error propagates instead of silently re-appending landed rows
+        existing = load_catalog(spark, out_path, keys)
+        if existing is not None:
             fresh = fresh.join(existing, keys, "left_anti")
-        except Exception:
-            pass  # first batch: nothing landed yet
         fresh.write.mode("append").parquet(out_path)
 
     return (

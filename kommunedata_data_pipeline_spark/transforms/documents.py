@@ -110,7 +110,10 @@ def synthesize_meeting_html(
 
 
 # ---------------------------------------------------------------------------
-# T1/T4/T5 — rendering transforms (import-gated; plumbing real)
+# T1/T4/T5 — rendering transforms. The preferred render stack
+# (mammoth/weasyprint) is import-gated; when absent, a REAL pure-stdlib
+# path runs instead: DOCX text extraction via zipfile + XML strip, and
+# PDF production via transforms.pdfmini (valid multi-page PDF 1.4).
 
 TRY_SCHEMA = (
     "doc_key string, fmt string, ok boolean, content binary, error string"
@@ -127,14 +130,45 @@ def _try_import_renderers():
         return False
 
 
+def docx_to_text(blob: bytes) -> str:
+    """Pure-stdlib DOCX text extraction: a .docx is a zip whose
+    word/document.xml holds the body; ``</w:p>`` ends a paragraph
+    (reference scraper_glostrup.py:42-100 goes DOCX→HTML→PDF; the text
+    content is what survives into the PDF)."""
+    import html as _html
+    import io
+    import re as _re
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(blob)) as z:
+        xml = z.read("word/document.xml").decode("utf-8", "replace")
+    xml = _re.sub(r"</w:p>", "\n", xml)
+    xml = _re.sub(r"<[^>]+>", "", xml)
+    return _html.unescape(xml).strip()
+
+
 def convert_docx_to_pdf(blobs: DataFrame) -> DataFrame:
-    """T1 — DOCX→HTML→PDF (scraper_glostrup.py:42-100) as an Arrow-batched
+    """T1 — DOCX→PDF (scraper_glostrup.py:42-100) as an Arrow-batched
     mapInPandas over (doc_key, fmt, content). Rows with fmt != 'docx' pass
     through untouched (the reference's content-type dispatch,
-    scraper_glostrup.py:287-293). The mammoth/weasyprint render itself is
-    unavailable in this container → those rows come back ok=False with a
-    clear error, never an exception (C5 Try-struct)."""
+    scraper_glostrup.py:287-293). Render path: mammoth+weasyprint when
+    installed, else stdlib docx_to_text + pdfmini.text_to_pdf — a real
+    PDF either way. Any per-row failure lands as ok=False (C5
+    Try-struct), never an exception."""
     have_libs = _try_import_renderers()
+
+    def _render(blob: bytes) -> bytes:
+        if have_libs:  # pragma: no cover - container has no renderers
+            import io
+
+            import mammoth  # type: ignore
+            import weasyprint  # type: ignore
+
+            html = mammoth.convert_to_html(io.BytesIO(blob)).value
+            return weasyprint.HTML(string=html).write_pdf()
+        from .pdfmini import text_to_pdf
+
+        return text_to_pdf(docx_to_text(blob))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -145,22 +179,11 @@ def convert_docx_to_pdf(blobs: DataFrame) -> DataFrame:
                     ok.append(True)
                     err.append(None)
                     content.append(blob)
-                elif not have_libs:
-                    ok.append(False)
-                    err.append("NotImplemented: mammoth/weasyprint unavailable")
-                    content.append(None)
-                else:  # pragma: no cover - container has no renderers
+                else:
                     try:
-                        import io
-
-                        import mammoth  # type: ignore
-                        import weasyprint  # type: ignore
-
-                        html = mammoth.convert_to_html(io.BytesIO(blob)).value
-                        pdf_bytes = weasyprint.HTML(string=html).write_pdf()
+                        content.append(_render(bytes(blob)))
                         ok.append(True)
                         err.append(None)
-                        content.append(pdf_bytes)
                     except Exception as exc:
                         ok.append(False)
                         err.append(str(exc)[:500])
@@ -173,24 +196,113 @@ def convert_docx_to_pdf(blobs: DataFrame) -> DataFrame:
     return blobs.select("doc_key", "fmt", "content").mapInPandas(batches, TRY_SCHEMA)
 
 
+# T4 — the reference's pre-print DOM cleanup (scraper_svendborg.py:229-268)
+# removes cookie banners and hides site chrome by class before
+# Page.printToPDF; same semantics as data: strip those elements, then
+# render the visible text.
+_CHROME_CLASSES = (
+    "c-site-header",
+    "c-site-footer",
+    "c-page-module-bar",
+    "c-floating-sidebar",
+    "c-skip-to-content",
+    "c-base-button",
+    "c-horizontal-collapser",
+)
+_CHROME_IDS = ("CookieConsent", "coiOverlay", "cookie-information-template-wrapper")
+
+
+def _strip_chrome_py(html: str) -> str:
+    import re as _re
+
+    cls = "|".join(_CHROME_CLASSES)
+    ids = "|".join(_CHROME_IDS)
+    html = _re.sub(
+        rf'(?is)<(\w+)[^>]*class="[^"]*(?:{cls})[^"]*"[^>]*>.*?</\1>', " ", html
+    )
+    html = _re.sub(rf'(?is)<(\w+)[^>]*id="(?:{ids})"[^>]*>.*?</\1>', " ", html)
+    return html
+
+
+def _html_to_text_py(html: str) -> str:
+    """Python twin of the Catalyst html_to_text expression (same steps:
+    drop script/style, tags→space, entity decode, collapse, trim)."""
+    import html as _htmlmod
+    import re as _re
+
+    t = _re.sub(_BLOCK_TAGS, " ", html)
+    t = _re.sub(r"(?i)<br\s*/?>", "\n", t)
+    t = _re.sub(r"<[^>]+>", " ", t)
+    t = _htmlmod.unescape(t)
+    t = _re.sub(r"[ \t]+", " ", t)
+    return "\n".join(ln.strip() for ln in t.split("\n")).strip()
+
+
+def print_html_to_pdf(pages: DataFrame, key_col: str = "doc_key", html_col: str = "html") -> DataFrame:
+    """T4 — page print-to-PDF (scraper_svendborg.py:229-268,
+    scraper_middelfart.py:193-240): DOM cleanup (cookie banner + chrome
+    classes removed) then render to a real paginated PDF via pdfmini.
+    One narrow Arrow-batched pass; blobs are born in the output
+    partition and never cross a shuffle. Try-struct per row (C5)."""
+    from .pdfmini import text_to_pdf
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keys, ok, err, content = [], [], [], []
+            for k, html in zip(pdf[key_col], pdf[html_col]):
+                keys.append(str(k))
+                try:
+                    text = _html_to_text_py(_strip_chrome_py(html or ""))
+                    content.append(text_to_pdf(text))
+                    ok.append(True)
+                    err.append(None)
+                except Exception as exc:
+                    content.append(None)
+                    ok.append(False)
+                    err.append(str(exc)[:500])
+            yield pd.DataFrame(
+                {
+                    "doc_key": keys,
+                    "fmt": ["pdf"] * len(keys),
+                    "ok": ok,
+                    "content": content,
+                    "error": err,
+                }
+            )
+
+    return pages.select(
+        F.col(key_col).cast("string").alias(key_col), F.col(html_col)
+    ).mapInPandas(batches, TRY_SCHEMA)
+
+
 def merge_pdf_parts(parts: DataFrame, key: str = "doc_key") -> DataFrame:
     """T5 — per-meeting multi-part PDF merge + cover page
     (scraper_ringkoebing_skjern.py:33-67,188-243) as
-    groupBy(key).applyInPandas. pypdf/reportlab are unavailable here →
-    the merge concatenates raw part bytes with a deterministic header
-    blob (plumbing + ordering semantics real and tested; swap the inner
-    function for pypdf on a cluster image that has it)."""
+    groupBy(key).applyInPandas: parts sorted by part_no, pages
+    concatenated into ONE valid PDF behind a rendered cover page
+    (title/date/participants — pdfmini is the stdlib stand-in for
+    reportlab+pypdf; swap per-row render calls on a cluster image that
+    ships them)."""
+    from .pdfmini import cover_page_text, merge_pdfs
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("part_no")
-        body = b"".join(bytes(b) for b in pdf["content"] if b is not None)
-        cover = f"%COVER {pdf[key].iloc[0]} parts={len(pdf)}\n".encode()
+        k = pdf[key].iloc[0]
+        blobs = [bytes(b) for b in pdf["content"] if b is not None]
+        title = (
+            str(pdf["title"].iloc[0]) if "title" in pdf.columns else f"Referat: {k}"
+        )
+        date_text = str(pdf["date_text"].iloc[0]) if "date_text" in pdf.columns else ""
+        participants = (
+            [p for p in pdf["participant"].dropna().unique().tolist()]
+            if "participant" in pdf.columns
+            else []
+        )
+        merged = merge_pdfs(
+            blobs, cover_text=cover_page_text(title, date_text, participants)
+        )
         return pd.DataFrame(
-            {
-                key: [pdf[key].iloc[0]],
-                "n_parts": [len(pdf)],
-                "content": [cover + body],
-            }
+            {key: [k], "n_parts": [len(blobs)], "content": [merged]}
         )
 
     return parts.groupBy(key).applyInPandas(

@@ -155,6 +155,59 @@ def make_wav(sample_rate: int, channels: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
 
 
+def _synth_blob(did: int) -> bytes:
+    if did % 2 == 0:
+        return make_png((did % 16 + 1) * 8, (did % 7 + 1) * 8)
+    return make_wav(8000 + (did % 8) * 1000, 2 if did % 4 == 3 else 1)
+
+
+def synthetic_media_meta(documents: DataFrame) -> DataFrame:
+    """Fused synthesize→header-decode in ONE ``mapInPandas`` pass.
+
+    The composable pair (``synthetic_media`` → ``extract_media_meta``)
+    crosses the JVM↔Python Arrow boundary twice per row batch; each blob
+    is serialized out of Python, into the JVM, and back. For a chain
+    whose intermediate is only consumed by the next Python step, fusing
+    halves the Arrow traffic and the Python-worker round-trips — the
+    pattern any real decode pipeline should use at scale."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = _synth_blob(did)
+                fmt = sniff_format(blob)
+                width = height = sample_rate = channels = None
+                if fmt == "png":
+                    width, height = _png_dims(blob)
+                elif fmt == "wav":
+                    sample_rate, channels = _wav_audio_meta(blob)
+                rows.append((str(did), fmt, len(blob), width, height, sample_rate, channels))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "fmt", "n_bytes", "width", "height", "sample_rate", "channels",
+                ],
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, MEDIA_META_SCHEMA)
+
+
+def synthetic_media_features(documents: DataFrame, dim: int = 8) -> DataFrame:
+    """Fused synthesize→feature-extract (see ``synthetic_media_meta``)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                blob = _synth_blob(int(did))
+                rows.append((str(int(did)), sniff_format(blob), _fake_features(blob, dim)))
+            yield pd.DataFrame(rows, columns=["media_id", "fmt", "features"])
+
+    return documents.select("doc_id").mapInPandas(batches, FEATURES_SCHEMA)
+
+
 def synthetic_media(documents: DataFrame) -> DataFrame:
     """Deterministic media corpus derived from the documents table: even
     doc_ids become PNGs (dims arithmetic on doc_id), odd ones WAVs. The
@@ -164,14 +217,7 @@ def synthetic_media(documents: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                if did % 2 == 0:
-                    blob = make_png((did % 16 + 1) * 8, (did % 7 + 1) * 8)
-                else:
-                    blob = make_wav(8000 + (did % 8) * 1000, 2 if did % 4 == 3 else 1)
-                rows.append((str(did), blob))
+            rows = [(str(int(did)), _synth_blob(int(did))) for did in pdf["doc_id"]]
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     return documents.select("doc_id").mapInPandas(

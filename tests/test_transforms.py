@@ -51,29 +51,94 @@ def test_synthesize_meeting_html_orders_items(spark):
     assert i1 < i2 < i3
 
 
-def test_convert_docx_dispatch_and_try_struct(spark):
+def _docx_fixture(paragraphs):
+    """Minimal but structurally real .docx: a zip with word/document.xml."""
+    import io
+    import zipfile
+
+    body = "".join(f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>" for p in paragraphs)
+    xml = (
+        '<?xml version="1.0"?><w:document '
+        'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        f"<w:body>{body}</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", xml)
+    return buf.getvalue()
+
+
+def test_convert_docx_renders_real_pdf(spark):
+    from kommunedata_data_pipeline_spark.transforms import pdfmini
+
+    docx = _docx_fixture(["Dagsorden", "Punkt 1: budget"])
     blobs = spark.createDataFrame(
-        [("a.pdf", "pdf", b"%PDF-1.4 x"), ("b.docx", "docx", b"PK\x03\x04fake")],
+        [
+            ("a.pdf", "pdf", b"%PDF-1.4 x"),
+            ("b.docx", "docx", docx),
+            ("c.docx", "docx", b"PK\x03\x04corrupt"),
+        ],
         "doc_key string, fmt string, content binary",
     )
-    out = convert_docx_to_pdf(blobs).collect()
-    by_key = {r.doc_key: r for r in out}
+    out = convert_docx_to_pdf(blobs)
+    by_key = {r.doc_key: r for r in out.collect()}
+    # non-docx passes through untouched
     assert by_key["a.pdf"].ok and bytes(by_key["a.pdf"].content) == b"%PDF-1.4 x"
-    # docx path: renderers absent in this container → contained failure
-    assert not by_key["b.docx"].ok and "NotImplemented" in by_key["b.docx"].error
-    good, dead = dead_letter_split(convert_docx_to_pdf(blobs))
-    assert good.count() == 1 and dead.count() == 1
+    # real DOCX → real 1-page PDF whose text round-trips
+    blob = bytes(by_key["b.docx"].content)
+    assert by_key["b.docx"].ok and pdfmini.is_pdf(blob)
+    assert pdfmini.page_count(blob) == 1
+    assert "Punkt 1: budget" in pdfmini.extract_text(blob)
+    # corrupt DOCX → contained failure (C5), never an exception
+    assert not by_key["c.docx"].ok and by_key["c.docx"].error
+    good, dead = dead_letter_split(out)
+    assert good.count() == 2 and dead.count() == 1
 
 
-def test_merge_pdf_parts_order(spark):
+def test_merge_pdf_parts_order_and_cover(spark):
+    from kommunedata_data_pipeline_spark.transforms import pdfmini
+
+    pa = pdfmini.text_to_pdf("part A")
+    pb = pdfmini.text_to_pdf("part B")
+    pc = pdfmini.text_to_pdf("part C")
     parts = spark.createDataFrame(
-        [("m1", 2, b"B"), ("m1", 1, b"A"), ("m1", 3, b"C"), ("m2", 1, b"X")],
+        [("m1", 2, pb), ("m1", 1, pa), ("m1", 3, pc), ("m2", 1, pdfmini.text_to_pdf("X"))],
         "doc_key string, part_no int, content binary",
     )
     out = {r.doc_key: r for r in merge_pdf_parts(parts).collect()}
     assert out["m1"].n_parts == 3
-    assert bytes(out["m1"].content).endswith(b"ABC")
-    assert bytes(out["m2"].content).endswith(b"X")
+    merged = bytes(out["m1"].content)
+    assert pdfmini.is_pdf(merged)
+    # cover page + 3 parts = 4 pages, parts in part_no order after the cover
+    assert pdfmini.page_count(merged) == 4
+    text = pdfmini.extract_text(merged)
+    assert "Deltagere:" in text
+    assert text.index("part A") < text.index("part B") < text.index("part C")
+    assert pdfmini.page_count(bytes(out["m2"].content)) == 2
+
+
+def test_print_html_to_pdf_strips_chrome(spark):
+    from kommunedata_data_pipeline_spark.transforms import pdfmini
+    from kommunedata_data_pipeline_spark.transforms.documents import (
+        print_html_to_pdf,
+    )
+
+    html = (
+        '<html><body><div id="CookieConsent">accept cookies</div>'
+        '<header class="c-site-header">NAVIGATION</header>'
+        "<main><p>Referat fra mødet</p></main>"
+        '<footer class="c-site-footer">footer junk</footer></body></html>'
+    )
+    pages = spark.createDataFrame([("p1", html), ("p2", None)], "doc_key string, html string")
+    out = {r.doc_key: r for r in print_html_to_pdf(pages).collect()}
+    blob = bytes(out["p1"].content)
+    assert out["p1"].ok and pdfmini.is_pdf(blob) and pdfmini.page_count(blob) == 1
+    text = pdfmini.extract_text(blob)
+    assert "Referat fra m" in text
+    for junk in ("NAVIGATION", "accept cookies", "footer junk"):
+        assert junk not in text
+    # empty page renders to an empty (but valid) PDF
+    assert out["p2"].ok and pdfmini.is_pdf(bytes(out["p2"].content))
 
 
 def test_sniff_format():
