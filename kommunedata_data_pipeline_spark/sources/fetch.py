@@ -77,6 +77,76 @@ class FixtureTransport:
         raise ValueError(f"unknown kind {kind}")
 
 
+@dataclass
+class HttpTransport:
+    """Real network transport with the same shape as FixtureTransport —
+    the production implementation of the injected `Transport` seam.
+
+    Mirrors the reference's HEAD→GET probe semantics
+    (get_base_url.py:36-59): `probe` issues the requested method (HEAD
+    by default; `probe_urls` retries with GET on 403/404/405), follows
+    redirects, and reports the final resolved URL. `listing` GETs the
+    page with the pushed-down bounds as query parameters
+    (page/min_date/max_date — P4) and parses the body with
+    `listing_parser` (default: a JSON array of [url, raw_date, raw_type]
+    rows; inject an HTML scraper per portal family the way the reference
+    subclasses its scraper). `blob` GETs raw bytes.
+
+    stdlib-only (urllib) so it exists in any container; tests exercise it
+    against a loopback http.server fixture — never the open internet.
+    Politeness/retry/containment stay in the fetch UDFs, which treat any
+    raised exception as a contained row-level failure (C5)."""
+
+    timeout_s: float = 10.0
+    user_agent: str = "kommunedata-pipeline-spark/1.0"
+    listing_parser: Callable[[bytes], list] | None = None
+
+    def _open(self, url: str, method: str):
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, method=method, headers={"User-Agent": self.user_agent}
+        )
+        return urllib.request.urlopen(req, timeout=self.timeout_s)
+
+    def __call__(self, url: str, options: dict) -> tuple[int, object]:
+        import json
+        import urllib.error
+        import urllib.parse
+
+        kind = options.get("kind", "probe")
+        if kind == "probe":
+            method = options.get("method", "HEAD")
+            try:
+                with self._open(url, method) as resp:
+                    return resp.status, resp.geturl()
+            except urllib.error.HTTPError as e:
+                return e.code, None
+        if kind == "listing":
+            params = {"page": options.get("page_no", 0)}
+            if options.get("min_date"):
+                params["min_date"] = options["min_date"]
+            if options.get("max_date"):
+                params["max_date"] = options["max_date"]
+            sep = "&" if "?" in url else "?"
+            full = url + sep + urllib.parse.urlencode(params)
+            try:
+                with self._open(full, "GET") as resp:
+                    body = resp.read()
+            except urllib.error.HTTPError as e:
+                return e.code, []
+            parse = self.listing_parser or (lambda b: json.loads(b or b"[]"))
+            rows = [tuple(r)[:3] for r in parse(body)]
+            return 200, rows
+        if kind == "blob":
+            try:
+                with self._open(url, "GET") as resp:
+                    return resp.status, resp.read()
+            except urllib.error.HTTPError as e:
+                return e.code, None
+        raise ValueError(f"unknown kind {kind}")
+
+
 def candidate_urls(stems: DataFrame, stem_col: str = "stem") -> DataFrame:
     """S4 — candidate generation (get_base_url.py:62-81): stems ×
     {dagsordener,dagsordner,dagsorden} × {.dk, kommune.dk} as an explode

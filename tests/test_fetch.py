@@ -2,8 +2,16 @@
 retry chain (C4), candidate generation (S4), pagination + early stop
 (S5-S11/W1), blob Try-struct (C5)."""
 
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
 from kommunedata_data_pipeline_spark.sources.fetch import (
     FixtureTransport,
+    HttpTransport,
     candidate_urls,
     fetch_blobs,
     harvest_listings,
@@ -73,6 +81,124 @@ def test_harvest_early_stop_under_limit(spark):
     )
     got = harvest_listings(config, t, per_source_limit=3).collect()
     assert len(got) == 3  # early stop: page 2 never materialized rows past limit
+
+
+# ---------------------------------------------------------------------------
+# HttpTransport conformance — a loopback http.server stands in for the
+# portal (tests never touch the open internet); the REAL urllib transport
+# must behave exactly like FixtureTransport through the same fetch UDFs.
+
+_PAGES = [
+    [("m1", "2025-08-18", "Referat"), ("m2", "2025-08-19", "Dagsorden")],
+    [("m3", "2025-08-20", "Referat")],
+]
+
+
+class _PortalHandler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _route(self, method):
+        u = urlparse(self.path)
+        if u.path == "/ok":
+            return 200, b"ok"
+        if u.path == "/redir":
+            self.send_response(302)
+            self.send_header("Location", "/ok")
+            self.end_headers()
+            return None, None
+        if u.path == "/getonly":
+            return (405, b"") if method == "HEAD" else (200, b"ok")
+        if u.path == "/listing":
+            q = parse_qs(u.query)
+            page = int(q.get("page", ["0"])[0])
+            min_date = q.get("min_date", [None])[0]
+            rows = _PAGES[page] if page < len(_PAGES) else []
+            if min_date:  # P4: the bound is honored server-side
+                rows = [r for r in rows if r[1] >= min_date]
+            return 200, json.dumps(rows).encode()
+        if u.path == "/blob.pdf":
+            return 200, b"%PDF-ok"
+        return 404, b"not found"
+
+    def do_GET(self):
+        st, body = self._route("GET")
+        if st is None:
+            return
+        self.send_response(st)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_HEAD(self):
+        st, body = self._route("HEAD")
+        if st is None:
+            return
+        self.send_response(st)
+        self.end_headers()
+
+
+@pytest.fixture(scope="module")
+def portal():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _PortalHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_transport_probe_conformance(spark, portal):
+    """Same URLs, same fetch UDF, both transports → same probe outcomes
+    (HEAD→GET retry chain included)."""
+    http_t = HttpTransport(timeout_s=5.0)
+    fix_t = FixtureTransport(
+        status={f"{portal}/ok": 200, f"{portal}/missing": 404},
+        redirects={f"{portal}/redir": f"{portal}/ok"},
+        pages={f"{portal}/ok": [], f"{portal}/redir": [], f"{portal}/getonly": []},
+        get_only=frozenset({f"{portal}/getonly"}),
+    )
+    cands = spark.createDataFrame(
+        [(f"{portal}/ok",), (f"{portal}/redir",), (f"{portal}/getonly",), (f"{portal}/missing",)],
+        "candidate_url string",
+    )
+    got_http = {r.candidate_url: r for r in probe_urls(cands, http_t).collect()}
+    got_fix = {r.candidate_url: r for r in probe_urls(cands, fix_t).collect()}
+    for url in got_http:
+        assert got_http[url].status == got_fix[url].status, url
+        assert (got_http[url].resolved_url is None) == (got_fix[url].resolved_url is None), url
+    # redirect resolves to the final URL through the real stack too
+    assert got_http[f"{portal}/redir"].resolved_url == f"{portal}/ok"
+    # C4 chain: /getonly succeeded only via the GET fallback
+    assert got_http[f"{portal}/getonly"].status == 200
+
+
+def test_http_transport_listing_pushdown_and_pagination(spark, portal):
+    config = spark.createDataFrame(
+        [("aarhus", "Oekonomi", f"{portal}/listing")],
+        "municipality string, committee string, start_url string",
+    )
+    got = harvest_listings(config, HttpTransport(timeout_s=5.0)).orderBy(
+        "page_no", "pos"
+    ).collect()
+    assert [(r.page_no, r.pos, r.url, r.raw_date) for r in got] == [
+        (0, 0, "m1", "2025-08-18"),
+        (0, 1, "m2", "2025-08-19"),
+        (1, 0, "m3", "2025-08-20"),
+    ]
+    # P4: min_date travels to the portal as a query param and prunes rows
+    bounded = harvest_listings(
+        config, HttpTransport(timeout_s=5.0), min_date="2025-08-19"
+    ).collect()
+    assert sorted(r.url for r in bounded) == ["m2", "m3"]
+
+
+def test_http_transport_blob_try_struct(spark, portal):
+    wl = spark.createDataFrame(
+        [(f"{portal}/blob.pdf",), (f"{portal}/missing.pdf",)], "url string"
+    )
+    got = {r.url: r for r in fetch_blobs(wl, HttpTransport(timeout_s=5.0)).collect()}
+    assert got[f"{portal}/blob.pdf"].ok
+    assert bytes(got[f"{portal}/blob.pdf"].content) == b"%PDF-ok"
+    assert not got[f"{portal}/missing.pdf"].ok  # contained, not raised
 
 
 def test_fetch_blobs_try_struct(spark):
