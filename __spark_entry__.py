@@ -2774,6 +2774,73 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synthetic_media_features(d)
 
 
+@_q(
+    "q_committee_hunt",
+    """
+    WITH pages AS (
+        SELECT doc_id,
+               'https://dagsordener.kommune' || (doc_id % 10) || '.dk' AS base,
+               CAST(doc_id * 7 % 1000 AS VARCHAR) AS cid
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN base || '/?request.kriterie.udvalgId=' || cid
+             WHEN 1 THEN base || '/meetings?committeeId=' || cid
+             WHEN 2 THEN base || '/udvalg/' || cid || '/moeder'
+           END AS start_url,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'data-value'
+             WHEN 1 THEN 'committee-href'
+             WHEN 2 THEN 'direct-link'
+           END AS strategy
+    FROM pages
+    """,
+)
+def q_committee_hunt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-strategy committee-page hunt (get_start_url.py:79-127). Pages
+    are synthesized per doc_id in four shapes — data-value widget,
+    committeeId href, /udvalg/ link, and a no-committee page — and the
+    operator's regexp ladder must recover the start URL; the oracle
+    recomputes the GROUND TRUTH arithmetically (not by mirroring the
+    regexes), so extraction bugs can't cancel out cross-engine."""
+    from kommunedata_data_pipeline_spark.operators.discovery import committee_hunt
+
+    d = _t(spark, sf_dir, "documents")
+    cid = (F.col("doc_id") * 7 % 1000).cast("string")
+    base = F.concat(
+        F.lit("https://dagsordener.kommune"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".dk"),
+    )
+    html = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<div><span data-value="'), cid,
+                F.lit('">Økonomiudvalget</span></div>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit('<nav><a href="/meetings?committeeId='), cid,
+                F.lit('">Udvalg: Økonomi</a></nav>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit('<ul><li><a href="/udvalg/'), cid,
+                F.lit('/moeder">ØU</a></li></ul>'),
+            ),
+        )
+        .otherwise(F.lit("<div>Teknik og Miljøudvalget</div>"))
+    )
+    pages = d.select("doc_id", base.alias("base_url"), html.alias("html"))
+    return committee_hunt(pages).select("doc_id", "start_url", "strategy")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
