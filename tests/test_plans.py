@@ -57,6 +57,39 @@ def test_candidate_joins_are_equi_joins(spark):
         assert "BroadcastNestedLoopJoin" not in p, name
 
 
+def test_banded_ann_bounded_fanout_and_recall(spark):
+    """The r2 hardening contract: (a) per-(band,bkey) bucket sizes stay
+    far below corpus size, so the in-bucket pair join can't go quadratic;
+    (b) multi-probe candidates strictly ⊇ the single-bucket baseline
+    (band 0 covers the old bucket's dims)."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        banded_sign_keys,
+        embedding_near_dup_pairs_banded,
+        embedding_near_dup_pairs,
+    )
+    from kommunedata_data_pipeline_spark.sources.readers import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    n = e.count()
+    keys = e.select(
+        "vec_id", F.explode(banded_sign_keys(F.col("embedding"), 4, 8)).alias("bk")
+    )
+    max_bucket = (
+        keys.groupBy("bk.band", "bk.bkey").count().agg(F.max("count")).first()[0]
+    )
+    assert max_bucket <= max(8, n // 10), f"bucket blow-up: {max_bucket} of {n}"
+
+    banded = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs_banded(e, 4, 8, threshold=0.3).collect()
+    }
+    single = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(e, nbits=8, threshold=0.3).collect()
+    }
+    assert single <= banded  # multi-probe recall is a strict superset
+
+
 def test_asof_join_is_not_a_theta_join(spark):
     p = _plan(spark, "q_asof_join")
     assert "CartesianProduct" not in p
