@@ -2233,6 +2233,85 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_stateful_sink")
 
 
+def _maybe_register_tws() -> None:
+    """q_stream_tws (Spark 4 transformWithStateInPandas — successor API
+    to applyInPandasWithState) registers only where the runtime can
+    execute it: the TWS Python driver worker hard-imports
+    google.protobuf, absent from this container. The operator itself
+    (streaming/stateful.py:UserValueStatsProcessor) is real and
+    cross-batch-tested on images that ship protobuf."""
+    from kommunedata_data_pipeline_spark.streaming.stateful import tws_available
+
+    if not tws_available():
+        return
+
+    @_q(
+        "q_stream_tws",
+        """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(coalesce(value, 0.0)), 2) AS total_value,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY user_id
+        """,
+    )
+    def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user running count/total/min/max in a named typed
+        ValueState, RocksDB state store. One micro-batch over the events
+        file ⇒ the emitted updates equal a plain groupBy — exact SQL
+        oracle. min/max are untouched input doubles (bit-identical both
+        engines); the sum is rounded per the parity rules."""
+        from kommunedata_data_pipeline_spark.streaming.stateful import (
+            rocksdb_state_store,
+            user_value_stats_tws,
+        )
+        from kommunedata_data_pipeline_spark.streaming.windows import (
+            read_events_stream,
+            run_to_memory,
+        )
+
+        with rocksdb_state_store(spark):
+            s = user_value_stats_tws(read_events_stream(spark, sf_dir))
+            run_to_memory(s, "q_stream_tws_sink", output_mode="update")
+        return spark.table("q_stream_tws_sink")
+
+
+_maybe_register_tws()
+
+
+@_q(
+    "q_stream_enrich",
+    """
+    SELECT c_mktsegment, event_type, count(*) AS n,
+           round(sum(coalesce(value, 0.0)), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched with the customer
+    dim (broadcast — the stream side never shuffles for the join), then
+    a complete-mode segment×type rollup. Exact oracle: one micro-batch ⇒
+    the complete-mode result equals the batch join+aggregate."""
+    from kommunedata_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        stream_static_enrich,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer")
+    agg = (
+        stream_static_enrich(ev, cust, "user_id", "c_custkey")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total_value"),
+        )
+    )
+    run_to_memory(agg, "q_stream_enrich_sink", output_mode="complete")
+    return spark.table("q_stream_enrich_sink")
+
+
 # --------------------------------------------------------------------------
 # north-star additions: embedding near-dup, rolling-hash fingerprint,
 # BPE-ish token counting

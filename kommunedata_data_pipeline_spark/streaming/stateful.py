@@ -9,14 +9,44 @@ so a 1000-executor cluster shards it horizontally.
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 COUNTS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 STATE_SCHEMA = "n bigint, total double"
+
+TWS_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, "
+    "min_value double, max_value double"
+)
+TWS_STATE_SCHEMA = "n bigint, total double, vmin double, vmax double"
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas talks to the JVM over a protobuf state
+    protocol — its Python driver worker hard-imports google.protobuf,
+    which this container does not ship. Capability-gate (like the render
+    libs in transforms/documents.py): the operator is real and the
+    registry/tests pick it up automatically on an image that has
+    protobuf."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 def user_running_totals(events: DataFrame) -> DataFrame:
@@ -48,3 +78,78 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class UserValueStatsProcessor(StatefulProcessor):
+    """transformWithStateInPandas processor (Spark 4's successor to
+    applyInPandasWithState): per-user running count / total / min / max
+    in a typed ValueState variable. The new API gives named, individually
+    typed state variables (value/list/map) plus timers, instead of one
+    positional state tuple — this is the shape new stateful operators
+    should take."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._stats = handle.getValueState("stats", TWS_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self._stats.exists():
+            n, total, vmin, vmax = self._stats.get()
+        else:
+            n, total, vmin, vmax = 0, 0.0, None, None
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            nonnull = pdf["value"].dropna()
+            if len(nonnull):
+                bmin, bmax = float(nonnull.min()), float(nonnull.max())
+                vmin = bmin if vmin is None else min(vmin, bmin)
+                vmax = bmax if vmax is None else max(vmax, bmax)
+        self._stats.update((n, total, vmin, vmax))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "min_value": [vmin],
+                "max_value": [vmax],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_value_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running value stats via ``transformWithStateInPandas``.
+
+    Same single-batch-equals-groupBy oracle property as
+    ``user_running_totals``; across batches the ValueState carries the
+    accumulator. Requires the RocksDB state store provider (see
+    ``rocksdb_state_store``) — the HDFS-backed default doesn't implement
+    the transformWithState column families."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserValueStatsProcessor(),
+        outputStructType=TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+@contextlib.contextmanager
+def rocksdb_state_store(spark):
+    """Scoped switch to the RocksDB state store provider (required by
+    transformWithState; read at query START, so scoping the conf to the
+    start call is safe for concurrently-defined queries)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

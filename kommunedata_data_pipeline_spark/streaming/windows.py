@@ -97,6 +97,16 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on_left: str, on_right: str
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (re-read-per-batch) static dim. The dim is broadcast — at 100 TB the
+    stream side never shuffles for the join; only the downstream agg
+    keys do."""
+    return events.join(F.broadcast(dim), events[on_left] == dim[on_right])
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query to completion against the available data
     (real streaming execution, synchronous): memory sink +

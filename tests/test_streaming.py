@@ -116,3 +116,62 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert u7[-1] == 3 and u7[0] == 2
     u8 = [r for r in emitted if r.user_id == 8]
     assert len(u8) == 1 and u8[0].n_events == 1 and u8[0].total_value == 5.0
+
+
+def test_tws_value_stats_across_batches(spark, tmp_path):
+    """transformWithStateInPandas: the ValueState accumulator persists
+    across micro-batches (RocksDB provider), min/max fold correctly.
+    Skips where the TWS python runner's protobuf dependency is absent."""
+    import pytest
+
+    from kommunedata_data_pipeline_spark.streaming.stateful import tws_available
+
+    if not tws_available():
+        pytest.skip("google.protobuf absent: transformWithState runner cannot start")
+
+    from kommunedata_data_pipeline_spark.streaming.stateful import (
+        rocksdb_state_store,
+        user_value_stats_tws,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    rows1 = spark.createDataFrame(
+        [(1, 1000, 7, "click", 4.0, None), (2, 2000, 7, "click", 2.0, None)],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    rows2 = spark.createDataFrame(
+        [(3, 3000, 7, "click", 9.0, None), (4, 4000, 8, "view", None, None)],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    rows1.coalesce(1).write.parquet(str(src / "a.parquet"))
+    rows2.coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(rows1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    with rocksdb_state_store(spark):
+        out = user_value_stats_tws(
+            stream.withColumn("ts", F.timestamp_micros(F.col("ts")))
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_t")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    emitted = spark.sql("SELECT * FROM tws_t").collect()
+    u7 = sorted(
+        [r for r in emitted if r.user_id == 7], key=lambda r: r.n_events
+    )
+    # last emission folds both batches: 3 events, min 2.0, max 9.0
+    assert u7[-1].n_events == 3 and u7[-1].total_value == 15.0
+    assert u7[-1].min_value == 2.0 and u7[-1].max_value == 9.0
+    u8 = [r for r in emitted if r.user_id == 8]
+    # all-NULL values: count counts the row, min/max stay NULL
+    assert len(u8) == 1 and u8[0].n_events == 1
+    assert u8[0].min_value is None and u8[0].max_value is None
