@@ -314,21 +314,67 @@ def simhash_near_pairs(documents: DataFrame, nbits: int = 32, max_hamming: int =
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def _cc_single_task(edges: DataFrame) -> DataFrame:
+    """Union-find over the whole edge set in ONE executor task (pandas):
+    the small-graph fast path of ``dup_clusters``. Near-dup pair sets are
+    orders of magnitude smaller than the corpus (banding bounds them), so
+    even a 100 TB corpus often yields an edge list one task can hold —
+    the same adaptive small-side logic as a broadcast join, and it
+    replaces ~2·diameter Spark jobs with one."""
+    import pandas as pd
+
+    def cc(it):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in it:
+            for a, b in zip(pdf["src"], pdf["dst"]):
+                a, b = int(a), int(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min keeps cluster_id = min(component)
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        nodes = list(parent.keys() | {find(x) for x in list(parent)})
+        yield pd.DataFrame(
+            {"doc_id": nodes, "cluster_id": [find(x) for x in nodes]}
+        )
+
+    return edges.coalesce(1).mapInPandas(cc, "doc_id bigint, cluster_id bigint")
+
+
+def dup_clusters(
+    pairs: DataFrame, max_iter: int = 25, small_graph_edges: int = 5_000_000
+) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id),
     cluster_id = min doc_id in the component. The step after any pair
     generator (MinHash/SimHash/Jaccard/embedding): "these 2M pairs are
     really 300k groups; keep one doc per group".
 
-    Iterative min-label propagation: each node takes the min label among
-    itself and its neighbours until fixpoint — O(component diameter)
-    rounds, each one equi-join + groupBy (no driver-side graph).
+    Two physical strategies behind one contract (cluster_id = min doc_id
+    of the component): edge sets ≤ ``small_graph_edges`` run union-find
+    in a single executor task (see ``_cc_single_task``); larger graphs
+    run iterative min-label propagation: each node takes the min label
+    among itself and its neighbours until fixpoint — O(component
+    diameter) rounds, each one equi-join + groupBy (no driver-side
+    graph).
     `localCheckpoint` truncates lineage every round (the standard guard
     against exponential plan growth in iterative DataFrame algorithms);
     convergence is checked with a cheap count per round. Near-dup
     components are small cliques/chains, so rounds ≈ 2-4 in practice.
     """
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    if pairs.count() <= small_graph_edges:
+        # adaptive fast path: union-find in one executor task (undirected
+        # union happens inside union-find; no need to symmetrize)
+        return _cc_single_task(edges)
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()

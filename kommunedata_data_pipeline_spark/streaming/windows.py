@@ -107,19 +107,41 @@ def stream_static_enrich(
     return events.join(F.broadcast(dim), events[on_left] == dim[on_right])
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = 8,
+):
     """Drive a streaming query to completion against the available data
     (real streaming execution, synchronous): memory sink +
     processAllAvailable; returns the stopped query. Results:
-    ``spark.sql(f"SELECT * FROM {name}")``."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    ``spark.sql(f"SELECT * FROM {name}")``.
+
+    ``shuffle_partitions`` is scoped to the query start: a stateful
+    streaming op creates ONE state store instance per shuffle partition,
+    and that count is fixed at the first checkpoint forever — under the
+    driver's shuffle.partitions=200 session every micro-batch would pay
+    200 state-store tasks for a 15-key stream. 8 is right for the test
+    corpus; a real deployment sizes it to key cardinality × executor
+    count once, up front. None = inherit the session conf."""
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if shuffle_partitions is not None:
+        spark.conf.set(key, str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set(key, prev)
     return q
 
 

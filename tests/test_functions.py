@@ -154,3 +154,26 @@ def test_let_nests_inside_lambdas(spark):
         lambda seq: F.aggregate(seq, F.lit(0), lambda a, v: a + v),
     )
     assert df.select(expr.alias("s")).first().s == 10
+
+
+def test_dup_clusters_both_paths_agree(spark):
+    """The adaptive small-graph union-find and the iterative min-label
+    propagation implement the same contract: cluster_id = min(component)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import dup_clusters
+
+    # two chains and one clique: {1-2-3-4}, {10,11}, {20,21,22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a bigint, doc_b bigint",
+    )
+    expected = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+    fast = {(r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()}
+    slow = {
+        (r.doc_id, r.cluster_id)
+        for r in dup_clusters(pairs, small_graph_edges=0).collect()
+    }
+    assert fast == expected and slow == expected
