@@ -2924,6 +2924,101 @@ def q_committee_hunt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return committee_hunt(pages).select("doc_id", "start_url", "strategy")
 
 
+# --------------------------------------------------------------------------
+# training-data sampling & mixing (operators/sampling.py) — deterministic
+# hash-based, so every one has an exact oracle
+
+_SAMPLE_HASH_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+
+@_q(
+    "q_sample_bernoulli",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_SAMPLE_HASH_SQL} < 10
+    """,
+)
+def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample by md5(doc_id): reproducible
+    across runs/engines (the property training pipelines need from
+    'random' sampling), plans as a pure narrow filter — no shuffle."""
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return deterministic_sample(d, "doc_id", 10)
+
+
+@_q(
+    "q_sample_stratified",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_SAMPLE_HASH_SQL}, doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rk <= 5
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: 5 docs per source, hash-ranked (ties broken by
+    doc_id — total deterministic order). One shuffle on the stratum key;
+    the per-group limit is a window, never a collect."""
+    from kommunedata_data_pipeline_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(d, "source", "doc_id", 5)
+
+
+@_q(
+    "q_mixture_epochs",
+    """
+    SELECT doc_id, source, CAST(e.epoch AS INT) AS epoch
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(1,
+             CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END
+         )) AS epoch) e
+    """,
+)
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture epoch weighting ("see src0 3x, src1 2x, the rest
+    1x"): row multiplication via explode(sequence(1, weight)) — weights
+    are a literal CASE expression, so no dim join and the blow-up happens
+    executor-side after any upstream pruning."""
+    from kommunedata_data_pipeline_spark.operators.sampling import mixture_weights
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_weights(d, "source", {"src0": 3, "src1": 2})
+
+
+@_q(
+    "q_pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 2048.0) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length packing: per-source running token prefix-sum binned
+    into 2048-token packs (offset binning — one window, deterministic;
+    see operators/sampling.py:pack_sequences for the capacity caveat)."""
+    from kommunedata_data_pipeline_spark.operators.sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=2048)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,100 @@
+"""Training-data sampling & mixing operators (north-star LLM-pipeline
+surface, beyond the reference's own operator set — SURVEY §2 extension).
+
+All four are deterministic (hash-ranked, never RNG) so runs are
+reproducible and re-runs of a 100 TB job sample the SAME rows — the
+property a training-data pipeline actually needs from "random" sampling
+(and what makes every one of them exactly oracle-able in SQL):
+
+- `deterministic_sample`: Bernoulli p% by md5(key) — a narrow filter, no
+  shuffle, prunes before anything downstream.
+- `stratified_sample`: n docs per stratum, hash-ranked — one shuffle on
+  the stratum key; the per-group limit is a window, not a collect.
+- `mixture_weights`: integer epoch weights per source (the "see
+  Wikipedia 3×, CommonCrawl 1×" mixing step) via explode(sequence) —
+  row multiplication happens executor-side, weight dim broadcast.
+- `pack_sequences`: context-length packing — running token cumsum per
+  source (window) binned by the sequence budget into pack_id. The
+  streaming-friendly first-fit-in-order heuristic, not bin-packing NP
+  optimal; deterministic given the (source, doc_id) order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.strings import md5_bigint
+from ..functions.text import token_count
+
+
+def sample_hash(key: Column, mod: int = 100) -> Column:
+    """Deterministic [0, mod) sampling hash from a key column (md5-based
+    so the DuckDB oracle reproduces it bit-for-bit)."""
+    return F.pmod(md5_bigint(key.cast("string")), F.lit(mod))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, pct: int, mod: int = 100
+) -> DataFrame:
+    """Keep rows whose sampling hash < pct — a pure narrow filter (plans
+    as a codegen'd predicate; at 100 TB it prunes before any shuffle)."""
+    return df.where(sample_hash(F.col(key_col), mod) < pct)
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, key_col: str, n_per_stratum: int
+) -> DataFrame:
+    """First n rows per stratum by (hash, key) rank — per-group uniform
+    sampling with a total deterministic order (hash ties broken by key)."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_hash(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def mixture_weights(
+    df: DataFrame, source_col: str, weights: dict[str, int]
+) -> DataFrame:
+    """Repeat each row `weights[source]` times with an `epoch` column
+    (1-based); unknown sources default to weight 1. The weights live in
+    a literal CASE expression — no dim table, no join, no shuffle."""
+    wexpr = F.lit(1)
+    for src, n in weights.items():
+        wexpr = F.when(F.col(source_col) == src, F.lit(int(n))).otherwise(wexpr)
+    return df.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), wexpr))
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = 2048,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length packing by token-offset binning: per source, in key
+    order, pack_id = floor(exclusive-prefix-sum(tokens) / budget) — one
+    shuffle on source + one running-sum window. A pack holds ~budget
+    tokens; a doc straddling a boundary stays in the pack its START
+    offset falls in (so a pack can exceed budget by at most one doc's
+    tail — the cheap deterministic heuristic; strict-capacity first-fit
+    needs a sequential reset and is not a single window)."""
+    n_tok = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    return (
+        documents.select(
+            key_col, source_col, n_tok.cast("bigint").alias("n_tokens")
+        )
+        .withColumn("pack_id", F.floor(prefix / F.lit(budget)).cast("bigint"))
+    )
