@@ -119,6 +119,40 @@ def test_partition_pruning_on_sink(spark, tmp_path):
     assert "municipality" in pf  # directory-level pruning, not a row filter
 
 
+def test_runtime_bloom_filter_join_pushdown(spark, tmp_path):
+    """Runtime bloom-filter join reduction: a selective filter on the
+    small (creation) side injects might_contain on the big (application)
+    side BEFORE its shuffle — at 100 TB this prunes most probe rows at
+    the scan. Local parquet is far below the 10 GB application-side
+    default, so the threshold is scoped down to demonstrate the path."""
+    from pyspark.sql import functions as F
+
+    spark.range(0, 50000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("flag")
+    ).write.parquet(str(tmp_path / "dim"))
+    spark.range(0, 200000).select(
+        (F.col("id") % 50000).alias("k"), (F.col("id") % 13).alias("q")
+    ).write.parquet(str(tmp_path / "fact"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        dim = spark.read.parquet(str(tmp_path / "dim")).where(F.col("flag") == 3)
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        j = fact.join(dim, "k")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        # and the result is still correct
+        assert j.count() == 10000 * 4  # 10k dim keys pass, 4 fact rows each
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed on the join key join with zero Exchange and
     zero Sort nodes — the one-shuffle-amortized-forever scale pattern."""
