@@ -2839,7 +2839,7 @@ def _media_lut_sql() -> str:
     WITH {_media_lut_sql()}
     SELECT CAST(doc_id AS VARCHAR) AS media_id,
            CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS fmt,
-           CAST(f AS REAL[]) AS features
+           CAST(f AS DOUBLE[]) AS features
     FROM documents JOIN lut ON doc_id % 112 = m
     """,
 )
@@ -2854,7 +2854,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    return synthetic_media_features(d)
+    # features emitted as DOUBLE on both sides: each value is k/65536
+    # (exact in float32 AND float64), but float32 would round-trip to a
+    # different *string* repr per engine — double is bridge-proof.
+    return synthetic_media_features(d).withColumn(
+        "features", F.col("features").cast("array<double>")
+    )
 
 
 @_q(
