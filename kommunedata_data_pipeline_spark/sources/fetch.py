@@ -77,6 +77,37 @@ class FixtureTransport:
         raise ValueError(f"unknown kind {kind}")
 
 
+def html_table_listing_parser(body: bytes) -> list[tuple[str, str, str]]:
+    """Listing rows from a portal HTML table — the stdlib-regex twin of
+    the reference's BeautifulSoup row walk (scraper.py:116-132): each
+    ``<tr>`` holding an ``<a href>`` yields (url, raw_date, raw_type);
+    raw_date is the first cell that looks like a date (the reference's 4
+    accepted formats all start with digits), raw_type the first cell
+    naming a known document type. Inject as ``HttpTransport(
+    listing_parser=html_table_listing_parser)`` for HTML portals; the
+    JSON default covers API-style ones."""
+    import re as _re
+
+    html = body.decode("utf-8", "replace")
+    rows: list[tuple[str, str, str]] = []
+    for tr in _re.findall(r"(?is)<tr[^>]*>(.*?)</tr>", html):
+        m = _re.search(r'(?is)<a[^>]*href="([^"]+)"', tr)
+        if not m:
+            continue  # header/filler rows carry no link
+        cells = [
+            _re.sub(r"\s+", " ", _re.sub(r"<[^>]+>", " ", c)).strip()
+            for c in _re.findall(r"(?is)<t[dh][^>]*>(.*?)</t[dh]>", tr)
+        ]
+        raw_date = next(
+            (c for c in cells if _re.match(r"^\d{1,2}[.\-/ ]|^\d{4}-", c)), ""
+        )
+        raw_type = next(
+            (c for c in cells if _re.search(r"(?i)referat|dagsorden|tillæg", c)), ""
+        )
+        rows.append((m.group(1), raw_date, raw_type))
+    return rows
+
+
 @dataclass
 class HttpTransport:
     """Real network transport with the same shape as FixtureTransport —
@@ -149,8 +180,10 @@ class HttpTransport:
 
 def candidate_urls(stems: DataFrame, stem_col: str = "stem") -> DataFrame:
     """S4 — candidate generation (get_base_url.py:62-81): stems ×
-    {dagsordener,dagsordner,dagsorden} × {.dk, kommune.dk} as an explode
-    over a literal array (no UDF, no shuffle)."""
+    {dagsordener,dagsordner,dagsorden} × {.dk, kommune.dk} as a
+    posexplode over a literal array (no UDF, no shuffle). `priority`
+    reifies the reference's try-in-order semantics (the first candidate
+    that probes OK wins — order must be data, not incidental; O3)."""
     prefixes = ["dagsordener", "dagsordner", "dagsorden"]
     suffixes = ["dk", "kommunedk"]
     variants = F.array(
@@ -166,7 +199,7 @@ def candidate_urls(stems: DataFrame, stem_col: str = "stem") -> DataFrame:
         ]
     )
     return stems.select(
-        stem_col, F.explode(variants).alias("candidate_url")
+        stem_col, F.posexplode(variants).alias("priority", "candidate_url")
     )
 
 

@@ -64,3 +64,40 @@ def test_keyword_order_breaks_ties(spark):
     )
     r = _hunt(spark, html)
     assert r.start_url.endswith("udvalgId=2")
+
+
+def test_discover_start_urls_end_to_end(spark):
+    """Full discovery plan on fixtures: candidate priority order decides
+    the base URL, the hunt ladder finds the start URL, unresolvable
+    stems survive as NULL rows."""
+    from kommunedata_data_pipeline_spark.plans.discovery import discover_start_urls
+    from kommunedata_data_pipeline_spark.sources.fetch import FixtureTransport
+
+    # aarhus: first candidate (dagsordener.aarhus.dk) 404s, second works
+    # and serves a data-value page; odense: first candidate works, page
+    # only has a direct link; nowhere: no candidate probes OK.
+    t = FixtureTransport(
+        status={
+            "https://dagsordener.aarhus.dk": 404,
+            "https://dagsordener.aarhus.kommune.dk": 200,
+            "https://dagsordener.odense.dk": 200,
+        },
+        blobs={
+            "https://dagsordener.aarhus.kommune.dk": (
+                b'<span data-value="77">\xc3\x98konomiudvalget</span>'
+            ),
+            "https://dagsordener.odense.dk": (
+                b'<a href="/udvalg/5/moeder">\xc3\x98U</a>'
+            ),
+        },
+    )
+    stems = spark.createDataFrame([("aarhus",), ("odense",), ("nowhere",)], "stem string")
+    got = {r.stem: r for r in discover_start_urls(stems, t).collect()}
+    assert got["aarhus"].base_url == "https://dagsordener.aarhus.kommune.dk"
+    assert got["aarhus"].start_url == (
+        "https://dagsordener.aarhus.kommune.dk/?request.kriterie.udvalgId=77"
+    )
+    assert got["aarhus"].strategy == "data-value"
+    assert got["odense"].start_url == "https://dagsordener.odense.dk/udvalg/5/moeder"
+    assert got["odense"].strategy == "direct-link"
+    assert got["nowhere"].base_url is None and got["nowhere"].start_url is None

@@ -210,3 +210,24 @@ def test_fetch_blobs_try_struct(spark):
     assert got["https://s/ok.pdf"].ok and bytes(got["https://s/ok.pdf"].content) == b"%PDF-ok"
     assert not got["https://s/missing.pdf"].ok
     assert got["https://s/missing.pdf"].error  # contained, not raised
+
+
+def test_html_table_listing_parser():
+    from kommunedata_data_pipeline_spark.sources.fetch import (
+        html_table_listing_parser,
+    )
+
+    html = b"""
+    <table>
+      <tr><th>Dato</th><th>Type</th><th>Link</th></tr>
+      <tr><td>18.08.2025</td><td>Referat</td>
+          <td><a href="/doc/1.pdf">hent</a></td></tr>
+      <tr><td><span>19-08-2025</span></td><td>Dagsorden</td>
+          <td><a href="/doc/2.pdf">hent</a></td></tr>
+      <tr><td>ingen link her</td><td>Referat</td><td>-</td></tr>
+    </table>"""
+    rows = html_table_listing_parser(html)
+    assert rows == [
+        ("/doc/1.pdf", "18.08.2025", "Referat"),
+        ("/doc/2.pdf", "19-08-2025", "Dagsorden"),
+    ]
