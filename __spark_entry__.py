@@ -2929,6 +2929,45 @@ def q_committee_hunt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return committee_hunt(pages).select("doc_id", "start_url", "strategy")
 
 
+@_q(
+    "q_full_outer_days",
+    """
+    WITH c AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, count(*) AS n_clicks
+               FROM events WHERE event_type = 'click' GROUP BY 1),
+    e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, count(*) AS n_errors
+          FROM events WHERE event_type = 'error' GROUP BY 1)
+    SELECT CAST(coalesce(c.d, e.d) AS VARCHAR) AS day,
+           coalesce(n_clicks, 0) AS n_clicks,
+           coalesce(n_errors, 0) AS n_errors
+    FROM c FULL OUTER JOIN e ON c.d = e.d
+    """,
+)
+def q_full_outer_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join shape: per-day click vs error counts, days missing
+    on either side surviving with zero fill (join-key coalesce is the
+    full-outer footgun the operator layer handles via the name-list join).
+    ISO-string day per the parity rules."""
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    e = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n_errors"))
+    )
+    return (
+        c.join(e, ["d"], "full")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_clicks", F.lit(0).cast("bigint")).alias("n_clicks"),
+            F.coalesce("n_errors", F.lit(0).cast("bigint")).alias("n_errors"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data sampling & mixing (operators/sampling.py) — deterministic
 # hash-based, so every one has an exact oracle
