@@ -3063,6 +3063,397 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, budget=2048)
 
 
+# --------------------------------------------------------------------------
+# round-2 additions: corpus curation, event-sequence analytics, quantization,
+# edit-distance near-dup, skew-safe aggregation, analytic-window battery
+
+_TOKS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+
+def _ngrams_sql(n: int) -> str:
+    """DuckDB twin of operators.corpus.word_ngrams (same start-position
+    enumeration: DuckDB range() is end-exclusive/1-based, Spark sequence()
+    inclusive — both yield i = 1 .. len-n+1)."""
+    concat = " || ' ' || ".join(
+        f"toks[i+{j}]" if j else "toks[i]" for j in range(n)
+    )
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks) - {n - 2}), i -> {concat}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+@_q(
+    "q_repetition_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, {_ngrams_sql(3)} AS grams FROM t)
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS n_ngrams,
+           CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+           CASE WHEN len(grams) > 0
+                THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+                ELSE 0.0 END AS rep_frac
+    FROM g
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition fraction (duplicate word-trigram share per
+    doc) — narrow, shuffle-free array expressions."""
+    from kommunedata_data_pipeline_spark.operators.corpus import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=3)
+
+
+@_q(
+    "q_ngram_novelty",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, {_ngrams_sql(3)} AS grams FROM t),
+    p AS (SELECT DISTINCT doc_id, ngram
+          FROM (SELECT doc_id, unnest(grams) AS ngram FROM g)),
+    f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ngram) AS first_doc FROM p)
+    SELECT doc_id, count(*) AS n_ngrams,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                 / count(*), 6) AS novelty
+    FROM f GROUP BY doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc first-appearance rate of its trigrams across the corpus
+    (dedup's curriculum dual); shuffles only on the ngram key."""
+    from kommunedata_data_pipeline_spark.operators.corpus import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+@_q(
+    "q_contamination",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, {_ngrams_sql(8)} AS grams FROM t),
+    te AS (SELECT DISTINCT doc_id, ngram
+           FROM (SELECT doc_id, unnest(grams) AS ngram FROM g WHERE doc_id % 2 = 1)),
+    tr AS (SELECT DISTINCT ngram
+           FROM (SELECT unnest(grams) AS ngram FROM g WHERE doc_id % 2 = 0))
+    SELECT te.doc_id, count(*) AS n_ngrams,
+           CAST(sum(CASE WHEN tr.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN tr.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 / count(*), 6) AS contamination
+    FROM te LEFT JOIN tr ON te.ngram = tr.ngram
+    GROUP BY te.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test 8-gram-overlap decontamination check (even doc_ids are
+    "train", odd are "test"); equi-join on the ngram shards uniformly."""
+    from kommunedata_data_pipeline_spark.operators.corpus import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_check(
+        d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1), n=8
+    )
+
+
+@_q(
+    "q_token_zipf",
+    rf"""
+    WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                           x -> x <> '')) AS token
+                 FROM documents),
+    c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    r AS (SELECT token, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank
+          FROM c)
+    SELECT rank, token, cnt FROM r WHERE rank <= 50
+    """,
+)
+def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-frequency head (Zipf sanity check): one explode, one
+    map-side-combinable count, TakeOrdered top-50."""
+    from kommunedata_data_pipeline_spark.operators.corpus import token_zipf
+
+    return token_zipf(_t(spark, sf_dir, "documents"), k=50)
+
+
+@_q(
+    "q_pii_scrub",
+    r"""
+    WITH inj AS (
+      SELECT doc_id,
+             'Contact user' || CAST(doc_id AS VARCHAR) || '@mail.example '
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '010190-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN '+45 12 34 56 78 ' ELSE '' END
+             || text AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\d{6}-\d{4}')) AS INT) AS n_cpr,
+           CAST(len(regexp_extract_all(text, '\+45 \d{2} \d{2} \d{2} \d{2}')) AS INT) AS n_phone,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                '\d{6}-\d{4}', '[CPR]', 'g'),
+                '\+45 \d{2} \d{2} \d{2} \d{2}', '[PHONE]', 'g')) AS INT) AS scrub_len
+    FROM inj
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / CPR / +45 phones) with per-type redaction
+    counts; the PII is injected deterministically from doc_id so the
+    operator has nonzero work on the synthetic corpus. Pure regexp
+    expressions — no shuffle, no UDF."""
+    from kommunedata_data_pipeline_spark.operators.corpus import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Contact user"),
+            did.cast("string"),
+            F.lit("@mail.example "),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit("010190-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                    F.lit(" "),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit("+45 12 34 56 78 ")).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return pii_scrub(injected).select(
+        "doc_id",
+        "n_email",
+        "n_cpr",
+        "n_phone",
+        F.length("scrubbed").alias("scrub_len"),
+    )
+
+
+@_q(
+    "q_funnel_stages",
+    """
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN u ON e.user_id = u.user_id
+      WHERE e.event_type = 'click' AND e.ts > u.t0
+        AND e.ts <= u.t0 + INTERVAL 24 HOURS
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        AND e.ts <= c.t1 + INTERVAL 24 HOURS
+      GROUP BY e.user_id
+    ), s AS (
+      SELECT u.user_id,
+             CASE WHEN p.t2 IS NOT NULL THEN 3
+                  WHEN c.t1 IS NOT NULL THEN 2
+                  WHEN u.t0 IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM u LEFT JOIN c ON u.user_id = c.user_id
+             LEFT JOIN p ON u.user_id = p.user_id
+    )
+    SELECT stage, count(*) AS n_users FROM s GROUP BY stage
+    """,
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel with a 24 h conversion window
+    per hop (earliest-completion chain); the event stream is reduced
+    per-user FIRST, so the big table crosses the wire exactly once."""
+    from kommunedata_data_pipeline_spark.operators.funnel import funnel_stages
+
+    return funnel_stages(_t(spark, sf_dir, "events"), within="24 hours")
+
+
+@_q(
+    "q_retention_cohorts",
+    """
+    WITH cohort AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST((active_week - cohort_week) / 7 AS BIGINT) AS week_no,
+           count(*) AS n_active
+    FROM act JOIN cohort ON act.user_id = cohort.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention grid; min(ts) per user then a broadcast
+    join back onto the distinct (user, week) activity frame."""
+    from kommunedata_data_pipeline_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "q_analytic_ranks",
+    """
+    WITH w AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ntile(4) OVER win AS INT) AS ntile_4,
+             round(percent_rank() OVER win, 6) AS pct_rank,
+             round(cume_dist() OVER win, 6) AS cume,
+             round(lag(o_totalprice) OVER win, 2) AS prev_price,
+             round(lead(o_totalprice) OVER win, 2) AS next_price
+      FROM orders
+      WINDOW win AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT * FROM w WHERE o_orderkey % 100 = 0
+    """,
+)
+def q_analytic_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window battery: ntile / percent_rank / cume_dist /
+    lag / lead under one total ordering (price + key tiebreak, so rank
+    functions are partitioning-proof)."""
+    o = _t(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(win).alias("ntile_4"),
+            F.round(F.percent_rank().over(win), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(win), 6).alias("cume"),
+            F.round(F.lag("o_totalprice").over(win), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(win), 2).alias("next_price"),
+        )
+        .where(F.col("o_orderkey") % 100 == 0)
+    )
+
+
+@_q(
+    "q_corr_regr",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qp,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (corr / covar_pop / OLS fit) —
+    single-pass co-moment aggregation, map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "q_quantize_embeddings",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ), q AS (
+      SELECT vec_id, e, scale,
+             list_transform(e, x -> CAST(round(x / scale) AS INT)) AS q8
+      FROM s WHERE scale > 0
+    )
+    SELECT vec_id, round(scale, 6) AS scale, q8,
+           round(sqrt(list_sum(list_transform(range(1, len(e) + 1),
+                 i -> (e[i] - q8[i] * scale) * (e[i] - q8[i] * scale))) / len(e)), 6)
+             AS rms_err
+    FROM q
+    """,
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with per-vector absmax scale
+    and round-trip RMS error — narrow HOF folds, deterministic sequential
+    summation on both engines."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "q_edit_distance_topk",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(floor(n_chars / 50) AS BIGINT) AS len_bkt,
+             substr(text, 1, 120) AS prefix
+      FROM documents
+    ), c AS (
+      SELECT *, row_number() OVER (PARTITION BY lang, len_bkt ORDER BY doc_id) AS rn
+      FROM b
+    ), k AS (SELECT * FROM c WHERE rn <= 8)
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+           CAST(levenshtein(a.prefix, b2.prefix) AS INT) AS edit_dist
+    FROM k a JOIN k b2
+      ON a.lang = b2.lang AND a.len_bkt = b2.len_bkt AND a.doc_id < b2.doc_id
+    ORDER BY edit_dist, doc_a, doc_b LIMIT 25
+    """,
+)
+def q_edit_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup: Levenshtein over (lang, length-bucket)
+    candidates capped per bucket — the per-bucket cap keeps the O(len²)
+    distance work constant per bucket at any corpus size."""
+    from kommunedata_data_pipeline_spark.operators.dedup import edit_distance_topk
+
+    return edit_distance_topk(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "q_salted_agg",
+    """
+    SELECT l_suppkey,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase SUM (salted partial agg, then re-agg) — result
+    identical to the plain GROUP BY the oracle runs; the salt only splits
+    hot-key partial state across tasks. Decimal accumulation makes the
+    two-phase sum order-independent."""
+    from kommunedata_data_pipeline_spark.operators.aggregates import salted_sum
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    out = salted_sum(li, "l_suppkey", "qty", n_salts=8, salt_src="l_orderkey")
+    return out.select(
+        "l_suppkey",
+        F.round(F.col("sum_val").cast("double"), 2).alias("sum_qty"),
+        "n_rows",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -73,3 +73,45 @@ def distinct_count_two_phase(
         .groupBy(key)
         .agg(F.count("*").alias(alias))
     )
+
+
+def salted_sum(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    n_salts: int = 8,
+    salt_src: str | None = None,
+    alias: str = "sum_val",
+) -> DataFrame:
+    """Skew-safe SUM per key as two aggregates: a salted partial
+    (key, salt) aggregate sharded ``n_salts`` ways, then the final
+    re-aggregate per key. Result is identical to a plain GROUP BY —
+    the salt only splits the hot key's partial state across tasks.
+
+    This is the manual valve for the one case AQE's skew handling does
+    not cover (skewed *aggregation* rather than skewed join): a key
+    holding 1% of a 100 TB table funnels ~1 TB through one task in a
+    plain hash agg, but 1/n_salts of that here. The salt column is any
+    deterministic int (a row-id modulus by default) — its distribution,
+    not its values, is what matters.
+    """
+    salt = (
+        F.pmod(F.col(salt_src), F.lit(n_salts))
+        if salt_src
+        else F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(
+            F.sum(value_col).alias("__psum"),
+            F.count("*").alias("__pcnt"),
+        )
+    )
+    return (
+        partial.groupBy(key)
+        .agg(
+            F.sum("__psum").alias(alias),
+            F.sum("__pcnt").alias("n_rows"),
+        )
+    )

@@ -1,0 +1,225 @@
+"""Corpus-level training-data curation operators (north-star LLM ops).
+
+These extend the per-document text analysis in ``functions.text`` to
+whole-corpus questions a pretraining-data pipeline asks: is the eval set
+leaking into train (contamination)? how repetitive is each document
+(Gopher-style rep fraction)? which documents only restate n-grams the
+corpus already has (novelty)? what does the token frequency head look
+like (Zipf)? and PII scrubbing before anything ships.
+
+All hot paths are built-in column expressions (whole-stage codegen); the
+only shuffles are the corpus-wide groupBy/join each op fundamentally
+needs, and every one of those is map-side-combinable or equi-join
+shaped, so the plans hold at 100 TB: n-gram streams shard uniformly by
+ngram hash, no operator collects to the driver, and skew valves
+(document-frequency caps) bound hot-key fan-out.
+
+Reference parity: the reference has no corpus analytics (it is a
+scraper); these are mandated by the north-star scope (BASELINE.json:6)
+as first-class engine surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.expr import let
+from ..functions.text import tokens
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Space-joined word n-grams as an array column; [] when the doc has
+    fewer than ``n`` tokens.
+
+    Evaluates the token split ONCE via ``let`` (Catalyst has no CSE in
+    HOF lambdas). DuckDB twin shape::
+
+        list_transform(range(1, len(toks) - n + 2),
+                       i -> toks[i] || ' ' || ... || toks[i + n - 1])
+
+    (DuckDB ``range(a, b)`` is end-exclusive and lists are 1-based;
+    Spark ``sequence(a, b)`` is inclusive — both enumerate the same
+    start positions.)
+    """
+
+    def _grams(toks: Column) -> Column:
+        m = F.size(toks)
+        return F.when(
+            m >= n,
+            F.transform(
+                F.sequence(F.lit(1), m - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(tokens(text), _grams)
+
+
+def repetition_stats(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Gopher-style repetition score: the fraction of a document's word
+    n-grams that are repeats of an n-gram already used in the same
+    document (1 - distinct/total). High values flag boilerplate and
+    looped generations that dedup-by-hash misses.
+
+    Narrow, shuffle-free: both counts come from one array expression per
+    row, so this scans and never redistributes — at 100 TB it is pure
+    map work pipelined into whatever follows.
+    """
+    grams = word_ngrams(F.col("text"), n)
+
+    def _stats(g: Column) -> Column:
+        return F.struct(
+            F.size(g).alias("n_ngrams"),
+            F.size(F.array_distinct(g)).alias("n_distinct"),
+        )
+
+    st = let(grams, _stats)
+    return documents.select(
+        "doc_id",
+        st["n_ngrams"].alias("n_ngrams"),
+        st["n_distinct"].alias("n_distinct"),
+        F.when(st["n_ngrams"] > 0,
+               F.round(1.0 - st["n_distinct"] / st["n_ngrams"], 6))
+        .otherwise(F.lit(0.0)).alias("rep_frac"),
+    )
+
+
+def contamination_check(
+    train: DataFrame, test: DataFrame, n: int = 8
+) -> DataFrame:
+    """Train/test contamination: for each test document, how many of its
+    word ``n``-grams appear verbatim anywhere in the train corpus
+    (the standard n-gram-overlap decontamination test used for
+    pretraining evals).
+
+    Scale shape: both sides explode to (ngram) streams, distinct is
+    map-side combinable, and the only cross-corpus operation is an
+    equi-join on the ngram itself — shards uniformly by ngram hash. A
+    white-hot n-gram ("of the of the...") costs train-side one row after
+    distinct, so there is no skew amplification on the build side.
+    Returns every test doc (zero-hit docs included, LEFT join).
+    """
+    test_grams = (
+        test.select(
+            "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("ngram")
+        )
+        .dropDuplicates(["doc_id", "ngram"])
+    )
+    train_grams = (
+        train.select(F.explode(word_ngrams(F.col("text"), n)).alias("ngram"))
+        .dropDuplicates(["ngram"])
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        test_grams.join(train_grams, "ngram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_ngrams",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_ngrams"), 6).alias("contamination"),
+    )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document novelty rate: the fraction of a doc's distinct word
+    n-grams that no earlier document (smaller doc_id) already contains.
+    The corpus-curriculum dual of dedup — a near-zero novelty doc is a
+    rephrasing of what the corpus already holds.
+
+    Two shuffles, both keyed by ngram: distinct (doc, ngram) pairs, then
+    a min(doc_id) window per ngram. ``first_doc == doc_id`` marks the
+    ngram's first appearance; everything is count-aggregated back per
+    doc. No joins back to the text, no driver state.
+    """
+    pairs = documents.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("ngram")
+    ).dropDuplicates(["doc_id", "ngram"])
+    w = Window.partitionBy("ngram")
+    flagged = pairs.withColumn("first_doc", F.min("doc_id").over(w))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint"))
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_ngrams"), 6).alias("novelty"),
+        )
+    )
+
+
+def token_zipf(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Global token-frequency head: top-``k`` lowercased tokens with a
+    deterministic rank (count desc, token asc — total order, so the
+    driver hash can't flip on ties).
+
+    One explode + one map-side-combinable groupBy; the top-k is a
+    TakeOrdered over per-partition heads, never a full sort of the
+    vocabulary. This is the Zipf sanity check every corpus build runs.
+    """
+    counted = (
+        documents.select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "token", "cnt")
+    )
+
+
+# PII patterns shared with the oracle SQL (RE2-safe: no lookaround).
+PII_EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_CPR_RE = r"\d{6}-\d{4}"
+PII_PHONE_RE = r"\+45 \d{2} \d{2} \d{2} \d{2}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails, Danish CPR numbers, and +45 phone numbers from a
+    text column, reporting per-row redaction counts by type. Order
+    matters and is fixed: CPR before phone (a CPR digit block must not
+    be half-eaten by the phone pattern), emails first (usernames may
+    contain digit runs).
+
+    Narrow and codegen'd — three regexp_replace + three
+    regexp_extract_all sizes per row, no shuffle at all; at 100 TB this
+    is free map work on the ingest pass.
+    """
+    c = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_cpr = F.size(F.regexp_extract_all(c, F.lit(PII_CPR_RE), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]"),
+            PII_CPR_RE,
+            "[CPR]",
+        ),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return df.withColumns(
+        {
+            "n_email": n_email,
+            "n_cpr": n_cpr,
+            "n_phone": n_phone,
+            "scrubbed": scrubbed,
+        }
+    )

@@ -417,3 +417,54 @@ def dup_clusters(
             f"raise max_iter (diameter bound) for this graph"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def edit_distance_topk(
+    documents: DataFrame,
+    bucket_width: int = 50,
+    per_bucket: int = 8,
+    prefix_len: int = 120,
+    k: int = 25,
+) -> DataFrame:
+    """Most-similar document pairs by Levenshtein edit distance over
+    bucketed candidates — the character-level near-dup family (catches
+    small in-place edits that shingle Jaccard dilutes).
+
+    Edit distance is O(len²) per pair, so the operator's whole job is
+    bounding WHICH pairs get it: candidates are (lang, length-bucket)
+    groups capped at ``per_bucket`` docs (window rank — the same valve
+    ngram_jaccard_pairs uses for hot shingles), and the distance runs on
+    a fixed prefix. At 100 TB the cap makes per-bucket work constant and
+    the equi-join on the bucket key shards uniformly; nothing is
+    quadratic in the corpus.
+    """
+    bucketed = documents.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / bucket_width).alias("len_bkt"),
+        F.substring("text", 1, prefix_len).alias("prefix"),
+    )
+    w = Window.partitionBy("lang", "len_bkt").orderBy("doc_id")
+    capped = bucketed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= per_bucket
+    )
+    a = capped.select(
+        F.col("lang"), F.col("len_bkt"),
+        F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"),
+    )
+    b = capped.select(
+        F.col("lang"), F.col("len_bkt"),
+        F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"),
+    )
+    pairs = (
+        a.join(b, ["lang", "len_bkt"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").alias("edit_dist"),
+        )
+    )
+    return pairs.orderBy(
+        F.asc("edit_dist"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(k)

@@ -261,3 +261,64 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization of an embedding column with per-vector
+    scale (absmax/127) and the round-trip RMS error — the storage-side
+    prep every large ANN index does before serving, and the error column
+    is the quality gate for it.
+
+    Narrow and codegen'd: three HOF folds per row (absmax, quantize,
+    error accumulate), all in double with a fixed sequential order so
+    both engines sum identically; no shuffle anywhere. The quantized
+    array itself is emitted as int (int8 range by construction) so the
+    downstream sink stores 1 byte/dim instead of 4.
+    """
+    from ..functions.expr import let
+
+    def _q(v: Column) -> Column:
+        absmax = F.aggregate(
+            v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+        )
+
+        def _with_scale(scale: Column) -> Column:
+            quant = F.transform(
+                v, lambda x: F.round(x.cast("double") / scale).cast("int")
+            )
+
+            def _err(q: Column) -> Column:
+                sqerr = F.aggregate(
+                    F.zip_with(
+                        v,
+                        q,
+                        lambda x, qi: (x.cast("double") - qi.cast("double") * scale)
+                        * (x.cast("double") - qi.cast("double") * scale),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, e: acc + e,
+                )
+                return F.struct(
+                    scale.alias("scale"),
+                    q.alias("q"),
+                    F.sqrt(sqerr / F.size(v)).alias("rms"),
+                )
+
+            return let(quant, _err)
+
+        return F.when(absmax > 0, let(absmax / F.lit(127.0), _with_scale))
+
+    return (
+        embeddings.select(
+            "vec_id",
+            let(F.col(vec_col), _q).alias("__s"),
+        )
+        # all-zero vectors have no scale; drop them (oracle: WHERE scale > 0)
+        .where(F.col("__s").isNotNull())
+        .select(
+            "vec_id",
+            F.round(F.col("__s.scale"), 6).alias("scale"),
+            F.col("__s.q").alias("q8"),
+            F.round(F.col("__s.rms"), 6).alias("rms_err"),
+        )
+    )

@@ -1,0 +1,157 @@
+"""Unit tests for the round-2 corpus/funnel/quantize/salted operators —
+semantics checks on hand-built frames (the oracle battery covers the
+full-table differential; these pin the edge cases)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kommunedata_data_pipeline_spark.operators.aggregates import salted_sum
+from kommunedata_data_pipeline_spark.operators.corpus import (
+    contamination_check,
+    ngram_novelty,
+    pii_scrub,
+    repetition_stats,
+    word_ngrams,
+)
+from kommunedata_data_pipeline_spark.operators.dedup import edit_distance_topk
+from kommunedata_data_pipeline_spark.operators.funnel import (
+    funnel_stages,
+    retention_cohorts,
+)
+from kommunedata_data_pipeline_spark.operators.similarity import quantize_embeddings
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_ngrams_short_doc_is_empty(spark):
+    df = _docs(spark, [(1, "a b"), (2, "a b c d")])
+    out = df.select("doc_id", word_ngrams(F.col("text"), 3).alias("g")).collect()
+    got = {r.doc_id: r.g for r in out}
+    assert got[1] == []
+    assert got[2] == ["a b c", "b c d"]
+
+
+def test_repetition_stats_flags_repeats(spark):
+    # "x y z x y z x y z" has 7 trigrams, 3 distinct
+    df = _docs(spark, [(1, "x y z x y z x y z"), (2, "a b c d")])
+    got = {r.doc_id: r for r in repetition_stats(df, n=3).collect()}
+    assert got[1].n_ngrams == 7 and got[1].n_distinct == 3
+    assert got[1].rep_frac > 0.5
+    assert got[2].rep_frac == 0.0
+
+
+def test_contamination_hits_verbatim_overlap(spark):
+    train = _docs(spark, [(0, "one two three four five six seven eight nine")])
+    test = _docs(
+        spark,
+        [
+            (1, "one two three four five six seven eight tail"),  # shares 8-gram
+            (3, "totally different words with no overlap at all nine"),
+        ],
+    )
+    got = {r.doc_id: r for r in contamination_check(train, test, n=8).collect()}
+    assert got[1].n_hit == 1 and got[1].n_ngrams == 2
+    assert got[3].n_hit == 0
+
+
+def test_ngram_novelty_first_doc_wins(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c e")])
+    got = {r.doc_id: r for r in ngram_novelty(df, n=3).collect()}
+    assert got[1].novelty == 1.0
+    # doc 2 repeats "a b c" from doc 1; only "b c e" is novel
+    assert got[2].n_novel == 1 and got[2].n_ngrams == 2
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe@firma.dk or call +45 12 34 56 78, cpr 010203-1234")],
+        "doc_id long, text string",
+    )
+    row = pii_scrub(df).collect()[0]
+    assert (row.n_email, row.n_cpr, row.n_phone) == (1, 1, 1)
+    assert "[EMAIL]" in row.scrubbed and "[CPR]" in row.scrubbed
+    assert "@" not in row.scrubbed and "010203" not in row.scrubbed
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # user 1: full ordered chain
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:01:00", "click"),
+        (1, "2024-01-01 10:02:00", "purchase"),
+        # user 2: purchase BEFORE the first view-click chain -> stage 2
+        (2, "2024-01-01 09:00:00", "purchase"),
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 10:01:00", "click"),
+        # user 3: never viewed -> stage 0
+        (3, "2024-01-01 10:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    got = {r.stage: r.n_users for r in funnel_stages(df).collect()}
+    assert got == {3: 1, 2: 1, 0: 1}
+
+
+def test_retention_week_zero_has_whole_cohort(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-10 10:00:00"),  # next week
+        (2, "2024-01-02 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {(r.cohort_week, r.week_no): r.n_active for r in retention_cohorts(df).collect()}
+    assert got[("2024-01-01", 0)] == 2
+    assert got[("2024-01-01", 1)] == 1
+
+
+def test_quantize_roundtrip_error_is_small(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = quantize_embeddings(df).collect()
+    got = {r.vec_id: r for r in rows}
+    # zero vector has no scale -> dropped
+    assert set(got) == {1}
+    assert got[1].q8 == [127, -64, 32, 0]
+    assert got[1].rms_err < got[1].scale  # error bounded by one quant step
+
+
+def test_salted_sum_equals_plain_groupby(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 7).cast("decimal(18,2)").alias("v"),
+    )
+    salted = {
+        r.k: (str(r.s), r.n_rows)
+        for r in salted_sum(df, "k", "v", n_salts=4, salt_src="rid", alias="s").collect()
+    }
+    plain = {
+        r.k: (str(r.s), r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    for k in plain:
+        assert salted[k][0].rstrip("0").rstrip(".") == plain[k][0].rstrip("0").rstrip(".")
+        assert salted[k][1] == plain[k][1]
+
+
+def test_edit_distance_topk_orders_identical_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", 100, "same prefix text here"),
+            (2, "en", 101, "same prefix text here"),
+            (3, "en", 120, "completely other words"),
+        ],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    rows = edit_distance_topk(df, bucket_width=50, per_bucket=8, k=5).collect()
+    assert rows[0].doc_a == 1 and rows[0].doc_b == 2 and rows[0].edit_dist == 0
