@@ -44,11 +44,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("orders", "events", "documents", "embeddings"):
-        # (lineitem deliberately excluded: its queries are scan+aggregate
-        # shaped — map-side partial agg over one split beats paying a
-        # 600k-row shuffle first; the per-row-heavy work in this suite
-        # lives on the tables below)
+    if name in ("orders", "events", "documents", "embeddings") or (
+        cache_on and name == "lineitem"
+    ):
         # Fact tables in this testdata are single-row-group files = ONE
         # input split (parquet can't split below a row group), so every
         # map-side stage (scan, filter, regex/hash work, partial agg)
@@ -57,6 +55,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # 32-way map parallelism. At real scale the scan has thousands of
         # natural splits and this branch is a no-op. Catalyst still pushes
         # filters and column pruning through Repartition into the scan.
+        #
+        # lineitem joins the branch only under the suite-level scan cache:
+        # one-shot, a single-split map-side partial agg beats paying the
+        # 600k-row shuffle first, but a cached suite pays the shuffle ONCE
+        # and then every lineitem query gets full map parallelism from the
+        # cached partitions.
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)

@@ -125,23 +125,34 @@ def run_to_memory(
     200 state-store tasks for a 15-key stream. 8 is right for the test
     corpus; a real deployment sizes it to key cardinality × executor
     count once, up front. None = inherit the session conf."""
+    import os
+    import shutil
+    import uuid
+
     spark = stream_df.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     if shuffle_partitions is not None:
         spark.conf.set(key, str(shuffle_partitions))
+    # Checkpoint (offset log + state store files) on tmpfs when the box
+    # has one: a bounded run fsyncs the checkpoint every micro-batch, and
+    # that disk latency is pure per-query floor. Real deployments point
+    # this at durable storage; the memory-sink runner is test/bench-only.
+    ckpt = None
+    if os.path.isdir("/dev/shm"):
+        ckpt = f"/dev/shm/kommunedata-ckpt-{name}-{uuid.uuid4().hex[:8]}"
     try:
-        q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
+        writer = stream_df.writeStream.outputMode(output_mode).format("memory")
+        if ckpt:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.queryName(name).start()
         q.processAllAvailable()
         q.stop()
     finally:
         if shuffle_partitions is not None:
             spark.conf.set(key, prev)
+        if ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return q
 
 
