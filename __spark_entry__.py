@@ -3454,6 +3454,111 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_scd2_apply",
+    """
+    WITH upd AS (
+      -- +10% in exact cents math (floor((cents*11+5)/10) = half-up), so
+      -- both engines land on the identical double
+      SELECT c_custkey,
+             CAST(floor((CAST(round(c_acctbal * 100) AS BIGINT) * 11 + 5)
+                        / 10) AS DOUBLE) / 100 AS new_bal
+      FROM customer WHERE c_custkey % 7 = 0
+    ), closed AS (
+      SELECT c.c_custkey, c.c_acctbal, '2024-01-01' AS valid_from,
+             CASE WHEN u.c_custkey IS NOT NULL THEN '2024-06-01' END AS valid_to
+      FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+    ), fresh AS (
+      SELECT c_custkey, new_bal AS c_acctbal, '2024-06-01' AS valid_from,
+             CAST(NULL AS VARCHAR) AS valid_to
+      FROM upd
+    )
+    SELECT c_custkey, c_acctbal, valid_from, valid_to
+    FROM (SELECT * FROM closed UNION ALL SELECT * FROM fresh)
+    """,
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 versioned upsert: close the superseded customer rows at the
+    effective date, open new versions with the updated balance. One
+    keyed join + union — the minimum shuffle shape for a keyed merge."""
+    from kommunedata_data_pipeline_spark.operators.scd import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    updates = c.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.floor((cents * 11 + 5) / 10).cast("double") / 100).alias("c_acctbal"),
+    )
+    return scd2_apply(
+        dim, updates, "c_custkey", ["c_acctbal"], "2024-06-01"
+    ).select("c_custkey", "c_acctbal", "valid_from", "valid_to")
+
+
+@_q(
+    "q_cumulative_users",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT strftime(first_day, '%Y-%m-%d') AS day, count(*) AS n_new
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM per_day
+    """,
+)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user counts with a running total (the growth-curve
+    query): min(ts) per user, day rollup, one cumulative window over the
+    tiny per-day frame."""
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    per_day = first_seen.groupBy("first_day").agg(F.count("*").alias("n_new"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"), "n_new"
+    ).withColumn("cum_users", F.sum("n_new").over(w))
+
+
+@_q(
+    "q_value_histogram",
+    """
+    SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS bin_sum
+    FROM events
+    GROUP BY bin
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over the event value stream — map-side
+    combinable, decimal-exact bin sums."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.floor(F.col("value") / 10).alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("bin_sum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
