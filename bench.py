@@ -37,7 +37,15 @@ def main() -> None:
     # tables; persisting the scan once amortizes read+redistribution
     # (best-of-2 timing means the cached steady state is what's measured)
     os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
-    spark = get_spark(app_name="kommunedata-bench", shuffle_partitions=parts)
+    # AQE's per-shuffle stage materialization + re-plan costs ~0.2 s per
+    # query at sub-GB scale while buying nothing (partitions are already
+    # sized above, no skew at this sf). Keep it for real scale — runtime
+    # coalesce/skew-split matter when shuffle stats are unknown — but
+    # below ~10 GB the static plan is strictly better.
+    extra = {"spark.sql.adaptive.enabled": "false"} if total_mb < 10_000 else {}
+    spark = get_spark(
+        app_name="kommunedata-bench", shuffle_partitions=parts, extra_conf=extra
+    )
 
     # warm-up (not timed): JVM + parquet footers, and the Python worker
     # pool — the first Arrow-UDF stage otherwise pays a one-off storm of

