@@ -3559,6 +3559,151 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKETCH_HASH = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT"
+
+
+@_q(
+    "q_hll_registers",
+    f"""
+    WITH h AS (
+      SELECT {_SKETCH_HASH} AS h FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT CAST(floor(h / 67108864) AS BIGINT) AS bucket,
+           CAST(max(CASE WHEN h % 67108864 = 0 THEN 27
+                         ELSE 27 - length(bin(h % 67108864)) END) AS BIGINT)
+             AS max_rho
+    FROM h GROUP BY 1
+    """,
+)
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (m=64) over event users — the mergeable
+    sketch state, pure integers. groupBy over 64 keys is map-side
+    combinable: at 100 TB each partition reduces to 64 rows before the
+    shuffle, which is the whole point of a mergeable sketch."""
+    from kommunedata_data_pipeline_spark.operators.sketches import hll_registers
+
+    return hll_registers(_t(spark, sf_dir, "events"), "user_id")
+
+
+@_q(
+    "q_sketch_distinct",
+    f"""
+    WITH h AS (
+      SELECT {_SKETCH_HASH} AS h FROM events WHERE user_id IS NOT NULL
+    ), regs AS (
+      SELECT floor(h / 67108864) AS bucket,
+             max(CASE WHEN h % 67108864 = 0 THEN 27
+                      ELSE 27 - length(bin(h % 67108864)) END) AS max_rho
+      FROM h GROUP BY 1
+    ), hagg AS (
+      SELECT sum(pow(2.0, -max_rho)) AS s_present, count(*) AS n_present
+      FROM regs
+    ), hll AS (
+      SELECT round(CASE WHEN (0.709 * 64 * 64 / (s_present + (64 - n_present)))
+                             <= 160.0 AND (64 - n_present) > 0
+                        THEN 64.0 * ln(64.0 / (64 - n_present))
+                        ELSE 0.709 * 64 * 64 / (s_present + (64 - n_present))
+                   END, 4) AS est_hll
+      FROM hagg
+    ), kmins AS (
+      SELECT DISTINCT h FROM h ORDER BY h LIMIT 32
+    ), kmv AS (
+      SELECT round(31.0 / (max(h) / 4294967296.0), 4) AS est_kmv FROM kmins
+    ), ex AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT n_exact, est_kmv, est_hll FROM ex, kmv, hll
+    """,
+)
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs KMV vs HLL distinct-user counts side by side. The sketch
+    math is engine-exact by construction (see operators/sketches.py
+    docstring), so even the 'approximate' estimators carry an exact
+    oracle. The crossJoins are one-row frames."""
+    from kommunedata_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        kmv_estimate,
+    )
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    exact = e.agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+    return exact.crossJoin(kmv_estimate(e, "user_id", 32)).crossJoin(
+        hll_estimate(e, "user_id")
+    )
+
+
+_BLOOM_BIT = (
+    "('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), {p}, 8))::BIGINT % 1024"
+)
+
+
+@_q(
+    "q_bloom_membership",
+    f"""
+    WITH neg AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    ), bits AS (
+      SELECT DISTINCT bit FROM (
+        SELECT {_BLOOM_BIT.format(p=1)} AS bit FROM neg
+        UNION ALL SELECT {_BLOOM_BIT.format(p=9)} FROM neg
+        UNION ALL SELECT {_BLOOM_BIT.format(p=17)} FROM neg
+      )
+    ), probe AS (
+      SELECT c_acctbal,
+             {_BLOOM_BIT.format(p=1)} AS b0,
+             {_BLOOM_BIT.format(p=9)} AS b1,
+             {_BLOOM_BIT.format(p=17)} AS b2
+      FROM customer
+    ), flagged AS (
+      SELECT c_acctbal,
+             (b0 IN (SELECT bit FROM bits)
+              AND b1 IN (SELECT bit FROM bits)
+              AND b2 IN (SELECT bit FROM bits)) AS maybe
+      FROM probe
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CAST(sum(CASE WHEN maybe AND c_acctbal >= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM flagged
+    """,
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (m=1024 bits, 3 md5-derived hashes): build
+    the bit set from negative-balance customers, probe every customer,
+    report flagged / true / false-positive counts. The bit table is tiny
+    and broadcast — membership costs the probe side no shuffle; no false
+    negatives by construction (n_flagged >= n_true always)."""
+    from kommunedata_data_pipeline_spark.operators.sketches import (
+        bloom_bits,
+        bloom_contains,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    neg = c.where(F.col("c_acctbal") < 0).select("c_custkey")
+    bits = bloom_bits(neg, "c_custkey", 1024, 3)
+    probed = bloom_contains(
+        c.select("c_custkey", "c_acctbal"), "c_custkey", bits, 1024, 3
+    )
+    return probed.agg(
+        F.count("*").cast("bigint").alias("n_probe"),
+        F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+        F.sum(
+            F.when(F.col("maybe_member") & (F.col("c_acctbal") >= 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -50,12 +50,12 @@ def _rho(w: Column) -> Column:
 def hll_registers(df: DataFrame, col: str) -> DataFrame:
     """(bucket, max_rho) register table of a 64-register HyperLogLog over
     ``col``. Pure integers — the mergeable state, exactly comparable."""
-    h = md5_bigint(F.col(col))
+    h = md5_bigint(F.col(col).cast("string"))
     bucket = F.floor(h / F.lit(HLL_W_MOD)).cast("bigint")
     w = F.pmod(h, F.lit(HLL_W_MOD))
     return (
         df.where(F.col(col).isNotNull())
-        .select(bucket.alias("bucket"), _rho(w).alias("rho"))
+        .select(bucket.alias("bucket"), _rho(w).cast("bigint").alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("max_rho"))
     )
@@ -85,7 +85,7 @@ def kmv_estimate(df: DataFrame, col: str, k: int = 32) -> DataFrame:
     (k-1) / u_(k) where u_(k) is the k-th smallest distinct hash mapped
     to (0,1). Global top-k over distinct hashes — TakeOrdered, no full
     sort."""
-    h = md5_bigint(F.col(col))
+    h = md5_bigint(F.col(col).cast("string"))
     mins = (
         df.where(F.col(col).isNotNull())
         .select(h.alias("h"))
@@ -105,7 +105,7 @@ def bloom_bits(df: DataFrame, col: str, m_bits: int, n_hashes: int = 3) -> DataF
     the mergeable state. Hash family: md5 at byte offsets (independent
     32-bit hashes from one digest), each mod m_bits."""
     bits = F.array(
-        *[F.pmod(md5_bigint(F.col(col), 8 * i), F.lit(m_bits)) for i in range(n_hashes)]
+        *[F.pmod(md5_bigint(F.col(col).cast("string"), 8 * i), F.lit(m_bits)) for i in range(n_hashes)]
     )
     return (
         df.where(F.col(col).isNotNull())
@@ -124,7 +124,7 @@ def bloom_contains(
     probe_bits = probe.select(
         "*",
         *[
-            F.pmod(md5_bigint(F.col(col), 8 * i), F.lit(m_bits)).alias(f"__b{i}")
+            F.pmod(md5_bigint(F.col(col).cast("string"), 8 * i), F.lit(m_bits)).alias(f"__b{i}")
             for i in range(n_hashes)
         ],
     )
