@@ -3739,12 +3739,31 @@ _R1_DRIVER_CHECKED = frozenset(
 )
 
 
+# More unchecked queries than the driver's ~50-row check window: these
+# use only conventions already proven green by r1 driver rows (cast
+# aggregate + groupBy/window TPC-H shapes), so they yield their window
+# slot to the novel-machinery queries (sketches, streams, media) whose
+# cross-engine behavior the local battery can't fully de-risk.
+_LOW_RISK_TAIL = (
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q8_market_share",
+    "q_cumulative_users",
+    "q_value_histogram",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     driver-unchecked queries register (and therefore get checked) first."""
-    first = [n for n in _SPARK if n not in _R1_DRIVER_CHECKED]
+    first = [
+        n
+        for n in _SPARK
+        if n not in _R1_DRIVER_CHECKED and n not in _LOW_RISK_TAIL
+    ]
+    tail = [n for n in _LOW_RISK_TAIL if n in _SPARK]
     rest = [n for n in _SPARK if n in _R1_DRIVER_CHECKED]
-    return {n: _SPARK[n] for n in first + rest}
+    return {n: _SPARK[n] for n in first + tail + rest}
 
 
 def oracle_sql() -> dict[str, str]:
