@@ -3704,6 +3704,113 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_CELL = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), {p}, 8))::BIGINT % 256"
+
+
+@_q(
+    "q_cms_heavy_hitters",
+    f"""
+    WITH cells AS (
+      SELECT r, c, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT 0 AS r, {_CMS_CELL.format(p=1)} AS c
+        FROM events WHERE user_id IS NOT NULL
+        UNION ALL SELECT 1, {_CMS_CELL.format(p=9)}
+        FROM events WHERE user_id IS NOT NULL
+        UNION ALL SELECT 2, {_CMS_CELL.format(p=17)}
+        FROM events WHERE user_id IS NOT NULL
+      ) GROUP BY r, c
+    ), exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10
+    ), probe AS (
+      SELECT user_id, n_exact,
+             {_CMS_CELL.format(p=1)} AS c0,
+             {_CMS_CELL.format(p=9)} AS c1,
+             {_CMS_CELL.format(p=17)} AS c2
+      FROM exact
+    )
+    SELECT p.user_id, p.n_exact, least(m0.n, m1.n, m2.n) AS n_cms
+    FROM probe p
+    JOIN cells m0 ON m0.r = 0 AND m0.c = p.c0
+    JOIN cells m1 ON m1.r = 1 AND m1.c = p.c1
+    JOIN cells m2 ON m2.r = 2 AND m2.c = p.c2
+    ORDER BY p.n_exact DESC, p.user_id
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (3x256, md5-derived rows) over event users:
+    top-10 exact heavy hitters with their CMS estimates side by side
+    (n_cms >= n_exact by construction). The sketch state is mergeable
+    and map-side combinable; lookups broadcast the 768-cell table."""
+    from kommunedata_data_pipeline_spark.operators.sketches import (
+        countmin_lookup,
+        countmin_table,
+    )
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    cms = countmin_table(e, "user_id", 256, 3)
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(10)
+    )
+    return countmin_lookup(top, "user_id", cms, 256, 3).orderBy(
+        F.desc("n_exact"), "user_id"
+    )
+
+
+@_q(
+    "q_stream_join",
+    """
+    WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purch_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT view_id, purch_id, v.user_id,
+           epoch_us(v.ts) AS view_ts_us, epoch_us(p.ts) AS purch_ts_us
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each view matched to the same user's
+    purchases within the following hour. Watermarks on both sides + the
+    time-range bound let Spark expire join state (the unbounded-stream
+    requirement). Exact oracle: bounded source ⇒ the streamed matches
+    equal the batch interval join."""
+    from kommunedata_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_interval_join,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purch_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purch_ts"),
+    )
+    joined = stream_stream_interval_join(
+        views, purchases, "user_id", "p_user", "view_ts", "purch_ts",
+        max_lag="1 hour", watermark="2 hours",
+    ).select(
+        "view_id",
+        "purch_id",
+        "user_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        F.unix_micros("purch_ts").alias("purch_ts_us"),
+    )
+    run_to_memory(joined, "q_stream_join_sink")
+    return spark.table("q_stream_join_sink")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
@@ -3750,6 +3857,8 @@ _LOW_RISK_TAIL = (
     "q8_market_share",
     "q_cumulative_users",
     "q_value_histogram",
+    "q_date_arithmetic",
+    "q_first_last_window",
 )
 
 

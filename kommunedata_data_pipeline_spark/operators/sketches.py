@@ -114,6 +114,69 @@ def bloom_bits(df: DataFrame, col: str, m_bits: int, n_hashes: int = 3) -> DataF
     )
 
 
+def countmin_table(
+    df: DataFrame, col: str, width: int = 256, depth: int = 3
+) -> DataFrame:
+    """(r, c, n) cell counts of a count-min sketch over ``col`` — the
+    mergeable state. One pass: each row contributes ``depth`` cells via
+    an explode, then a groupBy over width*depth keys (map-side
+    combinable: partitions reduce to the sketch size before the
+    shuffle)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.pmod(
+                    md5_bigint(F.col(col).cast("string"), 8 * i), F.lit(width)
+                ).alias("c"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def countmin_lookup(
+    probe: DataFrame, col: str, cms: DataFrame, width: int = 256, depth: int = 3
+) -> DataFrame:
+    """probe rows + ``n_cms``: the count-min estimate (min over rows of
+    the hashed cell's count — never under-counts). The sketch is tiny
+    (width*depth rows) and broadcast, so the probe side never shuffles."""
+    hashed = probe.select(
+        "*",
+        *[
+            F.pmod(md5_bigint(F.col(col).cast("string"), 8 * i), F.lit(width)).alias(
+                f"__c{i}"
+            )
+            for i in range(depth)
+        ],
+    )
+    out = hashed
+    bcms = F.broadcast(cms)
+    for i in range(depth):
+        out = out.join(
+            bcms.select(
+                F.col("r").alias(f"__r{i}"),
+                F.col("c").alias(f"__cc{i}"),
+                F.col("n").alias(f"__n{i}"),
+            ),
+            (F.col(f"__r{i}") == i) & (F.col(f"__cc{i}") == F.col(f"__c{i}")),
+            "left",
+        )
+    est = F.least(*[F.coalesce(F.col(f"__n{i}"), F.lit(0)) for i in range(depth)])
+    drop = [
+        name
+        for i in range(depth)
+        for name in (f"__c{i}", f"__r{i}", f"__cc{i}", f"__n{i}")
+    ]
+    return out.withColumn("n_cms", est.cast("bigint")).drop(*drop)
+
+
 def bloom_contains(
     probe: DataFrame, col: str, bits: DataFrame, m_bits: int, n_hashes: int = 3
 ) -> DataFrame:

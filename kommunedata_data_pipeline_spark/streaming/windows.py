@@ -107,6 +107,32 @@ def stream_static_enrich(
     return events.join(F.broadcast(dim), events[on_left] == dim[on_right])
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join on key where the right event lands in
+    [left_ts, left_ts + max_lag]. Both sides carry watermarks and the
+    join has a time-range bound, so Spark can expire join state — the
+    requirement for unbounded streams: state per key is limited to the
+    watermark horizon instead of growing forever. Key/ts column names
+    must be distinct across the two sides."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[left_key] == r[right_key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return l.join(r, cond)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
