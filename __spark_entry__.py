@@ -3811,6 +3811,71 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_join_sink")
 
 
+def _pagerank_oracle_sql(n_iter: int = 5) -> str:
+    """Unrolled integer-PageRank oracle: recursive CTEs can't aggregate
+    per step, so each synchronous update is one generated CTE layer."""
+    layers = []
+    for i in range(1, n_iter + 1):
+        layers.append(
+            f"""r{i} AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(s.contrib, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(p.r // d.deg) AS contrib
+        FROM edges e
+        JOIN r{i-1} p ON p.node = e.src
+        JOIN degs d ON d.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+        )
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey + 1000000 AS s_node, o_custkey AS c_node
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT s_node AS src, c_node AS dst FROM pairs
+      UNION ALL SELECT c_node, s_node FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ), degs AS (
+      SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(150000 AS BIGINT) AS r FROM nodes
+    ), {", ".join(layers)}
+    SELECT node, r FROM r{n_iter} ORDER BY r DESC, node LIMIT 20
+    """
+
+
+@_q("q_pagerank", _pagerank_oracle_sql(5))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-unit PageRank (5 synchronous iterations) over the
+    supplier<->customer transaction graph; top-20 nodes. Integer rank
+    units make the iteration exact and partitioning-independent — see
+    operators/graph.py. Per iteration: one ranks-onto-edges equi-join +
+    one map-side-combinable groupBy(dst)."""
+    from kommunedata_data_pipeline_spark.operators.graph import pagerank_integer
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") + 1000000).alias("s_node"),
+            F.col("o_custkey").alias("c_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s_node").alias("src"), F.col("c_node").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+    )
+    ranks = pagerank_integer(edges, 5)
+    return ranks.orderBy(F.desc("r"), "node").limit(20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
@@ -3859,6 +3924,7 @@ _LOW_RISK_TAIL = (
     "q_value_histogram",
     "q_date_arithmetic",
     "q_first_last_window",
+    "q_base64_roundtrip",
 )
 
 

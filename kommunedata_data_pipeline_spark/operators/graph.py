@@ -1,0 +1,96 @@
+"""Iterative graph algorithms as DataFrame programs.
+
+`dup_clusters` (operators/dedup.py) covers connected components; this
+module adds rank propagation — PageRank in *integer* rank units so the
+result is bit-identical across engines and partitionings:
+
+- ranks live as BIGINT "micro-rank" units (base 150000 = 0.15 scaled by
+  1e6 per the damping convention below);
+- a node's contribution is ``rank div out_degree`` (exact integer
+  division — the floor'd remainder is defined away by the algorithm
+  statement, not a float rounding accident);
+- update: ``150000 + (85 * sum(contribs)) div 100`` == damping 0.85
+  with base 0.15, all in integers.
+
+Float PageRank sums doubles in partition order — irreproducible across
+engines AND across partitionings of the same engine; integer sums are
+associative-commutative-exact, which is what makes an exact DuckDB
+oracle (and a deterministic distributed run) possible.
+
+Scale shape per iteration: one equi-join of ranks onto edges (both
+sharded by src — co-partitioned after the first shuffle), one groupBy
+dst (map-side combinable sum). Edges and degrees are computed once and
+cached; no driver-side state, no full-graph collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_BASE = 150000       # 0.15 in micro-rank units
+PR_DAMP_NUM = 85       # damping 0.85 as a ratio
+PR_DAMP_DEN = 100
+
+
+def pagerank_integer(
+    edges: DataFrame, n_iter: int = 5, shuffle_partitions: int | None = None
+) -> DataFrame:
+    """(node, r) integer PageRank after ``n_iter`` synchronous updates
+    over ``edges(src, dst)``. Dangling nodes (no out-edges) simply leak
+    their mass — the standard simplification, stated not hidden.
+
+    ``shuffle_partitions`` is scoped to the iteration loop (the eager
+    checkpoints materialize every round inside the scope): an iterative
+    solver makes ~3 shuffles per round, so partition count must track
+    the GRAPH size, not the session default — under a 200-partition
+    session a 16k-node graph otherwise pays thousands of near-empty
+    tasks per query. Defaults to the cluster's default parallelism.
+    Results are partitioning-independent (integer math), only speed
+    changes."""
+    spark = edges.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    target = shuffle_partitions or spark.sparkContext.defaultParallelism
+    spark.conf.set(key, str(target))
+    try:
+        return _pagerank_loop(edges, n_iter)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _pagerank_loop(edges: DataFrame, n_iter: int) -> DataFrame:
+    edges = edges.select("src", "dst").cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    degs = edges.groupBy("src").agg(F.count("*").alias("deg")).cache()
+    ranks = nodes.select("node", F.lit(PR_BASE).cast("bigint").alias("r"))
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(degs, "src")
+            .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(PR_BASE)
+                + F.expr(
+                    f"({PR_DAMP_NUM} * coalesce(contrib, 0)) div {PR_DAMP_DEN}"
+                )
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+        # materialize + truncate lineage each round: without this the
+        # plan for iteration i re-embeds (and re-executes) every prior
+        # join/agg — O(n^2) work and an exploding DAG (same device as
+        # dedup.dup_clusters)
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks

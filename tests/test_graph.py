@@ -1,0 +1,43 @@
+"""Integer PageRank operator (operators/graph.py) vs a pure-Python
+reference implementation of the same integer algorithm."""
+
+from __future__ import annotations
+
+from kommunedata_data_pipeline_spark.operators.graph import (
+    PR_BASE,
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    pagerank_integer,
+)
+
+EDGES = [(1, 2), (2, 3), (3, 1), (3, 2), (4, 3)]
+
+
+def _reference(edges, n_iter):
+    nodes = sorted({n for e in edges for n in e})
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    ranks = {n: PR_BASE for n in nodes}
+    for _ in range(n_iter):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += ranks[s] // out_deg[s]
+        ranks = {
+            n: PR_BASE + (PR_DAMP_NUM * contrib[n]) // PR_DAMP_DEN for n in nodes
+        }
+    return ranks
+
+
+def test_pagerank_matches_reference(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r.node: r.r for r in pagerank_integer(df, 5, shuffle_partitions=4).collect()}
+    assert got == _reference(EDGES, 5)
+
+
+def test_pagerank_restores_shuffle_conf(spark):
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    pagerank_integer(df, 2, shuffle_partitions=4)
+    assert spark.conf.get(key) == before
