@@ -180,3 +180,14 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_sketch_lookups_broadcast_probe_side(spark):
+    """Bloom and count-min lookups must broadcast the tiny sketch state —
+    the probe side never shuffles for membership/estimate joins, which is
+    what keeps them viable on a 100 TB probe stream."""
+    for name in ("q_bloom_membership", "q_cms_heavy_hitters"):
+        p = _plan(spark, name)
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+        assert "Cartesian" not in p, name
