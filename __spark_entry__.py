@@ -58,6 +58,7 @@ from kommunedata_data_pipeline_spark.operators.joins import asof_join, range_joi
 from kommunedata_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs_banded,
+    ivf_topk,
     lsh_banded_topk,
 )
 from kommunedata_data_pipeline_spark.plans.pipeline import flagship_meetings_to_fetch
@@ -1262,6 +1263,78 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
     return lsh_banded_topk(e, q, 5, n_bands=4, band_bits=8)
+
+
+def _ivf_cos_sql(a: str, b: str) -> str:
+    """round-5 cosine between list columns ``a`` and ``b`` (DuckDB)."""
+    return (
+        f"round(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 5)"
+    )
+
+
+@_q(
+    "q_ann_ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS c_embedding
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    asg AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_ivf_cos_sql('e.embedding', 'c.c_embedding')} DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    lists AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+    pr AS (
+      SELECT q.query_id, q.q_embedding, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {_ivf_cos_sql('q.q_embedding', 'c.c_embedding')} DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM (SELECT vec_id AS query_id, embedding AS q_embedding
+            FROM embeddings WHERE vec_id < 8) q
+      CROSS JOIN cents c
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id,
+             {_ivf_cos_sql('e.embedding', 'p.q_embedding')} AS cosine_sim
+      FROM lists e
+      JOIN (SELECT query_id, q_embedding, centroid_id FROM pr WHERE rn <= 2) p
+        ON e.centroid_id = p.centroid_id
+      WHERE e.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (the coarse-quantizer family next to the sign-LSH
+    one): corpus partitioned into 16 inverted lists by nearest
+    deterministic centroid (k smallest md5(vec_id) vectors — replayable
+    "training"), queries probe their 2 nearest lists. Assignment is a
+    map-side fold over a one-row broadcast centroid array — zero
+    shuffles; the only corpus shuffle is the centroid_id equi-join, with
+    per-list fan-out ~N/16 (n_centroids bounds it, nprobe buys recall)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ivf_topk(e, q, 5, n_centroids=16, nprobe=2)
 
 
 # --------------------------------------------------------------------------

@@ -263,6 +263,126 @@ def embedding_near_dup_pairs(
     )
 
 
+def deterministic_centroids(
+    embeddings: DataFrame, n_centroids: int = 16
+) -> DataFrame:
+    """IVF "training" both engines can replay exactly: the ``n_centroids``
+    corpus vectors with the smallest ``md5(vec_id)`` act as centroids (a
+    deterministic stand-in for k-means — md5 gives a uniform pseudo-random
+    draw with no RNG state to disagree on). ``orderBy().limit()`` is a
+    distributed TakeOrdered, not a single-partition sort."""
+    return (
+        embeddings.select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_embedding"),
+        )
+        .orderBy(F.md5(F.col("centroid_id").cast("string")), F.col("centroid_id"))
+        .limit(n_centroids)
+    )
+
+
+def nearest_centroid(vec: Column, cents: Column) -> Column:
+    """Argmax-cosine over a ``array<struct<centroid_id,c_embedding>>``
+    column (sorted by centroid_id): a single sequential fold keeping the
+    best (sim, cid); strict ``>`` + ascending iteration keeps the lowest
+    centroid_id on rounded-sim ties — same order as
+    ``ORDER BY sim DESC, centroid_id``. Entirely map-side: assignment
+    costs zero shuffles no matter the corpus size."""
+    from ..functions.expr import let
+
+    def _fold(nv: Column) -> Column:
+        return F.aggregate(
+            cents,
+            F.struct(
+                F.lit(-2.0).alias("sim"), F.lit(-1).cast("bigint").alias("cid")
+            ),
+            lambda acc, c: let(
+                F.round(
+                    _dot(vec, c["c_embedding"]) / (nv * _norm(c["c_embedding"])), 5
+                ),
+                lambda s: F.when(
+                    s > acc["sim"],
+                    F.struct(s.alias("sim"), c["centroid_id"].alias("cid")),
+                ).otherwise(acc),
+            ),
+        )
+
+    return let(_norm(vec), _fold)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF ANN top-k: partition the corpus into ``n_centroids`` inverted
+    lists (nearest-centroid assignment), probe the query's ``nprobe``
+    nearest lists, score exactly inside them.
+
+    Scale shape (100 TB): centroids are a one-row broadcast array, so
+    assignment is pure map-side codegen (no shuffle); the only corpus
+    shuffle is the equi-join on centroid_id, and each list holds ~N/K
+    vectors — `n_centroids` is the fan-out bound, `nprobe` buys recall,
+    exactly the IVF trade-off (Faiss-style) expressed relationally. No
+    dedup needed: every vector lives in exactly one list."""
+    cents = deterministic_centroids(embeddings, n_centroids)
+    carr = cents.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("centroid_id"), F.col("c_embedding")))
+        ).alias("cents")
+    )
+    lists = embeddings.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "embedding",
+        nearest_centroid(F.col("embedding"), F.col("cents"))["cid"].alias(
+            "centroid_id"
+        ),
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            query_id,
+            "q_embedding",
+            "centroid_id",
+            F.round(cosine(F.col("q_embedding"), F.col("c_embedding")), 5).alias(
+                "csim"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(
+                    F.col("csim").desc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") <= nprobe)
+        .select(query_id, "q_embedding", "centroid_id")
+    )
+    joined = lists.join(F.broadcast(probes), "centroid_id").where(
+        F.col("vec_id") != F.col(query_id)
+    )
+    scored = joined.select(
+        F.col(query_id),
+        F.col("vec_id"),
+        F.round(cosine(F.col("embedding"), F.col("q_embedding")), 5).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "vec_id", "cosine_sim", "rank")
+        .orderBy(query_id, "rank")
+    )
+
+
 def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Symmetric int8 quantization of an embedding column with per-vector
     scale (absmax/127) and the round-trip RMS error — the storage-side
