@@ -41,3 +41,25 @@ def test_pagerank_restores_shuffle_conf(spark):
     df = spark.createDataFrame(EDGES, "src long, dst long")
     pagerank_integer(df, 2, shuffle_partitions=4)
     assert spark.conf.get(key) == before
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from kommunedata_data_pipeline_spark.operators.graph import triangle_count
+
+    # K4 on {1..4} (4 triangles) + a pendant (5) + a 5-cycle {6..10}
+    # (0 triangles) + one chord 6-8 (1 triangle)
+    und = sorted(
+        {tuple(sorted(e)) for e in combinations([1, 2, 3, 4], 2)}
+        | {(4, 5), (6, 7), (7, 8), (8, 9), (9, 10), (6, 10), (6, 8)}
+    )
+    adj = {tuple(e) for e in und}
+    expect = sum(
+        1
+        for a, b, c in combinations(sorted({n for e in und for n in e}), 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    row = triangle_count(spark.createDataFrame(und, "u long, v long")).collect()[0]
+    assert row.n_triangles == expect == 5
+    assert row.n_nodes == 10 and row.n_edges == len(und)
