@@ -148,9 +148,12 @@ def run_to_memory(
     streaming op creates ONE state store instance per shuffle partition,
     and that count is fixed at the first checkpoint forever — under the
     driver's shuffle.partitions=200 session every micro-batch would pay
-    200 state-store tasks for a 15-key stream. 8 is right for the test
-    corpus; a real deployment sizes it to key cardinality × executor
-    count once, up front. None = inherit the session conf."""
+    200 state-store tasks for a 15-key stream. Measured on the test
+    corpus: JVM-stateful ops (window aggs, stream-stream join) bottom
+    out at 4 partitions, while Arrow/Pandas-stateful ops want 8+ (the
+    Python worker pool is the scarce resource, not store commits). A
+    real deployment sizes it to key cardinality × executor count once,
+    up front. None = inherit the session conf."""
     import os
     import shutil
     import uuid
