@@ -4024,9 +4024,58 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
+@_q(
+    "q_skyline",
+    """
+    WITH b AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate,
+             CAST(floor(o_totalprice / 1000) AS BIGINT) AS bin
+      FROM orders
+    ),
+    bm AS (SELECT bin, min(o_orderdate) AS bin_min FROM b GROUP BY bin),
+    hi AS (
+      SELECT bin,
+             min(bin_min) OVER (ORDER BY bin DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS higher_min
+      FROM bm
+    ),
+    sv AS (
+      SELECT b.o_orderkey, b.o_totalprice, b.o_orderdate
+      FROM b JOIN hi USING (bin)
+      WHERE higher_min IS NULL OR o_orderdate < higher_min
+    ),
+    r AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate,
+             min(o_orderdate) OVER (
+               ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+      FROM sv
+    )
+    SELECT o_orderkey, round(o_totalprice, 2) AS price,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate
+    FROM r WHERE prev_min IS NULL OR o_orderdate < prev_min
+    ORDER BY price DESC, odate, o_orderkey
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders: highest price, earliest
+    date, no other order better on both. Filter-then-refine
+    (operators/relational.py:skyline_2d): fixed-width price bins kill
+    everything cross-bin-dominated in one combinable shuffle + broadcast
+    probe, so the exact cumulative-min refine window runs on a
+    few-hundred-row survivor set — the corpus never sees a global sort."""
+    from kommunedata_data_pipeline_spark.operators.relational import skyline_2d
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    sky = skyline_2d(o, "o_totalprice", "o_orderdate", "o_orderkey", 1000.0)
+    return sky.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
+    ).orderBy(F.col("price").desc(), "odate", "o_orderkey")
 
 
 # Names that already have a green driver-correctness row from round 1.

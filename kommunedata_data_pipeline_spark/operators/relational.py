@@ -103,3 +103,60 @@ def with_fallback_sequence(
     (`svendborg_referat_{offset}` scraper_svendborg.py:150-152)."""
     w = Window.partitionBy(*partition_cols).orderBy(*order)
     return df.withColumn(out_col, F.row_number().over(w))
+
+
+def skyline_2d(
+    df: DataFrame,
+    max_col: str,
+    min_col: str,
+    id_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """2-D Pareto frontier: rows not dominated by any other row (dominator
+    has ``max_col`` >=, ``min_col`` <=, at least one strict; exact
+    (max_col, min_col) duplicates collapse to the min-``id_col``
+    representative).
+
+    Filter-then-refine, the distributed skyline shape: bin ``max_col``
+    into fixed-width ranges, take each bin's min ``min_col`` (one
+    map-side-combinable shuffle over ~range/bin_width groups), run a
+    cumulative min over the strictly-higher bins (tiny aggregate frame),
+    and keep only rows that beat it — everything cross-bin-dominated
+    dies here, so the exact refine window sees a few-hundred-row
+    survivor set instead of the corpus. The refine is the classic sorted
+    cumulative-min pass: sort by (max desc, min asc, id), keep a row iff
+    its ``min_col`` beats every preceding row's. No false drops: the
+    prefilter only removes rows with a strictly-higher-bin dominator."""
+    b = df.select(
+        id_col,
+        max_col,
+        min_col,
+        F.floor(F.col(max_col) / F.lit(bin_width)).alias("__bin"),
+    )
+    bin_mins = b.groupBy("__bin").agg(F.min(min_col).alias("__bin_min"))
+    wb = (
+        Window.orderBy(F.col("__bin").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    higher = bin_mins.select(
+        "__bin", F.min("__bin_min").over(wb).alias("__higher_min")
+    )
+    survivors = b.join(F.broadcast(higher), "__bin").where(
+        F.col("__higher_min").isNull() | (F.col(min_col) < F.col("__higher_min"))
+    )
+    wr = (
+        Window.orderBy(
+            F.col(max_col).desc(), F.col(min_col).asc(), F.col(id_col).asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        survivors.select(
+            id_col,
+            max_col,
+            min_col,
+            F.min(min_col).over(wr).alias("__prev_min"),
+        )
+        .where(F.col("__prev_min").isNull() | (F.col(min_col) < F.col("__prev_min")))
+        .select(id_col, max_col, min_col)
+    )

@@ -141,3 +141,31 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     for _, row in merged.iterrows():
         exp = None if pd.isna(row["payload"]) else int(row["payload"])
         assert got[int(row["lid"])] == exp, (row["lid"], exp, got[int(row["lid"])])
+
+
+def test_skyline_matches_bruteforce(spark):
+    import random
+
+    from kommunedata_data_pipeline_spark.operators.relational import skyline_2d
+
+    rng = random.Random(7)
+    rows = [(i, float(rng.randrange(0, 500)), rng.randrange(0, 500)) for i in range(400)]
+    # a couple of exact duplicates to pin the min-id-representative rule
+    rows += [(1000, rows[0][1], rows[0][2]), (1001, 77.0, 77), (1002, 77.0, 77)]
+
+    def dominated(p, q):
+        return (
+            q[1] >= p[1] and q[2] <= p[2] and (q[1] > p[1] or q[2] < p[2])
+        )
+
+    sky = set()
+    for p in rows:
+        if any(dominated(p, q) for q in rows if q[0] != p[0]):
+            continue
+        dups = [q[0] for q in rows if q[1] == p[1] and q[2] == p[2]]
+        if p[0] == min(dups):
+            sky.add(p[0])
+
+    df = spark.createDataFrame(rows, "id long, price double, lead long")
+    got = {r.id for r in skyline_2d(df, "price", "lead", "id", 50.0).collect()}
+    assert got == sky
