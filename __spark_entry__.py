@@ -55,6 +55,7 @@ from kommunedata_data_pipeline_spark.functions.text import (
     ROLL_TOK_MOD,
 )
 from kommunedata_data_pipeline_spark.operators.joins import asof_join, range_join_binned
+from kommunedata_data_pipeline_spark.operators.layout import z_value_sql
 from kommunedata_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs_banded,
@@ -4076,6 +4077,61 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice"), 2).alias("price"),
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
     ).orderBy(F.col("price").desc(), "odate", "o_orderkey")
+
+
+def _zq_sql(col: str, width: float) -> str:
+    return f"least(greatest(CAST(floor({col} / {width}) AS BIGINT), 0), 4095)"
+
+
+@_q(
+    "q_zorder_layout",
+    f"""
+    WITH q AS (
+      SELECT {_zq_sql('o_totalprice', 160.0)} AS qa,
+             {_zq_sql("date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)", 1.0)} AS qb
+      FROM orders
+    ),
+    z AS (SELECT qa, qb, {z_value_sql('qa', 'qb')} AS zv FROM q)
+    SELECT CAST(floor(zv / 4096) AS BIGINT) AS z_bucket,
+           count(*) AS n,
+           CAST(min(qa) AS BIGINT) AS a_min, CAST(max(qa) AS BIGINT) AS a_max,
+           CAST(min(qb) AS BIGINT) AS b_min, CAST(max(qb) AS BIGINT) AS b_max
+    FROM z GROUP BY 1 ORDER BY z_bucket
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit: interleave quantized (price, order-day)
+    into 24-bit z-values, bucket on the top 12 bits, report per-bucket
+    extents of BOTH dims — the tightness that makes 2-D partition
+    pruning work (operators/layout.py; write path: write_zordered +
+    zbox_bucket_range). Pure codegen bit math, one combinable shuffle."""
+    from kommunedata_data_pipeline_spark.operators.layout import quantize, z_value
+
+    o = _t(spark, sf_dir, "orders")
+    q = o.select(
+        quantize(F.col("o_totalprice"), 160.0).alias("qa"),
+        quantize(
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")),
+            1.0,
+        ).alias("qb"),
+    )
+    z = q.select("qa", "qb", z_value(F.col("qa"), F.col("qb")).alias("zv"))
+    return (
+        z.groupBy(F.floor(F.col("zv") / F.lit(4096)).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("qa").alias("a_min"),
+            F.max("qa").alias("a_max"),
+            F.min("qb").alias("b_min"),
+            F.max("qb").alias("b_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
 
 
 # Names that already have a green driver-correctness row from round 1.

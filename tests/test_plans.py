@@ -191,3 +191,43 @@ def test_sketch_lookups_broadcast_probe_side(spark):
         assert "BroadcastHashJoin" in p, name
         assert "SortMergeJoin" not in p, name
         assert "Cartesian" not in p, name
+
+
+def test_zordered_write_prunes_partitions_for_2d_box(spark, tmp_path):
+    """A 2-D box scan over a z-ordered layout touches only the z_bucket
+    partitions inside the box's conservative z range — partition pruning
+    for a multi-dimensional predicate, which neither dim alone could
+    give. Also checks correctness: pruned scan == full-scan filter."""
+    from kommunedata_data_pipeline_spark.operators.layout import (
+        write_zordered,
+        zbox_bucket_range,
+    )
+
+    df = spark.range(0, 20000).select(
+        F.col("id"),
+        (F.pmod(F.col("id") * 37, F.lit(4000))).cast("double").alias("a"),
+        (F.pmod(F.col("id") * 91, F.lit(2000))).cast("double").alias("b"),
+    )
+    path = str(tmp_path / "z")
+    write_zordered(df, path, "a", "b", a_width=1.0, b_width=1.0, bucket_shift=12)
+    total_parts = len(
+        [p for p in __import__("os").listdir(path) if p.startswith("z_bucket=")]
+    )
+    lo, hi = zbox_bucket_range(100, 220, 300, 420, 1.0, 1.0, bucket_shift=12)
+    box = (
+        (F.col("a") >= 100) & (F.col("a") <= 220)
+        & (F.col("b") >= 300) & (F.col("b") <= 420)
+    )
+    pruned = (
+        spark.read.parquet(path)
+        .where((F.col("z_bucket") >= lo) & (F.col("z_bucket") <= hi))
+        .where(box)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p and "z_bucket" in p
+    assert hi - lo + 1 < total_parts / 2, (lo, hi, total_parts)
+    expect = df.where(box).count()
+    assert pruned.count() == expect and expect > 0
