@@ -4129,6 +4129,41 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_priority_sample",
+    """
+    WITH s AS (
+      SELECT o_orderkey AS skey, o_totalprice AS w,
+             o_totalprice /
+               ((1 + (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                      % 1048576)) / 1048577.0) AS priority
+      FROM orders
+    ),
+    r AS (
+      SELECT skey, w, priority,
+             row_number() OVER (ORDER BY priority DESC, skey) AS rn
+      FROM s
+    ),
+    tau AS (SELECT priority AS tau FROM r WHERE rn = 21)
+    SELECT skey, round(w, 2) AS w, round(priority, 4) AS priority,
+           round(greatest(w, tau), 4) AS est_weight
+    FROM r, tau WHERE rn <= 20
+    ORDER BY priority DESC, skey
+    """,
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup) of 20 orders by
+    o_totalprice: weight-biased without-replacement sample with unbiased
+    subset-sum estimator weights max(w, tau). Engine-exact — md5-derived
+    dyadic uniform + one IEEE division, no transcendentals
+    (operators/sampling.py:priority_sample); top-(k+1) is a TakeOrdered,
+    never a global sort."""
+    from kommunedata_data_pipeline_spark.operators.sampling import priority_sample
+
+    o = _t(spark, sf_dir, "orders")
+    return priority_sample(o, F.col("o_orderkey"), F.col("o_totalprice"), 20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -98,3 +98,54 @@ def pack_sequences(
         )
         .withColumn("pack_id", F.floor(prefix / F.lit(budget)).cast("bigint"))
     )
+
+
+PRIORITY_U_MOD = 1 << 20
+
+
+def priority_sample(
+    df: DataFrame, key: Column, weight: Column, k: int
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup): weight-biased without-
+    replacement sample of ``k`` rows with an unbiased subset-sum
+    estimator. Each row gets priority ``w / u`` for a deterministic
+    uniform ``u`` in (0,1]; the ``k`` highest-priority rows are kept and
+    each is assigned estimator weight ``max(w, tau)`` where ``tau`` is
+    the (k+1)-th priority — sums of estimator weights over any subset
+    are unbiased for the true weight sums.
+
+    Engine-exact by construction: ``u`` is a dyadic-ish rational from an
+    md5 hash ((1 + h%2^20) / (2^20+1)) and the priority is ONE IEEE
+    division of parquet-identical doubles — no transcendentals, no
+    accumulation order, so both engines rank identically (plus a key
+    tiebreak for exact priority ties). Scale: top-(k+1) is a TakeOrdered
+    (per-partition heads + driver merge of k+1-row heads), never a
+    global sort; tau broadcast back over the k survivors only."""
+    u = (
+        (1 + F.pmod(md5_bigint(key.cast("string")), F.lit(PRIORITY_U_MOD)))
+        / F.lit(float(PRIORITY_U_MOD + 1))
+    )
+    scored = df.select(
+        key.alias("skey"),
+        weight.cast("double").alias("w"),
+        (weight.cast("double") / u).alias("priority"),
+    )
+    top = scored.orderBy(F.col("priority").desc(), F.col("skey")).limit(k + 1)
+    w_rank = Window.orderBy(F.col("priority").desc(), F.col("skey"))
+    ranked = top.select(
+        "skey", "w", "priority", F.row_number().over(w_rank).alias("rn")
+    )
+    tau = ranked.where(F.col("rn") == k + 1).select(
+        F.col("priority").alias("tau")
+    )
+    return (
+        ranked.where(F.col("rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "skey",
+            F.round("w", 2).alias("w"),
+            F.round("priority", 4).alias("priority"),
+            F.round(F.greatest(F.col("w"), F.col("tau")), 4).alias("est_weight"),
+        )
+        .orderBy(F.col("priority").desc(), "skey")
+    )
