@@ -2900,9 +2900,7 @@ def _media_lut_sql() -> str:
             blob = make_png((m % 16 + 1) * 8, (m % 7 + 1) * 8)
         else:
             blob = make_wav(8000 + (m % 8) * 1000, 2 if m % 4 == 3 else 1)
-        feats = ", ".join(
-            f"{int(f * 65536)}/65536.0" for f in _fake_features(blob)
-        )
+        feats = ", ".join(str(int(f * 65536)) for f in _fake_features(blob))
         rows.append(f"({m}, [{feats}])")
     return "lut(m, f) AS (SELECT * FROM (VALUES " + ", ".join(rows) + "))"
 
@@ -2913,7 +2911,7 @@ def _media_lut_sql() -> str:
     WITH {_media_lut_sql()}
     SELECT CAST(doc_id AS VARCHAR) AS media_id,
            CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS fmt,
-           CAST(f AS DOUBLE[]) AS features
+           CAST(to_json(f) AS VARCHAR) AS features_x64k
     FROM documents JOIN lut ON doc_id % 112 = m
     """,
 )
@@ -2922,18 +2920,25 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic features; real schema/batching/partitioning). The
     oracle recomputes the expected md5-derived vectors via a
     doc_id-mod-112 lookup — the full binary encode→hash→vector round
-    trip is value-checked in SQL."""
+    trip is value-checked in SQL. Each feature is k/65536 (k < 2^16,
+    exact in float32), so k = feature*65536 round-trips exactly; the
+    vector crosses the comparison bridge as the JSON string of the int
+    k-values — identical text from both engines, and raw list cells
+    break the driver's pandas-side canonicalizer."""
     from kommunedata_data_pipeline_spark.transforms.multimodal import (
         synthetic_media_features,
     )
 
     d = _t(spark, sf_dir, "documents")
-    # features emitted as DOUBLE on both sides: each value is k/65536
-    # (exact in float32 AND float64), but float32 would round-trip to a
-    # different *string* repr per engine — double is bridge-proof.
     return synthetic_media_features(d).withColumn(
-        "features", F.col("features").cast("array<double>")
-    )
+        "features_x64k",
+        F.to_json(
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x.cast("double") * 65536).cast("int"),
+            )
+        ),
+    ).drop("features")
 
 
 @_q(
@@ -3455,7 +3460,8 @@ def q_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(e, x -> CAST(round(x / scale) AS INT)) AS q8
       FROM s WHERE scale > 0
     )
-    SELECT vec_id, round(scale, 6) AS scale, q8,
+    SELECT vec_id, round(scale, 6) AS scale,
+           CAST(to_json(q8) AS VARCHAR) AS q8,
            round(sqrt(list_sum(list_transform(range(1, len(e) + 1),
                  i -> (e[i] - q8[i] * scale) * (e[i] - q8[i] * scale))) / len(e)), 6)
              AS rms_err
@@ -3465,12 +3471,17 @@ def q_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization with per-vector absmax scale
     and round-trip RMS error — narrow HOF folds, deterministic sequential
-    summation on both engines."""
+    summation on both engines. The int8 array crosses the comparison
+    bridge as its JSON string ('[1,-3,...]' — identical text from both
+    engines for integer arrays; raw list cells break the driver's
+    pandas-side canonicalizer)."""
     from kommunedata_data_pipeline_spark.operators.similarity import (
         quantize_embeddings,
     )
 
-    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings")).withColumn(
+        "q8", F.to_json("q8")
+    )
 
 
 @_q(

@@ -83,6 +83,11 @@ def main() -> None:
                 break
         timings[name] = round(best, 3)
 
+    # Failed queries are EXCLUDED from the total (a -1 sentinel must not
+    # offset real seconds) and named explicitly — a total with failures
+    # is not comparable to a fully-passing run's, so the failure list
+    # rides next to the metric in both the sidecar and the stdout line.
+    failed = sorted(n for n, t in timings.items() if t < 0)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Per-query detail goes to a sidecar file + stderr: the r1 driver
@@ -93,6 +98,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "failed": failed,
         "sf": sf_val,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
@@ -108,7 +114,8 @@ def main() -> None:
                 "queries": {},
                 "queries_file": "BENCH_QUERIES.json",
                 "n_queries": len(timings),
-                "n_failed": sum(1 for t in timings.values() if t < 0),
+                "n_failed": len(failed),
+                "failed": failed,
                 "sf": sf_val,
             },
             separators=(",", ":"),

@@ -59,6 +59,13 @@ def pagerank_integer(
         spark.conf.set(key, prev)
 
 
+# Above this many nodes the per-round rank table stops being broadcast
+# and the loop falls back to shuffle joins (co-partitioned on src after
+# the first round). ~2M (node BIGINT, r BIGINT) rows ≈ 32 MB serialized —
+# comfortably under executor broadcast budgets.
+_PR_BROADCAST_MAX_NODES = 2_000_000
+
+
 def _pagerank_loop(edges: DataFrame, n_iter: int) -> DataFrame:
     edges = edges.select("src", "dst").cache()
     nodes = (
@@ -67,16 +74,28 @@ def _pagerank_loop(edges: DataFrame, n_iter: int) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    degs = edges.groupBy("src").agg(F.count("*").alias("deg")).cache()
+    n_nodes = nodes.count()
+    small = n_nodes <= _PR_BROADCAST_MAX_NODES
+    degs = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Degree is loop-invariant: staple it onto each edge ONCE so the
+    # per-round plan is a single join with the rank table, not two.
+    edges_deg = edges.join(degs, "src").select("src", "dst", "deg").cache()
     ranks = nodes.select("node", F.lit(PR_BASE).cast("bigint").alias("r"))
     for _ in range(n_iter):
+        # The rank table is bounded by the NODE count — tiny next to the
+        # edge set. While it fits the broadcast budget, shipping it to
+        # the (cached, never-reshuffled) edges each round means the only
+        # shuffle per iteration is the map-side-combinable groupBy(dst):
+        # edge rows never move. Beyond the threshold (billion-edge
+        # graphs) the same loop runs as shuffle joins.
+        r = F.broadcast(ranks) if small else ranks
         contribs = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(degs, "src")
+            edges_deg.join(r, edges_deg["src"] == r["node"])
             .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
+        contribs = F.broadcast(contribs) if small else contribs
         ranks = nodes.join(contribs, "node", "left").select(
             "node",
             (

@@ -29,10 +29,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     + column pruning happen in the scan node (check `PushedFilters` in
     `.explain("formatted")`).
 
-    events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
-    default — read nanos as long (runtime-settable legacy conf) and
-    floor-convert to microseconds (same truncation DuckDB applies when
-    casting TIMESTAMP_NS → TIMESTAMP)."""
+    events.ts has shipped as TIMESTAMP(NANOS) (Spark 4 refuses it by
+    default — read nanos as long and floor-convert to micros, the same
+    truncation DuckDB applies for TIMESTAMP_NS → TIMESTAMP) and as
+    TIMESTAMP(MICROS) without timezone (reads as TIMESTAMP_NTZ). Both
+    land as session-zone TIMESTAMP here so every downstream epoch/window
+    expression sees ONE type; the session pins UTC, so the NTZ→LTZ cast
+    is wall-clock-identity and matches DuckDB's naive-timestamp epoch."""
     cache_on = os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
     cache_key = (spark.sparkContext.applicationId, sf_dir, name)
     if cache_on and cache_key in _SCAN_CACHE:
@@ -40,8 +43,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in ("orders", "events", "documents", "embeddings") or (

@@ -18,31 +18,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (readers.py note)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ns epoch → timestamp)."""
+    """File-source stream over the events parquet.
+
+    A file stream needs an explicit schema, but the testdata's physical
+    ts type has shipped both as TIMESTAMP(NANOS) (readable only as
+    nanos-as-long) and TIMESTAMP(MICROS) without timezone (reads as
+    TIMESTAMP_NTZ) — so probe the file with a one-off batch read and
+    mirror whatever it reports, then normalize ts to session-zone
+    TIMESTAMP exactly like readers.load_table does for the batch path.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(probe)
         .format("parquet")
         .option("path", f"{sf_dir}")
         .option("pathGlobFilter", "events.parquet")
         .load()
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = {f.name: f.dataType.simpleString() for f in probe.fields}.get("ts")
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(
@@ -133,6 +134,15 @@ def stream_stream_interval_join(
     return l.join(r, cond)
 
 
+def _has_watermark(stream_df: DataFrame) -> bool:
+    """True if the streaming plan declares an event-time watermark."""
+    try:
+        plan = stream_df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return "EventTimeWatermark" in plan
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
@@ -176,6 +186,28 @@ def run_to_memory(
             writer = writer.option("checkpointLocation", ckpt)
         q = writer.queryName(name).start()
         q.processAllAvailable()
+        # An append-mode watermarked aggregation only emits a window once
+        # a LATER batch advances the watermark past the window end; on a
+        # bounded source that later batch is the no-data micro-batch
+        # (spark.sql.streaming.noDataMicroBatches.enabled, default on),
+        # which commits asynchronously and can race with stop(). Wait for
+        # one zero-input batch to appear in the progress log before
+        # stopping so finalized windows actually reach the sink.
+        if output_mode == "append" and _has_watermark(stream_df):
+            import json as _json
+            import time
+
+            def _saw_no_data_batch() -> bool:
+                for p in q.recentProgress:
+                    d = _json.loads(p.json) if hasattr(p, "json") else p
+                    if d.get("numInputRows", -1) == 0:
+                        return True
+                return False
+
+            deadline = time.time() + 30
+            while not _saw_no_data_batch() and time.time() < deadline:
+                time.sleep(0.05)
+                q.processAllAvailable()
         q.stop()
     finally:
         if shuffle_partitions is not None:
