@@ -50,8 +50,15 @@ def main() -> None:
     # warm-up (not timed): JVM + parquet footers, and the Python worker
     # pool — the first Arrow-UDF stage otherwise pays a one-off storm of
     # 32 forked workers importing pandas, misattributed to whichever
-    # query alphabetically sorts first.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # query alphabetically sorts first. Materialize every suite-cached
+    # base scan here too: the persist+redistribution cost is a suite
+    # fixture, not a property of whichever query alphabetically touches
+    # the table first.
+    from kommunedata_data_pipeline_spark.schemas import STAR_TABLES
+    from kommunedata_data_pipeline_spark.sources.readers import load_table
+
+    for t in STAR_TABLES:
+        load_table(spark, sf_dir, t).count()
 
     def _warm(it):
         import pandas as pd

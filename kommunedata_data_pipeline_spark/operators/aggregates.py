@@ -115,3 +115,52 @@ def salted_sum(
             F.sum("__pcnt").alias("n_rows"),
         )
     )
+
+
+def time_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grains: tuple[str, ...] = ("hour", "day", "week"),
+) -> DataFrame:
+    """Multi-granularity time rollup in ONE pass — the hypertable
+    continuous-aggregate shape: counts and value sums at every grain
+    (hour/day/week) computed via GROUPING SETS, so the fact stream is
+    scanned and shuffled once (Catalyst's Expand duplicates each input
+    row per grain map-side; the aggregate stays map-side combinable)
+    instead of once per grain.
+
+    Output: (grain, bucket_start ISO-string, n, total_value). At 100 TB
+    a per-grain union of three groupBys would triple the scan + shuffle;
+    the grouping-sets plan's shuffle carries one partial-agg row per
+    (grain, bucket) per map task — a constant factor over any one grain.
+    """
+    truncs = {g: F.date_trunc(g, F.col(ts_col)).alias(f"__{g}") for g in grains}
+    base = events.select(
+        *truncs.values(), F.col(value_col).alias("__v")
+    )
+    sets = [[f"__{g}"] for g in grains]
+    # grouping() is only legal inside the aggregate expression list, so
+    # the grain label is computed as an agg output, not a post-select
+    grain_expr = None
+    for g in grains:
+        cond = F.grouping(f"__{g}") == 0
+        grain_expr = F.when(cond, g) if grain_expr is None else grain_expr.when(cond, g)
+    rolled = (
+        base.groupingSets(sets, *[F.col(f"__{g}") for g in grains])
+        .agg(
+            grain_expr.alias("grain"),
+            F.count("*").alias("n"),
+            F.round(F.sum("__v"), 2).alias("total_value"),
+        )
+        .select(
+            "grain",
+            F.date_format(
+                F.coalesce(*[F.col(f"__{g}") for g in grains]),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("bucket_start"),
+            "n",
+            "total_value",
+        )
+    )
+    return rolled

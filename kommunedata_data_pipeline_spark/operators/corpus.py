@@ -223,3 +223,61 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
             "scrubbed": scrubbed,
         }
     )
+
+
+def unigram_surprisal(
+    documents: DataFrame, text_col: str = "text", hot_cut: int = 5000
+) -> DataFrame:
+    """Per-document unigram-LM surprisal: average -log p(token) under the
+    corpus's own unigram distribution — the classic cheap "perplexity"
+    quality score a pretraining pipeline runs before any model-based
+    filter (low surprisal = boilerplate/stopword soup, very high =
+    garbage/linebreak noise).
+
+    Engine-exact by construction: each token's ln(count) is rounded once
+    to integer micro-nats (BIGINT), so the per-document accumulation is
+    an exact integer sum — no float-summation-order dependence anywhere.
+    The only doubles are one final division + round per doc.
+
+    Scale shape: vocab is one map-side-combinable groupBy. The
+    token→frequency join is the skew trap (every "the" row hashes to ONE
+    partition), so the vocab is split at ``hot_cut``: the head (bounded
+    by N/hot_cut entries — tiny by Zipf) is broadcast and joined
+    map-side, the cold tail equi-joins with near-uniform key spread.
+    100 TB: vocab head stays a few thousand rows regardless of corpus
+    size; the tail join shards by token hash with no hot keys left. The
+    token stream is produced twice (once per path) — a deliberate trade:
+    two narrow, column-pruned scans cost far less than one shuffle
+    stalled on a partition holding every "the" in the corpus.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
+    ln_micro = F.round(F.log(F.col("c")) * 1e6).cast("bigint").alias("lnc")
+    hot = F.broadcast(vocab.where(F.col("c") >= hot_cut).select("token", ln_micro))
+    cold = vocab.where(F.col("c") < hot_cut).select("token", ln_micro)
+    total = F.broadcast(
+        vocab.agg(
+            F.round(F.log(F.sum("c")) * 1e6).cast("bigint").alias("ln_n")
+        )
+    )
+    scored = tok.join(hot, "token").unionByName(tok.join(cold, "token"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lnc").alias("__sum_lnc"))
+        .crossJoin(total)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") * F.col("ln_n") - F.col("__sum_lnc"))
+            .cast("bigint")
+            .alias("surprisal_micro"),
+            F.round(
+                (F.col("n_tokens") * F.col("ln_n") - F.col("__sum_lnc"))
+                / F.col("n_tokens")
+                / 1e6,
+                4,
+            ).alias("avg_neg_logp"),
+        )
+    )

@@ -192,6 +192,26 @@ def minhash_lsh_pairs(
     pair fan-out is bounded per bucket. This is the canonical
     sub-quadratic near-dedup for 100 TB corpora.
     """
+    cand = minhash_candidate_pairs(documents, k, num_hashes, bands)
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(num_hashes)),
+        6,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def minhash_candidate_pairs(
+    documents: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Banded LSH candidate pairs with both signatures attached
+    (doc_a, doc_b, sig_a, sig_b) — the shared sub-quadratic front end of
+    `minhash_lsh_pairs` (verify-by-signature) and
+    `minhash_accuracy_audit` (verify-by-exact-set)."""
     r = num_hashes // bands
     sigs = minhash_signatures(documents, k, num_hashes).cache()
     banded = sigs.select(
@@ -213,7 +233,7 @@ def minhash_lsh_pairs(
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    return (
         a.join(b, ["band", "bkey"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -224,15 +244,60 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def minhash_accuracy_audit(
+    documents: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (matching-slot fraction) next to the EXACT shingle
+    Jaccard, with the absolute error — the measurement every production
+    near-dedup runs before trusting a sketch threshold at corpus scale
+    (pick bands/hashes from the observed error curve, not from theory).
+
+    Scale shape: candidates come from the banded bucket join (never
+    all-pairs); the exact side re-joins shingles ONLY for candidate
+    pairs, so the expensive set intersection is proportional to the
+    candidate count, not the corpus square. est is k/num_hashes — a
+    4-decimal-exact dyadic rational, so the error column is
+    engine-exact too."""
+    cand = minhash_candidate_pairs(documents, k, num_hashes, bands)
     est = F.round(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.lit(float(num_hashes)),
         6,
     )
+    pairs = cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+    sh = doc_shingles(documents, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # intersection size: attach a's shingle set to each candidate pair,
+    # then equi-join on (doc_b, shingle) — each surviving row is one
+    # shingle in BOTH sets; work is |candidates| x |shingle set|, never
+    # corpus-squared
+    common = (
+        pairs.select("doc_a", "doc_b")
+        .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
     return (
-        cand.withColumn("est_jaccard", est)
-        .where(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
+        pairs.join(common, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0))),
+                6,
+            ).alias("exact_jaccard"),
+        )
+        .withColumn(
+            "abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6)
+        )
     )
 
 

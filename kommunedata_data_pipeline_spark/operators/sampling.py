@@ -149,3 +149,28 @@ def priority_sample(
         )
         .orderBy(F.col("priority").desc(), "skey")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment by content key —
+    the canonical dataset-versioning op: membership is a pure function
+    of the key (md5 mod 100), so re-runs, late-arriving shards, and
+    other engines (the DuckDB oracle) all agree row-for-row, and no
+    document ever migrates between splits as the corpus grows.
+
+    Narrow: one hash + CASE per row, no shuffle — the split column is
+    free at any scale and typically feeds a partitioned write
+    (`.write.partitionBy("split")`).
+    """
+    h = sample_hash(F.col(key_col).cast("string"))
+    return df.withColumn(
+        "split",
+        F.when(h < train_pct, "train")
+        .when(h < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )

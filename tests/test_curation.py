@@ -1,0 +1,100 @@
+"""Property tests for the round-3 curation operators: split assignment,
+unigram surprisal, multi-grain time rollup, MinHash accuracy audit.
+(The oracle battery in test_oracle.py covers exact cross-engine values;
+these pin the operator-level invariants.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kommunedata_data_pipeline_spark.operators.aggregates import time_rollup
+from kommunedata_data_pipeline_spark.operators.corpus import unigram_surprisal
+from kommunedata_data_pipeline_spark.operators.dedup import minhash_accuracy_audit
+from kommunedata_data_pipeline_spark.operators.sampling import split_assign
+from kommunedata_data_pipeline_spark.sources.readers import load_table
+
+from conftest import SF_SMALL
+
+
+def test_split_assign_partitions_every_row(spark):
+    d = load_table(spark, SF_SMALL, "documents")
+    s = split_assign(d, "doc_id")
+    n = d.count()
+    counts = dict(s.groupBy("split").count().collect())
+    assert sum(counts.values()) == n  # total partition, no loss/dup
+    assert set(counts) <= {"train", "val", "test"}
+    # 90/5/5 within loose tolerance on a small corpus
+    assert counts["train"] / n > 0.8
+    # deterministic: same key -> same split on a re-run
+    again = dict(split_assign(d, "doc_id").groupBy("split").count().collect())
+    assert again == counts
+
+
+def test_split_assign_is_stable_under_corpus_growth(spark):
+    """A doc's split must not depend on what else is in the corpus."""
+    d = load_table(spark, SF_SMALL, "documents")
+    full = {r["doc_id"]: r["split"] for r in split_assign(d, "doc_id").collect()}
+    half = d.where(F.col("doc_id") % 2 == 0)
+    sub = {r["doc_id"]: r["split"] for r in split_assign(half, "doc_id").collect()}
+    assert all(full[k] == v for k, v in sub.items())
+
+
+def test_unigram_surprisal_orders_rare_above_common(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # most common token only
+            (2, "the qzx the qzx"),          # half rare
+            (3, "qzx vbn wrt plk"),          # all singletons
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    assert rows[1]["avg_neg_logp"] < rows[2]["avg_neg_logp"] < rows[3]["avg_neg_logp"]
+    assert all(r["n_tokens"] == 4 for r in rows.values())
+    assert all(r["surprisal_micro"] >= 0 for r in rows.values())
+
+
+def test_unigram_surprisal_hot_path_equals_cold_path(spark):
+    """hot_cut only changes the JOIN STRATEGY, never the numbers."""
+    d = load_table(spark, SF_SMALL, "documents").limit(50)
+    a = {r["doc_id"]: r for r in unigram_surprisal(d, hot_cut=2).collect()}
+    b = {r["doc_id"]: r for r in unigram_surprisal(d, hot_cut=10**9).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k]["surprisal_micro"] == b[k]["surprisal_micro"]
+
+
+def test_time_rollup_grains_are_consistent(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    n_events = ev.count()
+    out = time_rollup(ev).cache()
+    per_grain = {
+        r["grain"]: r["total_n"]
+        for r in out.groupBy("grain").agg(F.sum("n").alias("total_n")).collect()
+    }
+    # every grain partitions the full event set
+    assert per_grain == {"hour": n_events, "day": n_events, "week": n_events}
+    # coarser grain -> fewer buckets
+    buckets = dict(out.groupBy("grain").count().collect())
+    assert buckets["week"] <= buckets["day"] <= buckets["hour"]
+
+
+def test_minhash_audit_error_bounds_and_self_similarity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+            (3, "totally different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_accuracy_audit(df).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (1, 2) in pairs  # identical docs must be LSH candidates
+    assert pairs[(1, 2)]["exact_jaccard"] == 1.0
+    assert pairs[(1, 2)]["est_jaccard"] == 1.0
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert abs(r["est_jaccard"] - r["exact_jaccard"]) - r["abs_err"] < 1e-9
