@@ -4316,6 +4316,71 @@ def q_minhash_est_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_accuracy_audit(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "q_locf_fill",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+               FROM events WHERE event_id % 13 = 0),
+    daily AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             round(sum(value), 2) AS observed
+      FROM e GROUP BY 1, 2
+    ),
+    bounds AS (SELECT date_trunc('day', min(ts)) AS lo,
+                      date_trunc('day', max(ts)) AS hi FROM e),
+    days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+             FROM bounds),
+    spine AS (SELECT day, event_type
+              FROM days CROSS JOIN (SELECT DISTINCT event_type FROM e)),
+    j AS (SELECT s.day, s.event_type, d.observed
+          FROM spine s LEFT JOIN daily d USING (day, event_type))
+    SELECT strftime(day, '%Y-%m-%d') AS day, event_type, observed,
+           last_value(observed IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM j
+    """,
+)
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with Last Observation Carried Forward over a
+    sparse daily series (ST5 semantics generalized: a missing day is a
+    fact to fill, not a row to lose). Dense spine is broadcast-sized by
+    construction; the fill window is per-dim, never a global sort
+    (operators/timeseries.py:locf_fill)."""
+    from kommunedata_data_pipeline_spark.operators.timeseries import locf_fill
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 13 == 0)
+    return locf_fill(ev, "ts", "value", "event_type")
+
+
+@_q(
+    "q_peak_concurrency",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+    b AS (SELECT ts AS t, 1 AS delta FROM e
+          UNION ALL SELECT ts + INTERVAL 30 MINUTE AS t, -1 AS delta FROM e),
+    c AS (SELECT t, sum(delta) OVER (ORDER BY t, delta
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+          FROM b)
+    SELECT strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
+           CAST(max(conc) AS BIGINT) AS peak
+    FROM c GROUP BY 1
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency (each event = a 30-minute active
+    interval; per day, the max simultaneously-active count at boundary
+    events). The global cumulative sum is a distributed two-phase scan —
+    range partition, local prefix sums, broadcast per-partition offsets —
+    because Spark's bare Window.orderBy would collapse the whole boundary
+    stream onto ONE task (operators/timeseries.py:global_running_sum)."""
+    from kommunedata_data_pipeline_spark.operators.timeseries import (
+        peak_concurrency,
+    )
+
+    return peak_concurrency(_t(spark, sf_dir, "events"), "ts")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,168 @@
+"""Time-series operators: calendar gap-fill with LOCF, and a
+distributed global running sum powering sweep-line analytics.
+
+The reference's incremental pipeline treats absent data explicitly
+(ST5: unparseable dates get fallback handling rather than dropping the
+row — scraper.py:181, scraper_svendborg.py:150-152); these operators are
+the time-series generalization of that: a missing day is a fact to fill,
+not a row to lose.
+
+Scale notes are per-function; the interesting one is
+``global_running_sum``: Spark has no built-in global cumulative sum that
+scales (a ``Window.orderBy`` without partitioning collapses to ONE
+task), so it is implemented as the classic two-phase scan: range
+partition by the sort key, local prefix sums per partition, then a tiny
+per-partition-offset table (one row per partition) broadcast back. The
+full data is never on one executor; only the n_partitions-row offset
+table passes through a single-task window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def calendar_spine(
+    df: DataFrame, ts_col: str, *dims: str
+) -> DataFrame:
+    """(day × distinct dims) spine covering [min(ts), max(ts)] — the
+    dense left side every gap-fill joins onto. The day sequence comes
+    from ONE tiny aggregate row exploded; dims are a distinct over the
+    input (both broadcast-sized by construction)."""
+    bounds = df.agg(
+        F.date_trunc("day", F.min(ts_col)).alias("lo"),
+        F.date_trunc("day", F.max(ts_col)).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    if not dims:
+        return days
+    return days.crossJoin(F.broadcast(df.select(*dims).distinct()))
+
+
+def locf_fill(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *dims: str,
+) -> DataFrame:
+    """Daily aggregate with gaps filled by Last Observation Carried
+    Forward: dense (day × dims) spine left-joined with the observed
+    daily sums, nulls replaced by the most recent prior observation in
+    the same dim group (NULL before the first observation).
+
+    Scale shape: the observed aggregate is map-side combinable; the
+    spine join is broadcast (spine is |days| × |dims|, tiny); the fill
+    itself is one per-dim window over the dense spine — partitioned by
+    dims, so no global sort and no single-task stage. 100 TB of raw
+    events reduce to |days|×|dims| rows BEFORE the window runs.
+    """
+    daily = (
+        df.groupBy(
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            *[F.col(d) for d in dims],
+        )
+        .agg(F.round(F.sum(value_col), 2).alias("observed"))
+    )
+    spine = calendar_spine(df, ts_col, *dims)
+    w = (
+        Window.partitionBy(*[F.col(d) for d in dims])
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(daily, ["day", *dims], "left")
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        *dims,
+        "observed",
+        F.last("observed", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    delta_col: str,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global cumulative sum of ``delta_col`` in
+    ``order_cols`` order, as a new ``running`` column.
+
+    Two-phase scan (the textbook parallel prefix sum):
+      1. ``repartitionByRange(order_cols)`` — co-locates sort ranges;
+      2. local prefix sum per partition (window keyed by the physical
+         partition id — already co-located, so the window's shuffle is
+         pid→pid);
+      3. per-partition totals (one row each) get their own exclusive
+         prefix sum on a single task — n_partitions rows, trivially
+         small — and broadcast back as offsets.
+
+    ``running`` is exact for any associative delta (integers here);
+    values at EXACT order-key ties are assigned per-tie-group as the
+    same value set regardless of physical order, so aggregates over the
+    result (max per day, final value) are deterministic.
+    """
+    spark = df.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__local", F.sum(delta_col).over(local_w)
+    )
+    # offsets: exclusive prefix over the per-partition totals — a
+    # single-task window over n_partitions rows (bytes, not data)
+    off_w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.sum(delta_col).alias("__tot"))
+        .withColumn("__off", F.coalesce(F.sum("__tot").over(off_w), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn("running", (F.col("__local") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__local", "__off")
+    )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    ts_col: str,
+    duration: str = "30 minutes",
+) -> DataFrame:
+    """Sweep-line peak concurrency: treat each row as an active interval
+    [ts, ts + duration) and report, per day, the maximum number of
+    simultaneously active intervals observed at boundary events.
+
+    Boundary semantics (mirrored exactly by the SQL oracle): +1 at
+    start, -1 at end, ends sort before starts at equal timestamps
+    (half-open intervals — an interval ending exactly when another
+    starts never overlaps it). The global running sum is the distributed
+    two-phase scan above — no single-task sort of the boundary stream.
+    """
+    starts = df.select(
+        F.col(ts_col).alias("t"), F.lit(1).alias("delta")
+    )
+    ends = df.select(
+        (F.col(ts_col) + F.expr(f"INTERVAL {duration}")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    swept = global_running_sum(
+        starts.unionByName(ends), ["t", "delta"], "delta"
+    )
+    return (
+        swept.groupBy(
+            F.date_format(F.date_trunc("day", "t"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.max("running").cast("bigint").alias("peak"))
+    )

@@ -98,3 +98,42 @@ def test_minhash_audit_error_bounds_and_self_similarity(spark):
         assert 0.0 <= r["est_jaccard"] <= 1.0
         assert 0.0 <= r["exact_jaccard"] <= 1.0
         assert abs(r["est_jaccard"] - r["exact_jaccard"]) - r["abs_err"] < 1e-9
+
+
+def test_global_running_sum_matches_single_partition(spark):
+    from kommunedata_data_pipeline_spark.operators.timeseries import (
+        global_running_sum,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "ts", F.when(F.col("event_id") % 2 == 0, 1).otherwise(-1).alias("delta")
+    )
+    out = global_running_sum(ev, ["ts", "delta"], "delta", n_partitions=7)
+    # ground truth: single-task window over the same order
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ts", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    truth = ev.withColumn("running", F.sum("delta").over(w))
+    # compare the deterministic aggregate (final value + per-ts max),
+    # not row identity (ties may permute within equal keys)
+    agg = lambda df: sorted(
+        df.groupBy("ts").agg(F.max("running").alias("m")).collect()
+    )
+    assert agg(out) == agg(truth)
+
+
+def test_locf_fill_carries_last_observation(spark):
+    from kommunedata_data_pipeline_spark.operators.timeseries import locf_fill
+
+    ev = load_table(spark, SF_SMALL, "events").where(F.col("event_id") % 29 == 0)
+    out = locf_fill(ev, "ts", "value", "event_type").collect()
+    by_type: dict = {}
+    for r in sorted(out, key=lambda r: (r["event_type"], r["day"])):
+        k = r["event_type"]
+        if r["observed"] is not None:
+            assert r["filled"] == r["observed"]
+            by_type[k] = r["observed"]
+        elif k in by_type:
+            assert r["filled"] == by_type[k]  # carried forward
+        else:
+            assert r["filled"] is None  # before first observation
