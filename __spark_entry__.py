@@ -4381,6 +4381,42 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak_concurrency(_t(spark, sf_dir, "events"), "ts")
 
 
+@_q(
+    "q_skew_join",
+    """
+    WITH u AS (SELECT c_custkey AS user_id,
+                      CAST(c_custkey % 10 AS BIGINT) AS segment
+               FROM customer)
+    SELECT segment, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events e JOIN u ON e.user_id = u.user_id
+    GROUP BY segment
+    """,
+)
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/cold split join of the event stream against a user dim:
+    fact keys at/above the hot threshold join map-side (their dim rows
+    broadcast), the cold tail shuffle-joins with no hot key left — the
+    production answer to a power-law key without replicating the dim
+    (operators/joins.py:skew_split_join). Oracle is the plain join: the
+    split is an execution strategy, not a semantics change."""
+    from kommunedata_data_pipeline_spark.operators.joins import skew_split_join
+
+    ev = _t(spark, sf_dir, "events")
+    users = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        (F.col("c_custkey") % 10).cast("bigint").alias("segment"),
+    )
+    return (
+        skew_split_join(ev, users, "user_id", hot_count=60)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

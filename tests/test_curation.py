@@ -137,3 +137,21 @@ def test_locf_fill_carries_last_observation(spark):
             assert r["filled"] == by_type[k]  # carried forward
         else:
             assert r["filled"] is None  # before first observation
+
+
+def test_skew_split_join_equals_plain_join(spark):
+    from kommunedata_data_pipeline_spark.operators.joins import skew_split_join
+
+    ev = load_table(spark, SF_SMALL, "events")
+    users = load_table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        (F.col("c_custkey") % 10).cast("bigint").alias("segment"),
+    )
+    plain = ev.join(users, "user_id")
+    # hot_count=1: EVERY key takes the broadcast path; hot_count=10**9:
+    # every key takes the shuffle path — both must equal the plain join
+    for hc in (1, 5, 10**9):
+        split = skew_split_join(ev, users, "user_id", hot_count=hc)
+        assert split.count() == plain.count()
+        assert split.exceptAll(plain).count() == 0
+        assert plain.exceptAll(split).count() == 0
