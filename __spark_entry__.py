@@ -2673,6 +2673,39 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_stream_sliding",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+               AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+               - INTERVAL '30 minutes', value FROM events
+    )
+    SELECT window_start, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM w
+    GROUP BY window_start
+    HAVING window_start + INTERVAL 1 HOUR
+           <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 2 HOUR
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 h / 30 min) streaming aggregation under a 2 h
+    watermark, driven over the events file source — completes the real
+    tumbling/sliding/session stream-window family. Append mode: only
+    watermark-closed windows emit (the oracle's HAVING mirrors that)."""
+    from kommunedata_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        sliding_counts,
+    )
+
+    s = sliding_counts(read_events_stream(spark, sf_dir))
+    run_to_memory(s, "q_stream_sliding_sink", shuffle_partitions=4)
+    return spark.table("q_stream_sliding_sink").orderBy("window_start")
+
+
+@_q(
     "q_stream_session",
     """
     WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
@@ -4442,12 +4475,13 @@ _R1_DRIVER_CHECKED = frozenset(
         "q_ngram_jaccard_pairs", "q_simhash", "q_cosine_topk",
         "q_ann_lsh_topk", "q4_exists_priority", "q10_returned_items",
         "q14_promo_effect", "q16_supplier_cnt", "q17_small_qty",
-        "q18_large_orders", "q19_disjunctive", "q22_no_orders",
-        "q_outer_join_agg", "q_cube_aggregate", "q_asof_join",
+        "q19_disjunctive", "q22_no_orders",
+        "q_outer_join_agg", "q_cube_aggregate",
         "q2_min_cost_supplier", "q_arg_extremes", "q_ngram_jaccard_capped",
         "q7_volume_shipping",
-        # r1 hash FAILs — fixed this round, keep them early for a fresh row
-        # (excluded from the checked set on purpose).
+        # NOT listed on purpose (fronted for a fresh driver row):
+        # q_asof_join (errored in r2 on the NTZ ts change, fixed r3) and
+        # q18_large_orders (rewritten r3 to reuse the HAVING aggregate).
     }
 )
 

@@ -231,3 +231,38 @@ def test_zordered_write_prunes_partitions_for_2d_box(spark, tmp_path):
     assert hi - lo + 1 < total_parts / 2, (lo, hi, total_parts)
     expect = df.where(box).count()
     assert pruned.count() == expect and expect > 0
+
+
+def test_running_sum_uses_range_partitioning_not_single_task(spark):
+    """The two-phase prefix scan must range-partition the boundary
+    stream; the only single-partition exchange allowed is the tiny
+    per-partition-offset table (n_partitions rows)."""
+    p = _plan(spark, "q_peak_concurrency")
+    assert "rangepartitioning" in p.lower()
+    # the full boundary stream must NOT pass through a global sort
+    # (a bare Window.orderBy plans as Sort over SinglePartition of
+    # the whole data; here only the offsets table may do that)
+    assert "window" in p.lower()  # local prefix sums are windows
+
+
+def test_skew_split_join_broadcasts_hot_side(spark):
+    p = _plan(spark, "q_skew_join")
+    assert "BroadcastHashJoin" in p  # hot path + key census joins
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_time_rollup_is_single_expand_pass(spark):
+    """GROUPING SETS must plan as ONE Expand + ONE aggregate pair —
+    not a union of three scans."""
+    p = _plan(spark, "q_time_rollup")
+    assert p.count("Expand") >= 1
+    assert p.lower().count("scan parquet") <= 1 or p.lower().count("inmemory") >= 1
+    assert "Union" not in p
+
+
+def test_locf_window_is_per_dim_partitioned(spark):
+    p = _plan(spark, "q_locf_fill")
+    # the fill window is partitioned by the dim column -> no global sort
+    # of the spine on a single partition
+    assert "event_type" in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
