@@ -4450,6 +4450,47 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_kmv_set_ops",
+    """
+    WITH a AS (SELECT DISTINCT
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+               FROM events WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM events WHERE event_type = 'purchase'),
+    uh AS (SELECT h FROM a UNION SELECT h FROM b),
+    u AS (SELECT h FROM uh ORDER BY h LIMIT 32),
+    m AS (SELECT max(h) AS uk, count(*) AS kk FROM u),
+    j AS (SELECT count(*) AS nb
+          FROM u WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+    ex AS (SELECT
+             (SELECT count(*) FROM uh) AS exact_union,
+             (SELECT count(*) FROM a WHERE h IN (SELECT h FROM b))
+               AS exact_intersection)
+    SELECT round((kk - 1) / (uk / 4294967296.0), 4) AS est_union,
+           round(nb / CAST(kk AS DOUBLE), 4) AS est_jaccard,
+           round(((kk - 1) / (uk / 4294967296.0)) * (nb / CAST(kk AS DOUBLE)), 4)
+             AS est_intersection,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(exact_intersection AS BIGINT) AS exact_intersection
+    FROM m, j, ex
+    """,
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra: union/Jaccard/intersection cardinality
+    estimates for clicking vs purchasing users from two mergeable
+    32-value sketches, with exact hash-space counts as audit columns —
+    why KMV over HLL when set EXPRESSIONS matter
+    (operators/sketches.py:kmv_set_algebra)."""
+    from kommunedata_data_pipeline_spark.operators.sketches import kmv_set_algebra
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return kmv_set_algebra(a, b, "user_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

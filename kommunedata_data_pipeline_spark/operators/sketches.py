@@ -205,3 +205,61 @@ def bloom_contains(
         maybe = c if maybe is None else (maybe & c)
     drop = [f"__b{i}" for i in range(n_hashes)] + [f"__hit{i}" for i in range(n_hashes)]
     return out.withColumn("maybe_member", maybe).drop(*drop)
+
+
+def kmv_set_algebra(
+    df_a: DataFrame, df_b: DataFrame, col: str, k: int = 32
+) -> DataFrame:
+    """Set algebra on KMV sketches: one-row estimate of |A ∪ B| and
+    |A ∩ B| from the two sets' k-minimum-values sketches — the reason
+    KMV (not HLL) is the sketch of choice when set EXPRESSIONS matter:
+    the union sketch is just the k smallest of the merged hash sets
+    (mergeable without touching the data again), and Jaccard falls out
+    as the fraction of the merged sketch present in both sides;
+    |A ∩ B| ≈ J · |A ∪ B| (inclusion via the union sketch).
+
+    Exact-oracle-able like the other sketches: md5 hashes are
+    engine-identical, the estimators are single IEEE divisions of exact
+    doubles, rounded to 4 decimals. Exact hash-space counts ride along
+    as the audit columns.
+
+    Scale: each side reduces to <= k rows via TakeOrdered before
+    anything crosses the network; the exact audit columns are the only
+    full-width aggregations (drop them in production — they're the
+    point-of-comparison at test scale).
+    """
+    def _hashes(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col(col).isNotNull())
+            .select(md5_bigint(F.col(col).cast("string")).alias("h"))
+            .distinct()
+        )
+
+    ha, hb = _hashes(df_a), _hashes(df_b)
+    union_hashes = ha.unionByName(hb).distinct()
+    merged = union_hashes.orderBy("h").limit(k)
+    stats = merged.agg(
+        F.max("h").alias("__uk"), F.count("*").alias("__kk")
+    )
+    n_both = (
+        merged.join(ha, "h", "left_semi")
+        .join(hb, "h", "left_semi")
+        .agg(F.count("*").alias("__nb"))
+    )
+    exact = union_hashes.agg(F.count("*").alias("exact_union")).crossJoin(
+        ha.join(hb, "h", "left_semi").agg(F.count("*").alias("exact_intersection"))
+    )
+    u01 = F.col("__uk") / F.lit(float(HASH_SPACE))
+    est_union = (F.col("__kk") - 1) / u01
+    est_j = F.col("__nb") / F.col("__kk").cast("double")
+    return (
+        stats.crossJoin(n_both)
+        .crossJoin(exact)
+        .select(
+            F.round(est_union, 4).alias("est_union"),
+            F.round(est_j, 4).alias("est_jaccard"),
+            F.round(est_union * est_j, 4).alias("est_intersection"),
+            F.col("exact_union").cast("bigint"),
+            F.col("exact_intersection").cast("bigint"),
+        )
+    )

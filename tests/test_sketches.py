@@ -41,3 +41,25 @@ def test_bloom_no_false_negatives(spark):
     # false-positive rate stays sane at this fill factor
     fp = out.where((F.col("k") >= 200) & F.col("maybe_member")).count()
     assert fp < 200
+
+
+def test_kmv_set_algebra_estimates_track_exact(spark):
+    from kommunedata_data_pipeline_spark.operators.sketches import kmv_set_algebra
+    from kommunedata_data_pipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    row = kmv_set_algebra(a, b, "user_id", k=32).collect()[0]
+    assert 0.0 <= row["est_jaccard"] <= 1.0
+    # KMV with k=32 is coarse; estimates must land within 3x of exact
+    assert row["exact_union"] / 3 <= row["est_union"] <= row["exact_union"] * 3
+    if row["exact_intersection"] > 0:
+        assert (
+            row["exact_intersection"] / 4
+            <= row["est_intersection"]
+            <= row["exact_intersection"] * 4
+        )
+    # subset sanity: A∩B <= A∪B in both exact and estimated space
+    assert row["exact_intersection"] <= row["exact_union"]
+    assert row["est_intersection"] <= row["est_union"] + 1e-9
