@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Empirical scaling validation: run the scale-critical operators at
+1x / 4x / 16x synthetic multiples of the sf0.1 corpus and record wall
+time, verifying the plans behave sub-quadratically in practice — the
+measured counterpart to the plan audits in tests/test_plans.py.
+
+Corpus multiplication preserves structure instead of duplicating it:
+each copy's tokens are prefixed with the copy index (disjoint shingle
+universes), so near-dup clusters stay copy-local and candidate-pair
+counts scale linearly with corpus size — the honest scaling scenario.
+Events are shifted in time per copy, keeping event density constant.
+
+Writes SCALING.md at the repo root. Usage: python scripts/stress.py
+[max_multiple] (default 16).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from kommunedata_data_pipeline_spark.session import get_spark  # noqa: E402
+from kommunedata_data_pipeline_spark.sources.readers import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def multiply_documents(d: DataFrame, m: int) -> DataFrame:
+    """m structure-preserving copies: token-prefix per copy keeps each
+    copy's shingle universe disjoint (no cross-copy near-dups)."""
+    if m == 1:
+        return d
+    copies = d.crossJoin(
+        F.broadcast(
+            d.sparkSession.range(m).select(F.col("id").alias("copy"))
+        )
+    )
+    return copies.select(
+        (F.col("doc_id") * m + F.col("copy")).alias("doc_id"),
+        F.regexp_replace(
+            F.col("text"),
+            r"(\S+)",
+            F.concat(F.lit("c"), F.col("copy").cast("string"), F.lit("_$1")),
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def multiply_events(e: DataFrame, m: int) -> DataFrame:
+    """m copies shifted by 90 days each — density constant, span grows."""
+    if m == 1:
+        return e
+    copies = e.crossJoin(
+        F.broadcast(
+            e.sparkSession.range(m).select(F.col("id").alias("copy"))
+        )
+    )
+    return copies.select(
+        (F.col("event_id") * m + F.col("copy")).alias("event_id"),
+        (
+            F.col("ts")
+            + F.col("copy") * F.expr("INTERVAL 90 DAYS")
+        ).alias("ts"),
+        (F.col("user_id") + F.col("copy") * 1_000_000).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def main() -> None:
+    max_m = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    multiples = [m for m in (1, 4, 16, 64) if m <= max_m]
+    spark = get_spark(app_name="kommunedata-stress")
+
+    docs = load_table(spark, SF_DIR, "documents")
+    events = load_table(spark, SF_DIR, "events")
+
+    def dedup_exact_rows(d):
+        from kommunedata_data_pipeline_spark.operators.dedup import dedup_exact
+        return dedup_exact(d)
+
+    def lsh_pairs(d):
+        from kommunedata_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+        return minhash_lsh_pairs(d)
+
+    def jaccard_capped(d):
+        from kommunedata_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+        return ngram_jaccard_pairs(d, threshold=0.8, df_cap=200)
+
+    def surprisal(d):
+        from kommunedata_data_pipeline_spark.operators.corpus import unigram_surprisal
+        return unigram_surprisal(d)
+
+    def rollup(e):
+        from kommunedata_data_pipeline_spark.operators.aggregates import time_rollup
+        return time_rollup(e)
+
+    def concurrency(e):
+        from kommunedata_data_pipeline_spark.operators.timeseries import peak_concurrency
+        return peak_concurrency(e, "ts")
+
+    def hll(e):
+        from kommunedata_data_pipeline_spark.operators.sketches import hll_registers
+        return hll_registers(e, "user_id")
+
+    doc_ops = {
+        "dedup_exact": dedup_exact_rows,
+        "minhash_lsh_pairs": lsh_pairs,
+        "ngram_jaccard_capped": jaccard_capped,
+        "unigram_surprisal": surprisal,
+    }
+    event_ops = {
+        "time_rollup": rollup,
+        "peak_concurrency": concurrency,
+        "hll_registers": hll,
+    }
+
+    results: dict[str, dict[int, float]] = {}
+    rows_at: dict[str, dict[int, int]] = {"documents": {}, "events": {}}
+    for m in multiples:
+        dm = multiply_documents(docs, m).localCheckpoint(eager=True)
+        em = multiply_events(events, m).localCheckpoint(eager=True)
+        rows_at["documents"][m] = dm.count()
+        rows_at["events"][m] = em.count()
+        for name, op in list(doc_ops.items()) + list(event_ops.items()):
+            src = dm if name in doc_ops else em
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                op(src).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[m] = round(best, 2)
+            print(f"m={m:3d} {name:22s} {best:7.2f}s", flush=True)
+        dm.unpersist()
+        em.unpersist()
+
+    lines = [
+        "# SCALING — measured operator scaling (structure-preserving synthetic multiples of sf0.1)",
+        "",
+        f"Input: documents {rows_at['documents']} rows, events {rows_at['events']} rows",
+        "(token-prefix multiplication keeps shingle universes disjoint per copy —",
+        "near-dup candidate counts scale linearly, the honest corpus-growth scenario;",
+        "events shift 90 days per copy so density stays constant). Times are",
+        "best-of-2 on local[32]; the interesting number is the GROWTH RATE, not the",
+        "absolute (a 16x input on 32 fixed cores should cost ~16x for a linear plan).",
+        "",
+        "| operator | " + " | ".join(f"{m}x" for m in multiples) + " | t(16x)/t(1x) |",
+        "|---|" + "---|" * (len(multiples) + 1),
+    ]
+    for name, per_m in results.items():
+        ratio = (
+            round(per_m[multiples[-1]] / per_m[multiples[0]], 1)
+            if per_m[multiples[0]] > 0
+            else float("inf")
+        )
+        lines.append(
+            f"| {name} | "
+            + " | ".join(f"{per_m[m]}s" for m in multiples)
+            + f" | {ratio}x |"
+        )
+    lines += [
+        "",
+        "A sub-quadratic plan on fixed cores grows at most ~linearly in input",
+        f"size; {multiples[-1]}x input should cost ≲{multiples[-1]}x time (plus",
+        "fixed overhead amortizing AWAY, so ratios under the input multiple are",
+        "expected). A quadratic candidate explosion would show up as a ratio far",
+        f"ABOVE {multiples[-1]}x on the pair-generation operators.",
+    ]
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
