@@ -957,18 +957,20 @@ def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "q_quality_score",
-    f"""
-    SELECT doc_id,
-           round(0.4 * (CASE WHEN length(text) >= 100 THEN 1.0
+_QUALITY_SQL = f"""round(0.4 * (CASE WHEN length(text) >= 100 THEN 1.0
                              ELSE length(text) / 100.0 END)
                  + 0.3 * (1.0 - (length(text)
                        - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
                        / length(text))
                  + 0.3 * (len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
                                           t -> list_contains({_EN_SW}, t)))
-                          / len({_TOKS_SQL})), 6) AS quality
+                          / len({_TOKS_SQL})), 6)"""
+
+
+@_q(
+    "q_quality_score",
+    f"""
+    SELECT doc_id, {_QUALITY_SQL} AS quality
     FROM documents
     ORDER BY doc_id
     """,
@@ -4489,6 +4491,90 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.where(F.col("event_type") == "click").select("user_id")
     b = ev.where(F.col("event_type") == "purchase").select("user_id")
     return kmv_set_algebra(a, b, "user_id")
+
+
+@_q(
+    "q_quality_gate",
+    f"""
+    WITH q AS (SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents),
+    r AS (SELECT *, percent_rank() OVER (PARTITION BY source
+                                         ORDER BY quality DESC, doc_id) AS pr
+          FROM q)
+    SELECT source, count(*) AS n_kept, round(min(quality), 6) AS min_quality
+    FROM r WHERE pr <= 0.5
+    GROUP BY source
+    """,
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-quantile gate: keep the top half of each
+    source by composite quality score (percent_rank with a doc_id
+    tiebreak — a total order, so the boundary is engine-deterministic).
+    The curation step every corpus build applies source-by-source rather
+    than globally (sources have different score distributions)."""
+    from kommunedata_data_pipeline_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", quality_score(F.col("text")).alias("quality"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") <= 0.5)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+        )
+    )
+
+
+@_q(
+    "q_cluster_weights",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM lsh_pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    cl AS (SELECT node AS doc_id, min(lab) AS cluster_id
+           FROM reach GROUP BY node)
+    SELECT COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+           min(d.doc_id) AS rep_doc,
+           count(*) AS cluster_size
+    FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+    GROUP BY 1
+    """,
+)
+def q_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware dedup weights: one representative document per
+    duplicate cluster (min doc_id) with the cluster size as its training
+    weight — the standard alternative to hard-dropping duplicates
+    (downweight instead of discard; singletons get weight 1). Composes
+    the LSH pair graph + distributed connected components, then one
+    keyed rollup."""
+    from kommunedata_data_pipeline_spark.operators.dedup import dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = dup_clusters(minhash_lsh_pairs(d, 3, 16, 4, 0.5))
+    return (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .groupBy(
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+        )
+        .agg(
+            F.min("doc_id").alias("rep_doc"),
+            F.count("*").alias("cluster_size"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
