@@ -4577,6 +4577,52 @@ def q_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_udtf_lateral",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             'u' || doc_id || '_0|2024-01-0' || (1 + doc_id % 5) ||
+             ';u' || doc_id || '_1|2024-02-0' || (1 + doc_id % 3) AS payload
+      FROM documents
+    ),
+    s AS (SELECT doc_id, string_split(payload, ';') AS parts FROM base),
+    e AS (SELECT doc_id, unnest(range(1, len(parts) + 1)) AS i, parts FROM s)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           trim(string_split(parts[i], '|')[1]) AS url,
+           trim(string_split(parts[i], '|')[2]) AS raw_date
+    FROM e
+    """,
+)
+def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF exercised through SQL LATERAL: a synthesized listing
+    payload ('url|date;url|date') explodes to one row per link with
+    order reified as pos (the reference's variable-fan-out row
+    extraction, §2.11). Row-at-a-time Python is deliberate here — the
+    UDTF is the SQL-surface twin of the Arrow fetch layer, not the
+    scale path (harvest_listings is)."""
+    from kommunedata_data_pipeline_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    d = _t(spark, sf_dir, "documents")
+    d.select(
+        "doc_id",
+        F.concat(
+            F.lit("u"), F.col("doc_id"), F.lit("_0|2024-01-0"),
+            (1 + F.col("doc_id") % 5).cast("string"),
+            F.lit(";u"), F.col("doc_id"), F.lit("_1|2024-02-0"),
+            (1 + F.col("doc_id") % 3).cast("string"),
+        ).alias("payload"),
+    ).createOrReplaceTempView("__q_udtf_payloads")
+    return spark.sql(
+        """
+        SELECT p.doc_id, t.pos, t.url, t.raw_date
+        FROM __q_udtf_payloads p,
+        LATERAL extract_meeting_links(p.payload) t
+        """
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
