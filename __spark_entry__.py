@@ -4623,6 +4623,115 @@ def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_hll_daily",
+    """
+    WITH e AS (
+      SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+             user_id
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    h AS (SELECT day,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM e),
+    regs AS (
+      SELECT day, floor(h / 67108864) AS bucket,
+             max(CASE WHEN h % 67108864 = 0 THEN 27
+                      ELSE 27 - length(bin(h % 67108864)) END) AS max_rho
+      FROM h GROUP BY 1, 2
+    ),
+    hagg AS (
+      SELECT day, sum(pow(2.0, -max_rho)) AS s_present, count(*) AS n_present
+      FROM regs GROUP BY day
+    ),
+    hll AS (
+      SELECT day,
+             round(CASE WHEN (0.709 * 64 * 64 / (s_present + (64 - n_present)))
+                             <= 160.0 AND (64 - n_present) > 0
+                        THEN 64.0 * ln(64.0 / (64 - n_present))
+                        ELSE 0.709 * 64 * 64 / (s_present + (64 - n_present))
+                   END, 4) AS est_hll
+      FROM hagg
+    ),
+    ex AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+           FROM e GROUP BY day)
+    SELECT ex.day, n_exact, est_hll FROM ex JOIN hll USING (day)
+    """,
+)
+def q_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day via per-key HyperLogLog sketches, with the
+    exact count as the audit column — the incrementally-maintainable
+    dashboard shape: per-day sketches merge associatively, so late files
+    update a day without recounting it
+    (operators/sketches.py:hll_estimate_by)."""
+    from kommunedata_data_pipeline_spark.operators.sketches import hll_estimate_by
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .withColumn(
+            "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+    )
+    exact = ev.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return exact.join(hll_estimate_by(ev, "user_id", "day"), "day")
+
+
+def _profile_events_oracle() -> str:
+    cols = [
+        ("event_id", "num"),
+        ("ts", "ts"),
+        ("user_id", "num"),
+        ("event_type", "str"),
+        ("value", "num"),
+        ("props", "str"),
+    ]
+    parts = []
+    for name, kind in cols:
+        if kind == "num":
+            mn = f"round(CAST(min({name}) AS DOUBLE), 4)"
+            mx = f"round(CAST(max({name}) AS DOUBLE), 4)"
+            ms = "CAST(NULL AS VARCHAR)"
+            xs = "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+            ms = f"strftime(min({name}), '%Y-%m-%d %H:%M:%S')"
+            xs = f"strftime(max({name}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+            ms = f"CAST(min({name}) AS VARCHAR)"
+            xs = f"CAST(max({name}) AS VARCHAR)"
+        parts.append(
+            f"""SELECT '{name}' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num, {ms} AS min_str, {xs} AS max_str
+    FROM e"""
+        )
+    return (
+        "WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,"
+        " event_type, value, props FROM events)\n    "
+        + "\n    UNION ALL\n    ".join(parts)
+    )
+
+
+@_q("q_profile_events", _profile_events_oracle())
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-profiling report over the events table: one row
+    per column with row/null/exact-distinct counts and type-appropriate
+    extremes — ONE aggregation job for the whole table (the oracle's
+    union-per-column form is what the operator's literal-array pivot
+    avoids at scale; operators/relational.py:profile_table)."""
+    from kommunedata_data_pipeline_spark.operators.relational import profile_table
+
+    return profile_table(_t(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

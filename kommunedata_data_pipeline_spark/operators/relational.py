@@ -160,3 +160,60 @@ def skyline_2d(
         .where(F.col("__prev_min").isNull() | (F.col(min_col) < F.col("__prev_min")))
         .select(id_col, max_col, min_col)
     )
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Single-pass data-profiling summary: one row per column with row /
+    null / exact-distinct counts and type-appropriate min/max (numerics
+    rounded to 4 dp in ``min_num``/``max_num``; strings, dates and
+    timestamps as ISO strings in ``min_str``/``max_str``) — the
+    first-contact quality report every ingest runs.
+
+    Scale shape: ONE aggregation job computes every column's stats in a
+    single scan (count/count-nulls/min/max are all map-side combinable;
+    count_distinct rewrites to a partial-distinct expand under the same
+    aggregate), then a literal-array explode pivots the single stats row
+    into per-column rows — no per-column scans, no driver loop over
+    queries. At 100 TB this is exactly one pass over the table.
+    """
+    from pyspark.sql import types as T
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"__null_{f.name}"))
+        aggs.append(F.count_distinct(c).alias(f"__dist_{f.name}"))
+        if isinstance(f.dataType, T.NumericType):
+            aggs.append(F.round(F.min(c).cast("double"), 4).alias(f"__min_{f.name}"))
+            aggs.append(F.round(F.max(c).cast("double"), 4).alias(f"__max_{f.name}"))
+        elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            aggs.append(
+                F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"__min_{f.name}")
+            )
+            aggs.append(
+                F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"__max_{f.name}")
+            )
+        elif isinstance(f.dataType, (T.StringType, T.DateType)):
+            aggs.append(F.min(c).cast("string").alias(f"__min_{f.name}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{f.name}"))
+        else:  # binary/array/map: extremes undefined, profile counts only
+            aggs.append(F.lit(None).cast("string").alias(f"__min_{f.name}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__max_{f.name}"))
+    stats = df.agg(*aggs)
+
+    def _entry(f) -> Column:
+        numeric = isinstance(f.dataType, T.NumericType)
+        return F.struct(
+            F.lit(f.name).alias("col_name"),
+            F.col("__rows").alias("n_rows"),
+            F.col(f"__null_{f.name}").alias("n_nulls"),
+            F.col(f"__dist_{f.name}").alias("n_distinct"),
+            (F.col(f"__min_{f.name}") if numeric else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"__max_{f.name}") if numeric else F.lit(None).cast("double")).alias("max_num"),
+            (F.lit(None).cast("string") if numeric else F.col(f"__min_{f.name}")).alias("min_str"),
+            (F.lit(None).cast("string") if numeric else F.col(f"__max_{f.name}")).alias("max_str"),
+        )
+
+    return stats.select(
+        F.explode(F.array(*[_entry(f) for f in df.schema.fields])).alias("p")
+    ).select("p.*")

@@ -263,3 +263,34 @@ def kmv_set_algebra(
             F.col("exact_intersection").cast("bigint"),
         )
     )
+
+
+def hll_estimate_by(df: DataFrame, col: str, key: str) -> DataFrame:
+    """Per-``key`` HyperLogLog distinct estimate — the grouped form of
+    `hll_estimate` (one 64-register sketch per key, e.g. distinct users
+    per day). The whole computation is two map-side-combinable groupBys
+    (key×bucket, then key); at 100 TB each partition reduces to
+    64 rows per key before anything shuffles, and per-key sketches merge
+    associatively across partitions/files/days — the property that makes
+    sketch-backed dashboards incrementally maintainable."""
+    h = md5_bigint(F.col(col).cast("string"))
+    bucket = F.floor(h / F.lit(HLL_W_MOD)).cast("bigint")
+    w = F.pmod(h, F.lit(HLL_W_MOD))
+    regs = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(key), bucket.alias("bucket"), _rho(w).cast("bigint").alias("rho"))
+        .groupBy(key, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    agg = regs.groupBy(key).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    s = F.col("s_present") + (F.lit(HLL_M) - F.col("n_present"))
+    v = F.lit(HLL_M) - F.col("n_present")
+    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / s
+    est = F.when(
+        (e_raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(e_raw)
+    return agg.select(F.col(key), F.round(est, 4).alias("est_hll"))

@@ -155,3 +155,41 @@ def test_skew_split_join_equals_plain_join(spark):
         assert split.count() == plain.count()
         assert split.exceptAll(plain).count() == 0
         assert plain.exceptAll(split).count() == 0
+
+
+def test_profile_table_invariants(spark):
+    from kommunedata_data_pipeline_spark.operators.relational import profile_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    n = ev.count()
+    rows = {r["col_name"]: r for r in profile_table(ev).collect()}
+    assert set(rows) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert 0 <= r["n_nulls"] <= n
+        assert r["n_distinct"] <= n - r["n_nulls"]
+    assert rows["event_id"]["n_distinct"] == n  # primary key
+    assert rows["value"]["min_num"] <= rows["value"]["max_num"]
+    assert rows["event_type"]["min_str"] <= rows["event_type"]["max_str"]
+    assert rows["ts"]["min_str"] < rows["ts"]["max_str"]
+
+
+def test_hll_estimate_by_tracks_exact_per_key(spark):
+    from kommunedata_data_pipeline_spark.operators.sketches import hll_estimate_by
+
+    ev = load_table(spark, SF_SMALL, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    est = {
+        r["event_type"]: r["est_hll"]
+        for r in hll_estimate_by(ev, "user_id", "event_type").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k in exact:  # m=64 HLL: well within 2x at these cardinalities
+        assert exact[k] / 2 <= est[k] <= exact[k] * 2
