@@ -4732,6 +4732,119 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "q_null_semantics",
+    """
+    WITH e AS (SELECT event_id,
+                      CASE WHEN event_id % 7 = 0 THEN NULL
+                           ELSE user_id % 20 END AS k
+               FROM events),
+    a AS (SELECT k, count(*) AS ca FROM e WHERE event_id % 2 = 0 GROUP BY k),
+    b AS (SELECT k, count(*) AS cb FROM e WHERE event_id % 2 = 1 GROUP BY k),
+    j AS (SELECT a.k AS k, ca, cb
+          FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k)
+    SELECT k, ca, cb, CAST(ca * cb AS BIGINT) AS pairs,
+           CAST(row_number() OVER (ORDER BY k ASC NULLS FIRST) AS INT)
+             AS rank_nf,
+           CAST(row_number() OVER (ORDER BY k ASC NULLS LAST) AS INT)
+             AS rank_nl
+    FROM j
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics parity battery: null-safe equality join (<=> /
+    IS NOT DISTINCT FROM — the NULL group joins the NULL group) plus
+    explicit NULLS FIRST vs NULLS LAST ranking over the same keys.
+    Aggregate-before-join keeps the null-key match a 1x1 row pairing
+    instead of a null x null row explosion — the same pre-aggregation
+    any null-heavy key join needs at scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("user_id") % 20)
+        .alias("k"),
+    )
+    a = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .groupBy("k")
+        .agg(F.count("*").alias("ca"))
+    )
+    b = (
+        ev.where(F.col("event_id") % 2 == 1)
+        .groupBy("k")
+        .agg(F.count("*").alias("cb"))
+        .withColumnRenamed("k", "kb")
+    )
+    j = a.join(b, a["k"].eqNullSafe(b["kb"])).select("k", "ca", "cb")
+    return j.select(
+        "k",
+        "ca",
+        "cb",
+        (F.col("ca") * F.col("cb")).cast("bigint").alias("pairs"),
+        F.row_number()
+        .over(Window.orderBy(F.asc_nulls_first("k")))
+        .cast("int")
+        .alias("rank_nf"),
+        F.row_number()
+        .over(Window.orderBy(F.asc_nulls_last("k")))
+        .cast("int")
+        .alias("rank_nl"),
+    )
+
+
+@_q(
+    "q_join_size_est",
+    """
+    WITH a AS (SELECT user_id FROM events WHERE event_type = 'view'),
+    b AS (SELECT user_id FROM events WHERE event_type = 'click'),
+    ca AS (
+      SELECT r.i AS r,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 8 * r.i + 1, 8))::BIGINT
+               % 256 AS c,
+             count(*) AS n
+      FROM a, (SELECT unnest(range(0, 3)) AS i) r
+      GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT r.i AS r,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 8 * r.i + 1, 8))::BIGINT
+               % 256 AS c,
+             count(*) AS n
+      FROM b, (SELECT unnest(range(0, 3)) AS i) r
+      GROUP BY 1, 2
+    ),
+    dots AS (
+      SELECT ca.r, sum(ca.n * cb.n) AS dot
+      FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c
+      GROUP BY ca.r
+    ),
+    est AS (SELECT CAST(min(dot) AS BIGINT) AS est_join_size FROM dots),
+    ex AS (
+      SELECT CAST(sum(fa * fb) AS BIGINT) AS exact_join_size
+      FROM (SELECT user_id, count(*) AS fa FROM a GROUP BY 1) xa
+      JOIN (SELECT user_id, count(*) AS fb FROM b GROUP BY 1) xb
+        USING (user_id)
+    )
+    SELECT est_join_size, exact_join_size FROM est, ex
+    """,
+)
+def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketch inner products
+    (min over depth rows upper-bounds Σ f_A(k)·f_B(k)) — the optimizer
+    statistic a planner uses when it cannot scan both sides; exact join
+    size rides along as the audit column. Pure integer md5 arithmetic,
+    exactly reproducible in the oracle
+    (operators/sketches.py:cms_join_size_estimate)."""
+    from kommunedata_data_pipeline_spark.operators.sketches import (
+        cms_join_size_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "view").select("user_id")
+    b = ev.where(F.col("event_type") == "click").select("user_id")
+    return cms_join_size_estimate(a, b, "user_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

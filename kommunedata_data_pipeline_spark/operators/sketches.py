@@ -294,3 +294,41 @@ def hll_estimate_by(df: DataFrame, col: str, key: str) -> DataFrame:
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
     ).otherwise(e_raw)
     return agg.select(F.col(key), F.round(est, 4).alias("est_hll"))
+
+
+def cms_join_size_estimate(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches: the inner
+    product of two CMS rows upper-bounds the true join size
+    |A ⋈ B| = Σ_k f_A(k)·f_B(k); the min over the depth rows is the
+    classic estimator the AGMS/CMS literature gives an optimizer that
+    cannot afford to look at both sides. Pure integer arithmetic on
+    md5-derived cells — exactly reproducible cross-engine.
+
+    Scale: each side reduces to width×depth counters (map-side
+    combinable) before the tiny sketch-on-sketch equi-join; the exact
+    audit column is the only full-width aggregation (test-scale only).
+    """
+    ca = countmin_table(df_a, col, width, depth)
+    cb = countmin_table(df_b, col, width, depth)
+    per_row = (
+        ca.join(
+            cb.withColumnRenamed("n", "nb"),
+            ["r", "c"],
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("n") * F.col("nb")).alias("dot"))
+    )
+    est = per_row.agg(F.min("dot").cast("bigint").alias("est_join_size"))
+    exact = (
+        df_a.groupBy(col)
+        .agg(F.count("*").alias("__fa"))
+        .join(df_b.groupBy(col).agg(F.count("*").alias("__fb")), col)
+        .agg(F.sum(F.col("__fa") * F.col("__fb")).cast("bigint").alias("exact_join_size"))
+    )
+    return est.crossJoin(exact)
