@@ -4845,6 +4845,92 @@ def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_join_size_estimate(a, b, "user_id")
 
 
+@_q(
+    "q_snapshot_diff",
+    """
+    WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+    b_base AS (SELECT doc_id,
+                      CASE WHEN doc_id % 13 = 0 THEN md5(text || ' EDIT')
+                           ELSE md5(text) END AS h
+               FROM documents WHERE doc_id % 17 <> 0),
+    b_new AS (SELECT doc_id + 100000 AS doc_id, md5(text || ' NEW') AS h
+              FROM documents WHERE doc_id % 19 = 0),
+    b AS (SELECT * FROM b_base UNION ALL SELECT * FROM b_new),
+    j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                 CASE WHEN a.doc_id IS NULL THEN 'added'
+                      WHEN b.doc_id IS NULL THEN 'removed'
+                      WHEN a.h <> b.h THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT status, count(*) AS n FROM j GROUP BY status
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data detection between two corpus snapshots (the second
+    synthesized deterministically: every 17th doc removed, every 13th
+    edited, every 19th re-added as new): per-status counts from ONE
+    full-outer key join over (key, content-hash) projections
+    (operators/relational.py:snapshot_diff)."""
+    from kommunedata_data_pipeline_spark.operators.relational import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.md5("text").alias("h"))
+    b = (
+        d.where(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.md5(F.concat(F.col("text"), F.lit(" EDIT")))
+            )
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.md5(F.concat(F.col("text"), F.lit(" NEW"))).alias("h"),
+            )
+        )
+    )
+    return snapshot_diff(a, b, "doc_id", "h").groupBy("status").agg(
+        F.count("*").alias("n")
+    )
+
+
+@_q(
+    "q_event_transitions",
+    """
+    WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                      event_type
+               FROM events),
+    s AS (SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM o)
+    SELECT prev, event_type AS next, count(*) AS n
+    FROM s WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event transition matrix (Markov first-order counts):
+    lag over the per-user time order — the sequence-analytics primitive
+    behind path analysis and next-action models. One per-user window
+    (event_id tiebreak for same-ts determinism) + one map-side
+    combinable rollup."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("next"),
+        )
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", "next")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -193,3 +193,16 @@ def test_hll_estimate_by_tracks_exact_per_key(spark):
     assert est.keys() == exact.keys()
     for k in exact:  # m=64 HLL: well within 2x at these cardinalities
         assert exact[k] / 2 <= est[k] <= exact[k] * 2
+
+
+def test_snapshot_diff_statuses(spark):
+    from kommunedata_data_pipeline_spark.operators.relational import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "h1"), (2, "h2"), (3, "h3")], "k long, h string"
+    )
+    b = spark.createDataFrame(
+        [(2, "h2"), (3, "CHANGED"), (4, "h4")], "k long, h string"
+    )
+    rows = {r["k"]: r["status"] for r in snapshot_diff(a, b, "k", "h").collect()}
+    assert rows == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
