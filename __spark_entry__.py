@@ -2390,7 +2390,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total_value"),
         )
     )
-    run_to_memory(agg, "q_stream_enrich_sink", output_mode="complete", shuffle_partitions=4)
+    run_to_memory(agg, "q_stream_enrich_sink", output_mode="complete", shuffle_partitions=2)
     return spark.table("q_stream_enrich_sink")
 
 
@@ -2645,7 +2645,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = streaming_dedup(read_events_stream(spark, sf_dir)).select(
         "event_id", "user_id", "event_type"
     )
-    run_to_memory(s, "q_stream_dedup_sink", shuffle_partitions=4)
+    run_to_memory(s, "q_stream_dedup_sink", shuffle_partitions=2)
     return spark.table("q_stream_dedup_sink").orderBy("event_id")
 
 
@@ -2670,7 +2670,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     s = tumbling_counts(read_events_stream(spark, sf_dir))
-    run_to_memory(s, "q_stream_tumbling_sink", shuffle_partitions=4)
+    run_to_memory(s, "q_stream_tumbling_sink", shuffle_partitions=2)
     return spark.table("q_stream_tumbling_sink").orderBy("window_start", "event_type")
 
 
@@ -2703,7 +2703,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     s = sliding_counts(read_events_stream(spark, sf_dir))
-    run_to_memory(s, "q_stream_sliding_sink", shuffle_partitions=4)
+    run_to_memory(s, "q_stream_sliding_sink", shuffle_partitions=2)
     return spark.table("q_stream_sliding_sink").orderBy("window_start")
 
 
@@ -2735,7 +2735,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     s = session_agg(read_events_stream(spark, sf_dir))
-    run_to_memory(s, "q_stream_session_sink", shuffle_partitions=4)
+    run_to_memory(s, "q_stream_session_sink", shuffle_partitions=2)
     return spark.table("q_stream_session_sink").orderBy("session_start", "user_id")
 
 
@@ -3933,7 +3933,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("view_ts").alias("view_ts_us"),
         F.unix_micros("purch_ts").alias("purch_ts_us"),
     )
-    run_to_memory(joined, "q_stream_join_sink", shuffle_partitions=4)
+    run_to_memory(joined, "q_stream_join_sink", shuffle_partitions=2)
     return spark.table("q_stream_join_sink")
 
 

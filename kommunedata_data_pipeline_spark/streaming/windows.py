@@ -159,11 +159,13 @@ def run_to_memory(
     and that count is fixed at the first checkpoint forever — under the
     driver's shuffle.partitions=200 session every micro-batch would pay
     200 state-store tasks for a 15-key stream. Measured on the test
-    corpus: JVM-stateful ops (window aggs, stream-stream join) bottom
-    out at 4 partitions, while Arrow/Pandas-stateful ops want 8+ (the
-    Python worker pool is the scarce resource, not store commits). A
-    real deployment sizes it to key cardinality × executor count once,
-    up front. None = inherit the session conf."""
+    corpus (tmpfs checkpoints): per-partition state-store task overhead
+    dominates down to 2 partitions for JVM-stateful ops (window aggs,
+    stream-stream join; 4→2 saved ~0.35 s/query, 2→1 noise), while
+    Arrow/Pandas-stateful ops want 8+ (the Python worker pool is the
+    scarce resource, not store commits). A real deployment sizes it to
+    key cardinality × executor count once, up front. None = inherit
+    the session conf."""
     import os
     import shutil
     import uuid
