@@ -266,3 +266,24 @@ def test_locf_window_is_per_dim_partitioned(spark):
     # of the spine on a single partition
     assert "event_type" in p
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_profile_is_one_aggregation_no_union(spark):
+    """profile_table must profile every column in ONE aggregation pass —
+    never a union of per-column scans (the oracle's shape)."""
+    p = _plan(spark, "q_profile_events")
+    assert "Union" not in p
+    assert "HashAggregate" in p or "SortAggregate" in p or "ObjectHashAggregate" in p
+
+
+def test_snapshot_diff_is_keyed_join(spark):
+    p = _plan(spark, "q_snapshot_diff")
+    assert "FullOuter" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_join_size_est_sketch_join_is_equi(spark):
+    """The sketch-on-sketch join must be an equi-join on (r, c); the only
+    nested-loop allowed is the final one-row estimate x audit pairing."""
+    p = _plan(spark, "q_join_size_est")
+    assert "CartesianProduct" not in p
