@@ -4931,6 +4931,68 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_session_attribution",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+      FROM gaps
+    ), per AS (
+      SELECT user_id, sid,
+             first(event_type ORDER BY ts, event_id) AS first_type,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM sessions GROUP BY user_id, sid
+    )
+    SELECT first_type, count(*) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(sum(converted) * 1.0 / count(*), 6) AS conv_rate
+    FROM per GROUP BY first_type
+    """,
+)
+def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution over gap-merged sessions: each session is
+    attributed to its FIRST event type (min_by over the total
+    (ts, event_id) order — deterministic at same-ts ties) and counted as
+    converted if it contains a purchase; per-first-type conversion
+    rates. Composes sessionization + ordered-first + rollup in two
+    shuffles (user_id window, then first_type agg)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 600_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    per = (
+        ev.withColumn("new_session", new_session)
+        .withColumn("sid", F.sum("new_session").over(wcum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min_by("event_type", F.struct("ts", "event_id")).alias("first_type"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+        )
+    )
+    return per.groupBy("first_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(F.sum("converted") / F.count("*"), 6).alias("conv_rate"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
