@@ -4993,6 +4993,161 @@ def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Adapted TPC-H shapes: Q9/Q11/Q21 need columns the testdata lacks
+# (partsupp, commitdate/receiptdate), so these preserve the QUERY SHAPE —
+# the join topology, correlation pattern, and aggregation structure the
+# optimizer must handle — with available columns. Documented as
+# adaptations, not TPC-H parity.
+
+
+@_q(
+    "q9_profit_shape",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                          - CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(p_retailprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_size % 5 = 0
+    GROUP BY 1, 2
+    """,
+)
+def q9_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 SHAPE (adapted: p_retailprice*quantity as the cost term —
+    the testdata has no partsupp): 5-way join fanning lineitem through
+    part/supplier/orders/nation, profit rolled up by (nation, year) in
+    exact decimal. The part predicate prunes before the join chain; all
+    dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") % 5 == 0)
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = _dec("l_extendedprice") * (1 - _dec("l_discount")) - _dec(
+        "l_quantity"
+    ) * _dec("p_retailprice")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+@_q(
+    "q11_concentration_shape",
+    """
+    WITH sv AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey AS suppkey, round(CAST(v AS DOUBLE), 2) AS value
+    FROM sv
+    WHERE v * 1000 > (SELECT sum(v) FROM sv)
+    """,
+)
+def q11_concentration_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 SHAPE (adapted: supplier revenue concentration over
+    lineitem — no partsupp): group-level value vs a scalar subquery of
+    the GLOBAL total. The threshold compare is v*1000 > total in exact
+    decimal (no fractional multiply, so no cross-engine decimal-scale
+    edge); the global total is a one-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    sv = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("v")
+    )
+    total = sv.agg(F.sum("v").alias("__total"))
+    return (
+        sv.crossJoin(F.broadcast(total))
+        .where(F.col("v") * 1000 > F.col("__total"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.round(F.col("v"), 2).cast("double").alias("value"),
+        )
+    )
+
+
+@_q(
+    "q21_blame_shape",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey, o_orderdate
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 80 DAY
+    ),
+    multi AS (
+      SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      GROUP BY l_orderkey HAVING count(*) > 1
+    ),
+    solo_late AS (
+      SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late)
+      GROUP BY l_orderkey HAVING count(*) = 1
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE l_orderkey IN (SELECT l_orderkey FROM multi)
+      AND l_orderkey IN (SELECT l_orderkey FROM solo_late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_blame_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 SHAPE (adapted: 'late' = shipped >80 days after order —
+    no commitdate/receiptdate): the double correlated EXISTS / NOT
+    EXISTS pattern expressed as two semi joins — suppliers who were the
+    ONLY late supplier on a multi-supplier order. The correlated
+    subqueries become per-order distinct-supplier counts (map-side
+    combinable) instead of per-row re-scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") > 1)
+        .select("l_orderkey")
+    )
+    solo_late = (
+        late.distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        late.join(multi, "l_orderkey", "left_semi")
+        .join(solo_late, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
