@@ -151,9 +151,12 @@ def main() -> None:
         "near-dup candidate counts scale linearly, the honest corpus-growth scenario;",
         "events shift 90 days per copy so density stays constant). Times are",
         "best-of-2 on local[32]; the interesting number is the GROWTH RATE, not the",
-        "absolute (a 16x input on 32 fixed cores should cost ~16x for a linear plan).",
+        f"absolute (a {multiples[-1]}x input on 32 fixed cores should cost "
+        f"~{multiples[-1]}x for a linear plan).",
         "",
-        "| operator | " + " | ".join(f"{m}x" for m in multiples) + " | t(16x)/t(1x) |",
+        "| operator | "
+        + " | ".join(f"{m}x" for m in multiples)
+        + f" | t({multiples[-1]}x)/t({multiples[0]}x) |",
         "|---|" + "---|" * (len(multiples) + 1),
     ]
     for name, per_m in results.items():
