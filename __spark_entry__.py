@@ -5148,6 +5148,49 @@ def q21_blame_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_priority_per_group",
+    """
+    WITH s AS (
+      SELECT lang AS grp, doc_id AS skey, CAST(n_chars AS DOUBLE) AS w,
+             CAST(n_chars AS DOUBLE) /
+               ((1 + (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 1048576)) / 1048577.0) AS priority
+      FROM documents
+    ),
+    r AS (
+      SELECT grp, skey, w, priority,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY priority DESC, skey) AS rn
+      FROM s
+    ),
+    t AS (
+      SELECT grp, skey, w, priority, rn,
+             max(CASE WHEN rn = 9 THEN priority END)
+               OVER (PARTITION BY grp) AS tau
+      FROM r
+    )
+    SELECT grp, skey, round(w, 2) AS w, round(priority, 4) AS priority,
+           round(greatest(w, COALESCE(tau, w)), 4) AS est_weight
+    FROM t WHERE rn <= 8
+    """,
+)
+def q_priority_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language priority sample (8 docs per language, weighted by
+    document length) with per-group unbiased estimator weights — the
+    stratified variant of q_priority_sample: a global weighted sample
+    would starve small strata; this takes k per group in ONE shuffle
+    (operators/sampling.py:priority_sample_per_group)."""
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        priority_sample_per_group,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return priority_sample_per_group(
+        d, "lang", F.col("doc_id"), F.col("n_chars").cast("double"), 8
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

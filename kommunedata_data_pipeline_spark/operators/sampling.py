@@ -174,3 +174,61 @@ def split_assign(
         .when(h < train_pct + val_pct, "val")
         .otherwise("test"),
     )
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key: Column,
+    weight: Column,
+    k: int,
+) -> DataFrame:
+    """Per-group priority sampling (Duffield–Lund–Thorup within each
+    stratum): the k highest-priority rows per group, each with the
+    unbiased estimator weight max(w, tau_g) for that group's own
+    tau — balanced weighted sampling across sources, the training-data
+    use case where a global sample would starve small strata.
+
+    Engine-exact like the global variant (md5 dyadic uniform + one IEEE
+    division, key tiebreak on exact priority ties). Scale: ONE shuffle
+    on the group key; the rank and the (k+1)-th-priority tau both come
+    from the same per-group window pass — no per-group collect, no
+    second shuffle."""
+    u = (
+        (1 + F.pmod(md5_bigint(key.cast("string")), F.lit(PRIORITY_U_MOD)))
+        / F.lit(float(PRIORITY_U_MOD + 1))
+    )
+    scored = df.select(
+        F.col(group_col).alias("grp"),
+        key.alias("skey"),
+        weight.cast("double").alias("w"),
+        (weight.cast("double") / u).alias("priority"),
+    )
+    w_rank = Window.partitionBy("grp").orderBy(
+        F.col("priority").desc(), F.col("skey")
+    )
+    # tau = (k+1)-th priority of the SAME window pass, visible to every
+    # row via an unbounded frame over the ranked order
+    w_all = w_rank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = scored.select(
+        "grp",
+        "skey",
+        "w",
+        "priority",
+        F.row_number().over(w_rank).alias("__rn"),
+    ).withColumn(
+        "__tau",
+        F.max(F.when(F.col("__rn") == k + 1, F.col("priority"))).over(w_all),
+    )
+    return (
+        ranked.where(F.col("__rn") <= k)
+        .select(
+            "grp",
+            "skey",
+            F.round("w", 2).alias("w"),
+            F.round("priority", 4).alias("priority"),
+            F.round(
+                F.greatest(F.col("w"), F.coalesce(F.col("__tau"), F.col("w"))), 4
+            ).alias("est_weight"),
+        )
+    )
