@@ -5227,23 +5227,6 @@ _R1_DRIVER_CHECKED = frozenset(
 )
 
 
-# More unchecked queries than the driver's ~50-row check window: these
-# use only conventions already proven green by r1 driver rows (cast
-# aggregate + groupBy/window TPC-H shapes), so they yield their window
-# slot to the novel-machinery queries (sketches, streams, media) whose
-# cross-engine behavior the local battery can't fully de-risk.
-_LOW_RISK_TAIL = (
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q8_market_share",
-    "q_cumulative_users",
-    "q_value_histogram",
-    "q_date_arithmetic",
-    "q_first_last_window",
-    "q_base64_roundtrip",
-)
-
-
 # Queries whose round-2 driver row is green (hash_match) — like the r1
 # set they re-register after anything still unchecked or fixed this
 # round, so the driver's ~50-row check window lands on fresh surface.
@@ -5268,18 +5251,61 @@ _R2_DRIVER_CHECKED = frozenset(
 )
 
 
+# Queries whose round-3 driver row is green (hash_match) — all 50 of
+# CORRECTNESS_r03.json. With this tier in place, every registered query
+# has a green driver row in SOME round; the freshness problem is the 46
+# queries whose LATEST row is round 1, recorded before two testdata
+# regenerations (the events.ts physical-type change among them). Those
+# re-register at the head of the window this round for a fresh check.
+_R3_DRIVER_CHECKED = frozenset(
+    {
+        "q11_concentration_shape", "q13_order_distribution",
+        "q15_top_supplier", "q18_large_orders", "q21_blame_shape",
+        "q8_market_share", "q9_profit_shape", "q_ann_ivf_topk",
+        "q_asof_join", "q_base64_roundtrip", "q_calendar_fill",
+        "q_cluster_weights", "q_cumulative_users", "q_date_arithmetic",
+        "q_event_transitions", "q_first_last_window", "q_from_json_struct",
+        "q_hll_daily", "q_join_size_est", "q_kmv_set_ops", "q_locf_fill",
+        "q_map_ops", "q_media_features", "q_minhash_est_err",
+        "q_null_semantics", "q_pagerank", "q_peak_concurrency",
+        "q_pivot_event_types", "q_priority_per_group", "q_priority_sample",
+        "q_profile_events", "q_quality_gate", "q_quantize_embeddings",
+        "q_range_join", "q_session_attribution", "q_sessionize",
+        "q_skew_join", "q_skyline", "q_snapshot_diff", "q_split_assign",
+        "q_stream_join", "q_stream_session", "q_stream_sliding",
+        "q_stream_tumbling", "q_time_rollup", "q_triangle_count",
+        "q_udtf_lateral", "q_unigram_surprisal", "q_value_histogram",
+        "q_zorder_layout",
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
-    driver-unchecked (or fixed-this-round) queries register — and
-    therefore get checked — first."""
-    checked = _R1_DRIVER_CHECKED | _R2_DRIVER_CHECKED
-    first = [
-        n for n in _SPARK if n not in checked and n not in _LOW_RISK_TAIL
+    the driver's ~50-row check window lands on the queries that most
+    need a fresh row: never-checked (new this round) first, then the 46
+    whose latest driver row predates two testdata regenerations (round 1
+    only), then recent greens (r3, then r2, then the rest)."""
+    checked = _R1_DRIVER_CHECKED | _R2_DRIVER_CHECKED | _R3_DRIVER_CHECKED
+    first = [n for n in _SPARK if n not in checked]
+    r1_stale = [
+        n
+        for n in _SPARK
+        if n in _R1_DRIVER_CHECKED
+        and n not in _R2_DRIVER_CHECKED
+        and n not in _R3_DRIVER_CHECKED
     ]
-    tail = [n for n in _LOW_RISK_TAIL if n in _SPARK]
-    r2 = [n for n in _SPARK if n in _R2_DRIVER_CHECKED]
-    r1 = [n for n in _SPARK if n in _R1_DRIVER_CHECKED and n not in _R2_DRIVER_CHECKED]
-    return {n: _SPARK[n] for n in first + tail + r2 + r1}
+    r3 = [n for n in _SPARK if n in _R3_DRIVER_CHECKED]
+    r2 = [
+        n
+        for n in _SPARK
+        if n in _R2_DRIVER_CHECKED and n not in _R3_DRIVER_CHECKED
+    ]
+    ordered = first + r1_stale + r3 + r2
+    assert len(ordered) == len(set(ordered)) == len(_SPARK), (
+        "registry tiers must partition _SPARK exactly"
+    )
+    return {n: _SPARK[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
