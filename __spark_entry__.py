@@ -2670,7 +2670,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     s = tumbling_counts(read_events_stream(spark, sf_dir))
-    run_to_memory(s, "q_stream_tumbling_sink", shuffle_partitions=2)
+    run_to_memory(s, "q_stream_tumbling_sink", shuffle_partitions=1)
     return spark.table("q_stream_tumbling_sink").orderBy("window_start", "event_type")
 
 
@@ -2703,7 +2703,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     s = sliding_counts(read_events_stream(spark, sf_dir))
-    run_to_memory(s, "q_stream_sliding_sink", shuffle_partitions=2)
+    run_to_memory(s, "q_stream_sliding_sink", shuffle_partitions=1)
     return spark.table("q_stream_sliding_sink").orderBy("window_start")
 
 

@@ -134,13 +134,34 @@ def stream_stream_interval_join(
     return l.join(r, cond)
 
 
+def _analyzed_plan(stream_df: DataFrame) -> str:
+    try:
+        return stream_df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return ""
+
+
 def _has_watermark(stream_df: DataFrame) -> bool:
     """True if the streaming plan declares an event-time watermark."""
-    try:
-        plan = stream_df._jdf.queryExecution().analyzed().toString()
-    except Exception:
+    return "EventTimeWatermark" in _analyzed_plan(stream_df)
+
+
+def _needs_nodata_finalize(stream_df: DataFrame, output_mode: str) -> bool:
+    """True only when the final no-data micro-batch changes WHAT the sink
+    receives: an append-mode watermarked AGGREGATION emits a window only
+    once a later batch advances the watermark past the window end, so a
+    bounded run needs the no-data batch to flush finalized windows.
+
+    Everything else emits its full result in the data batch itself —
+    streaming dedup and stream-stream INNER joins output rows as they
+    arrive/match (their watermark only bounds state eviction), and
+    update/complete modes emit per batch — so for a bounded run the
+    no-data batch is pure overhead (~0.3-0.5 s of trigger + WAL + state
+    commit) with no semantic effect, and the runner disables it."""
+    if output_mode != "append":
         return False
-    return "EventTimeWatermark" in plan
+    plan = _analyzed_plan(stream_df)
+    return "EventTimeWatermark" in plan and "Aggregate" in plan
 
 
 def run_to_memory(
@@ -171,10 +192,20 @@ def run_to_memory(
     import uuid
 
     spark = stream_df.sparkSession
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
+    part_key = "spark.sql.shuffle.partitions"
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_parts = spark.conf.get(part_key)
+    prev_nodata = spark.conf.get(nodata_key, "true")
+    finalize = _needs_nodata_finalize(stream_df, output_mode)
     if shuffle_partitions is not None:
-        spark.conf.set(key, str(shuffle_partitions))
+        spark.conf.set(part_key, str(shuffle_partitions))
+    # Only append-mode watermarked aggregations need the trailing
+    # no-data micro-batch (it advances the watermark and flushes the
+    # finalized windows); for every other shape it is a second full
+    # trigger+WAL+state-commit cycle that changes nothing in the sink,
+    # so a bounded run turns it off. Unbounded deployments keep the
+    # default: there the no-data batch is what bounds state size.
+    spark.conf.set(nodata_key, "true" if finalize else "false")
     # Checkpoint (offset log + state store files) on tmpfs when the box
     # has one: a bounded run fsyncs the checkpoint every micro-batch, and
     # that disk latency is pure per-query floor. Real deployments point
@@ -188,32 +219,35 @@ def run_to_memory(
             writer = writer.option("checkpointLocation", ckpt)
         q = writer.queryName(name).start()
         q.processAllAvailable()
-        # An append-mode watermarked aggregation only emits a window once
-        # a LATER batch advances the watermark past the window end; on a
-        # bounded source that later batch is the no-data micro-batch
-        # (spark.sql.streaming.noDataMicroBatches.enabled, default on),
-        # which commits asynchronously and can race with stop(). Wait for
-        # one zero-input batch to appear in the progress log before
-        # stopping so finalized windows actually reach the sink.
-        if output_mode == "append" and _has_watermark(stream_df):
+        # The watermark-advancing no-data batch commits asynchronously
+        # and can race with stop(). Wait for a zero-input batch that
+        # lands AFTER at least one data batch — an initial empty trigger
+        # (fired before the source listed the file) also has
+        # numInputRows == 0 and must not satisfy the wait.
+        if finalize:
             import json as _json
             import time
 
-            def _saw_no_data_batch() -> bool:
+            def _saw_final_no_data_batch() -> bool:
+                seen_data = False
                 for p in q.recentProgress:
                     d = _json.loads(p.json) if hasattr(p, "json") else p
-                    if d.get("numInputRows", -1) == 0:
+                    rows = d.get("numInputRows", -1)
+                    if rows > 0:
+                        seen_data = True
+                    elif rows == 0 and seen_data:
                         return True
                 return False
 
             deadline = time.time() + 30
-            while not _saw_no_data_batch() and time.time() < deadline:
+            while not _saw_final_no_data_batch() and time.time() < deadline:
                 time.sleep(0.05)
                 q.processAllAvailable()
         q.stop()
     finally:
         if shuffle_partitions is not None:
-            spark.conf.set(key, prev)
+            spark.conf.set(part_key, prev_parts)
+        spark.conf.set(nodata_key, prev_nodata)
         if ckpt:
             shutil.rmtree(ckpt, ignore_errors=True)
     return q
