@@ -61,9 +61,11 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 # Suite-scoped shingle cache (SPARK_GRAFT_CACHE_TABLES=1, set by bench.py):
 # the capped and uncapped Jaccard queries share the same exploded shingle
 # base; persisting it once halves their combined cost. Keyed by the input
-# DataFrame object — under the suite scan cache the documents scan is a
-# per-session singleton, so identity is a stable key. Off by default.
-_SHINGLE_CACHE: dict[tuple[int, int], DataFrame] = {}
+# DataFrame object (held live — a bare id() could be recycled by the
+# allocator and alias a different frame); a new input for the same k
+# evicts and unpersists the previous entry, so at most one shingle table
+# is pinned per k. Off by default.
+_SHINGLE_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
 
 
 def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
@@ -71,9 +73,9 @@ def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     import os
 
     cache_on = os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
-    key = (id(documents), k)
-    if cache_on and key in _SHINGLE_CACHE:
-        return _SHINGLE_CACHE[key]
+    hit = _SHINGLE_CACHE.get(k)
+    if cache_on and hit is not None and hit[0] is documents:
+        return hit[1]
     sh = (
         documents.select(
             "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("shingle")
@@ -81,9 +83,14 @@ def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
         .distinct()
     )
     if cache_on:
+        if hit is not None:
+            hit[1].unpersist()
         sh = sh.persist()
-        _SHINGLE_CACHE[key] = sh
+        _SHINGLE_CACHE[k] = (documents, sh)
     return sh
+
+
+_NGRAM_SH_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
 
 
 def ngram_jaccard_pairs(
@@ -102,7 +109,18 @@ def ngram_jaccard_pairs(
     """
     sh = doc_shingles(documents, k)
     if not sh.is_cached:
-        sh = sh.cache()
+        # same one-slot lifecycle as _SIG_CACHE: the shingle table feeds
+        # three consumers below (sizes, both self-join sides), so it must
+        # persist, but a new input evicts the previous pin instead of
+        # accumulating one cached table per call
+        hit = _NGRAM_SH_CACHE.get(k)
+        if hit is not None and hit[0] is documents:
+            sh = hit[1]
+        else:
+            if hit is not None:
+                hit[1].unpersist()
+            sh = sh.cache()
+            _NGRAM_SH_CACHE[k] = (documents, sh)
     if df_cap is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > df_cap).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
@@ -205,6 +223,33 @@ def minhash_lsh_pairs(
     )
 
 
+# Signature cache with the same suite-scoped lifecycle as _SHINGLE_CACHE:
+# the banded self-join reads the signature table twice (both join sides
+# compute it independently — no shuffle precedes the join, so nothing is
+# reused without a persist), and three registered queries plus the stress
+# harness each rebuild it. A bare per-call .cache() (the r3 shape) leaked:
+# nothing ever unpersisted, so stress runs at 1x/4x/16x/64x accumulated
+# four signature tables in executor memory. Now at most ONE signature
+# table is pinned per (k, num_hashes): a new input DataFrame evicts and
+# unpersists the previous one.
+# The cached tuple holds the INPUT DataFrame too (not just its id): a
+# live reference makes identity comparison sound — id() values can be
+# recycled after garbage collection.
+_SIG_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
+
+
+def _cached_signatures(documents: DataFrame, k: int, num_hashes: int) -> DataFrame:
+    key = (k, num_hashes)
+    hit = _SIG_CACHE.get(key)
+    if hit is not None and hit[0] is documents:
+        return hit[1]
+    if hit is not None:
+        hit[1].unpersist()
+    sigs = minhash_signatures(documents, k, num_hashes).cache()
+    _SIG_CACHE[key] = (documents, sigs)
+    return sigs
+
+
 def minhash_candidate_pairs(
     documents: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
@@ -213,7 +258,7 @@ def minhash_candidate_pairs(
     `minhash_lsh_pairs` (verify-by-signature) and
     `minhash_accuracy_audit` (verify-by-exact-set)."""
     r = num_hashes // bands
-    sigs = minhash_signatures(documents, k, num_hashes).cache()
+    sigs = _cached_signatures(documents, k, num_hashes)
     banded = sigs.select(
         "doc_id",
         "sig",

@@ -205,8 +205,23 @@ def skew_split_join(
     The hot-key census is one map-side-combinable count over the fact
     keys; at 100 TB a real deployment samples it or reuses table stats —
     the plan shape downstream is identical. Result is row-identical to
-    the plain join (property-tested).
+    the plain join (property-tested for both supported types).
+
+    Only ``inner`` and ``left`` (outer) joins are supported: both are
+    fact-preserving, so splitting the FACT side partitions the output
+    exactly. A right/full join would additionally need every unmatched
+    DIM row exactly once, but the hot branch and the cold branch each
+    see only part of the fact side, so each would emit its own
+    null-padded row for a dim key unmatched in its branch — duplicates
+    by construction. Those shapes need a different decomposition, not
+    this one, and are rejected.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"skew_split_join supports how='inner'|'left', got {how!r}: "
+            "right/full joins would duplicate unmatched dim rows across "
+            "the hot and cold branches"
+        )
     hot_keys = (
         facts.groupBy(on)
         .agg(F.count("*").alias("__n"))

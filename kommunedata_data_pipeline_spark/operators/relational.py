@@ -220,7 +220,7 @@ def profile_table(df: DataFrame) -> DataFrame:
 
 
 def snapshot_diff(
-    old: DataFrame, new: DataFrame, key: str, hash_col: str
+    old: DataFrame, new: DataFrame, key: str, hash_col: str, dedup_guard: bool = False
 ) -> DataFrame:
     """Table-diff between two snapshots: one row per key with status
     added / removed / changed / unchanged, decided by a full outer join
@@ -232,9 +232,23 @@ def snapshot_diff(
     only key+hash — the projection every diff should push down); status
     is a codegen'd CASE. At 100 TB pre-bucketing both snapshots by the
     key makes the join exchange-free (see sinks.write_bucketed).
+
+    Contract: ``key`` MUST be unique within each snapshot — a snapshot
+    IS a keyed table state, so a duplicated key means the input is not a
+    snapshot; the outer join would multiply such rows and silently
+    over/under-count statuses. Callers who cannot guarantee uniqueness
+    pass ``dedup_guard=True``: a dropDuplicates on (key, hash) then
+    collapses exact duplicates and bounds a conflicting key (two
+    different hashes — a caller bug this operator cannot repair) to one
+    row per distinct hash instead of a cartesian blow-up. The guard is
+    opt-in because it costs one extra shuffle per side on inputs that
+    honor the contract.
     """
     a = old.select(F.col(key).alias("__ka"), F.col(hash_col).alias("__ha"))
     b = new.select(F.col(key).alias("__kb"), F.col(hash_col).alias("__hb"))
+    if dedup_guard:
+        a = a.dropDuplicates(["__ka", "__ha"])
+        b = b.dropDuplicates(["__kb", "__hb"])
     return a.join(b, a["__ka"] == b["__kb"], "full_outer").select(
         F.coalesce(F.col("__ka"), F.col("__kb")).alias(key),
         F.when(F.col("__ka").isNull(), "added")

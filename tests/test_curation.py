@@ -97,7 +97,9 @@ def test_minhash_audit_error_bounds_and_self_similarity(spark):
     for r in rows:
         assert 0.0 <= r["est_jaccard"] <= 1.0
         assert 0.0 <= r["exact_jaccard"] <= 1.0
-        assert abs(r["est_jaccard"] - r["exact_jaccard"]) - r["abs_err"] < 1e-9
+        # two-sided: abs_err must EQUAL |est - exact| (to the column's
+        # 6-dp rounding), not merely bound it from above
+        assert abs(abs(r["est_jaccard"] - r["exact_jaccard"]) - r["abs_err"]) < 5e-7
 
 
 def test_global_running_sum_matches_single_partition(spark):
@@ -147,14 +149,25 @@ def test_skew_split_join_equals_plain_join(spark):
         F.col("c_custkey").alias("user_id"),
         (F.col("c_custkey") % 10).cast("bigint").alias("segment"),
     )
-    plain = ev.join(users, "user_id")
+    # drop some users so 'left' has genuinely unmatched fact rows
+    users = users.where(F.col("user_id") % 7 != 0)
     # hot_count=1: EVERY key takes the broadcast path; hot_count=10**9:
-    # every key takes the shuffle path — both must equal the plain join
-    for hc in (1, 5, 10**9):
-        split = skew_split_join(ev, users, "user_id", hot_count=hc)
-        assert split.count() == plain.count()
-        assert split.exceptAll(plain).count() == 0
-        assert plain.exceptAll(split).count() == 0
+    # every key takes the shuffle path — both must equal the plain join,
+    # for every supported join type
+    for how in ("inner", "left"):
+        plain = ev.join(users, "user_id", how)
+        for hc in (1, 5, 10**9):
+            split = skew_split_join(ev, users, "user_id", hot_count=hc, how=how)
+            assert split.count() == plain.count()
+            assert split.exceptAll(plain).count() == 0
+            assert plain.exceptAll(split).count() == 0
+    # right/full would double-count unmatched dim rows across branches:
+    # rejected up front
+    import pytest
+
+    for how in ("right", "full_outer", "full"):
+        with pytest.raises(ValueError, match="inner"):
+            skew_split_join(ev, users, "user_id", how=how)
 
 
 def test_profile_table_invariants(spark):
