@@ -5149,6 +5149,116 @@ def q21_blame_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q12_priority_mix_shape",
+    """
+    SELECT l_linestatus AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q12_priority_mix_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 SHAPE (adapted: l_linestatus stands in for the absent
+    l_shipmode, shipped-after-ordered for the absent commit/receipt lag
+    chain): orders x lineitem join under a one-year ship-date window,
+    rolled up into the two-branch CASE counts (high/low priority) per
+    class. The CASE sums are map-side combinable; the date window is
+    pushed to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@_q(
+    "q20_threshold_shape",
+    """
+    WITH pk AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    yearly AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS year_qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM pk)
+      GROUP BY 1, 2
+    ),
+    total AS (
+      SELECT l_partkey, sum(l_quantity) AS part_qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM pk)
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, n_name AS nation
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_nationkey % 5 = 3
+      AND s_suppkey IN (
+        SELECT y.l_suppkey FROM yearly y
+        JOIN total t ON y.l_partkey = t.l_partkey
+        WHERE y.year_qty > 0.3 * t.part_qty)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_threshold_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 SHAPE (adapted: the availqty threshold — partsupp is
+    absent — becomes 'shipped >30% of the part's all-time quantity in
+    one year'): the nested IN-subquery chain (name-filtered parts →
+    per-(part,supp) year aggregate → correlated threshold against a
+    per-part aggregate → supplier semi-join → nation filter) expressed
+    as broadcast semi-joins and one agg-vs-agg equi-join, the
+    decorrelation every engine applies to Q20. The part-key filter is a
+    broadcast semi-join pushed below BOTH lineitem aggregates, so the
+    big scans prune before shuffling."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    pk = p.where(F.col("p_name").like("small%")).select("p_partkey")
+    li_p = li.join(
+        F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    yearly = (
+        li_p.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("year_qty"))
+    )
+    total = li_p.groupBy("l_partkey").agg(F.sum("l_quantity").alias("part_qty"))
+    qualified = (
+        yearly.join(total, "l_partkey")
+        .where(F.col("year_qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(
+            F.broadcast(n.where(F.col("n_nationkey") % 5 == 3)),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
     "q_priority_per_group",
     """
     WITH s AS (
