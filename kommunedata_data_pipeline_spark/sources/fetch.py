@@ -203,6 +203,21 @@ def candidate_urls(stems: DataFrame, stem_col: str = "stem") -> DataFrame:
     )
 
 
+def probe_one(transport: Transport, url: str) -> tuple[int, object]:
+    """The C4 probe chain for ONE url — HEAD first, GET retry on
+    403/404/405 (get_base_url.py:36-59), any raised error contained as
+    status 599. Factored out of the UDF so the transport-conformance
+    battery can assert the chain (statuses, resolved url, exact call
+    count) against any Transport without a Spark worker in between."""
+    try:
+        st, resolved = transport(url, {"kind": "probe"})
+        if st in (403, 404, 405):  # C4 retry with GET semantics
+            st, resolved = transport(url, {"kind": "probe", "method": "GET"})
+        return int(st), (resolved if st < 400 else None)
+    except Exception:
+        return 599, None
+
+
 def probe_urls(
     candidates: DataFrame,
     transport: Transport,
@@ -219,13 +234,8 @@ def probe_urls(
             for url in pdf[url_col]:
                 if rate_limit_s:
                     time.sleep(rate_limit_s)  # C3 politeness
-                try:
-                    st, resolved = transport(url, {"kind": "probe"})
-                    if st in (403, 404, 405):  # C4 retry with GET semantics
-                        st, resolved = transport(url, {"kind": "probe", "method": "GET"})
-                    rows.append((url, int(st), resolved if st < 400 else None))
-                except Exception:
-                    rows.append((url, 599, None))
+                st, resolved = probe_one(transport, url)
+                rows.append((url, st, resolved))
             yield pd.DataFrame(rows, columns=["candidate_url", "status", "resolved_url"])
 
     out = candidates.select(F.col(url_col)).mapInPandas(batches, PROBE_SCHEMA)

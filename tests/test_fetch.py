@@ -4,6 +4,7 @@ retry chain (C4), candidate generation (S4), pagination + early stop
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -15,6 +16,7 @@ from kommunedata_data_pipeline_spark.sources.fetch import (
     candidate_urls,
     fetch_blobs,
     harvest_listings,
+    probe_one,
     probe_urls,
 )
 
@@ -102,6 +104,9 @@ class _PortalHandler(BaseHTTPRequestHandler):
         u = urlparse(self.path)
         if u.path == "/ok":
             return 200, b"ok"
+        if u.path == "/slow":
+            time.sleep(1.5)  # longer than the battery's transport timeout
+            return 200, b"late"
         if u.path == "/redir":
             self.send_response(302)
             self.send_header("Location", "/ok")
@@ -199,6 +204,84 @@ def test_http_transport_blob_try_struct(spark, portal):
     assert got[f"{portal}/blob.pdf"].ok
     assert bytes(got[f"{portal}/blob.pdf"].content) == b"%PDF-ok"
     assert not got[f"{portal}/missing.pdf"].ok  # contained, not raised
+
+
+# --------------------------------------------------------------------------
+# Transport conformance battery: ONE parameterized contract, both
+# transports. FixtureTransport and HttpTransport must be observably
+# identical through probe_one (the C4 chain): same statuses, same
+# resolved-url nullability, same exception containment, same EXACT
+# number of transport invocations. HttpTransport runs against the
+# loopback portal (never the open internet); its timeout case uses a
+# route that sleeps past the configured timeout, the fixture's a raised
+# TimeoutError — both must surface as the contained 599.
+
+
+class _CountingTransport:
+    """Wraps any Transport; counts (method, path-suffix) invocations."""
+
+    def __init__(self, inner, hang_suffix=None):
+        self.inner = inner
+        self.calls = {}
+        self.hang_suffix = hang_suffix
+
+    def __call__(self, url, options):
+        method = options.get("method", "HEAD") if options.get("kind", "probe") == "probe" else "GET"
+        key = (method, url.rsplit("/", 1)[-1])
+        self.calls[key] = self.calls.get(key, 0) + 1
+        if self.hang_suffix and url.endswith(self.hang_suffix):
+            raise TimeoutError("simulated hang")
+        return self.inner(url, options)
+
+
+def _fixture_pair(base):
+    inner = FixtureTransport(
+        status={f"{base}/ok": 200, f"{base}/missing": 404},
+        redirects={f"{base}/redir": f"{base}/ok"},
+        pages={f"{base}/ok": [], f"{base}/redir": [], f"{base}/getonly": []},
+        get_only=frozenset({f"{base}/getonly"}),
+    )
+    return _CountingTransport(inner, hang_suffix="/slow")
+
+
+def _http_pair(base):
+    # timeout far below /slow's 1.5 s sleep: urllib must raise, the
+    # chain must contain it — the REAL socket-level timeout path
+    return _CountingTransport(HttpTransport(timeout_s=0.4))
+
+
+@pytest.mark.parametrize("make_transport", [_fixture_pair, _http_pair], ids=["fixture", "http"])
+def test_transport_conformance_contract(portal, make_transport):
+    t = make_transport(portal)
+    # (url-suffix, expected status, resolved non-null, expected calls
+    #  [(method, suffix, n), ...])
+    cases = [
+        ("ok", 200, True, [("HEAD", "ok", 1)]),
+        # 404 triggers the GET retry (C4), still 404 → exactly 2 calls
+        ("missing", 404, False, [("HEAD", "missing", 1), ("GET", "missing", 1)]),
+        # HEAD-rejecting endpoint: 405 → GET retry succeeds → 2 calls
+        ("getonly", 200, True, [("HEAD", "getonly", 1), ("GET", "getonly", 1)]),
+        # hang/timeout: contained as 599, never raised
+        ("slow", 599, False, None),
+    ]
+    for suffix, want_st, want_resolved, want_calls in cases:
+        st, resolved = probe_one(t, f"{portal}/{suffix}")
+        assert st == want_st, suffix
+        assert (resolved is not None) == want_resolved, suffix
+        if want_calls is not None:
+            for method, csuf, n in want_calls:
+                assert t.calls.get((method, csuf), 0) == n, (suffix, method)
+    # redirect: both transports resolve to the canonical target
+    st, resolved = probe_one(t, f"{portal}/redir")
+    assert st == 200 and resolved == f"{portal}/ok"
+    # listing contract: pagination in-range, empty past the end
+    lt = t.inner
+    if isinstance(lt, FixtureTransport):
+        lt.pages[f"{portal}/listing"] = _PAGES
+    st, rows = lt(f"{portal}/listing", {"kind": "listing", "page_no": 0})
+    assert st == 200 and [tuple(r) for r in rows] == _PAGES[0]
+    st, rows = lt(f"{portal}/listing", {"kind": "listing", "page_no": 99})
+    assert rows == []
 
 
 def test_fetch_blobs_try_struct(spark):
