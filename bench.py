@@ -72,6 +72,40 @@ def main() -> None:
         int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ).mapInPandas(_warm, "id long").count()
 
+    # transformWithState warm-up: the first TWS query in a session pays a
+    # one-off ~4 s of JVM class loading (RocksDB state store provider +
+    # state server) on top of the per-query stream floor — run a 2-row
+    # TWS stream untimed so that cost isn't billed to q_stream_tws.
+    # enable_tws_workers comes FIRST so the suite keeps a single Python
+    # worker-pool env (it mutates sc.environment, which keys the pool).
+    from kommunedata_data_pipeline_spark.streaming.stateful import tws_available
+
+    if tws_available():
+        import tempfile
+
+        from kommunedata_data_pipeline_spark.streaming.stateful import (
+            enable_tws_workers,
+            rocksdb_state_store,
+            user_value_stats_tws,
+        )
+        from kommunedata_data_pipeline_spark.streaming.windows import run_to_memory
+
+        enable_tws_workers(spark)
+        warm_dir = tempfile.mkdtemp(
+            prefix="tws-warm-",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "user_id long, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(warm_dir)
+        with rocksdb_state_store(spark):
+            s = user_value_stats_tws(
+                spark.readStream.schema("user_id long, value double").parquet(warm_dir)
+            )
+            run_to_memory(
+                s, "tws_warm", output_mode="update", shuffle_partitions=1
+            )
+
     # best-of-2 per query: this box shows multi-x CPU-steal variance
     # between identical runs; the min is the reproducible steady-state.
     # The FIRST attempt builds the DataFrame (Python-side py4j expression

@@ -162,7 +162,7 @@ def skyline_2d(
     )
 
 
-def profile_table(df: DataFrame) -> DataFrame:
+def profile_table(df: DataFrame, cols_per_pass: int | None = None) -> DataFrame:
     """Single-pass data-profiling summary: one row per column with row /
     null / exact-distinct counts and type-appropriate min/max (numerics
     rounded to 4 dp in ``min_num``/``max_num``; strings, dates and
@@ -175,11 +175,41 @@ def profile_table(df: DataFrame) -> DataFrame:
     aggregate), then a literal-array explode pivots the single stats row
     into per-column rows — no per-column scans, no driver loop over
     queries. At 100 TB this is exactly one pass over the table.
+
+    ``cols_per_pass`` bounds the per-aggregation expression count for
+    very wide tables (a 1000-column table would otherwise put ~5000
+    aggregate expressions in one projection — past codegen's method-size
+    limits and the planner's O(n²) cliffs). Columns are profiled in
+    batches of at most ``cols_per_pass``, one aggregation per batch,
+    results unioned in schema order. Because parquet is columnar and
+    each batch prunes its scan to just that batch's columns, total bytes
+    read stay ≈ one full pass — the batching costs scan *setup* per
+    batch, not repeated IO. None (default) = single pass.
     """
+    fields = list(df.schema.fields)
+    if cols_per_pass is not None and 0 < cols_per_pass < len(fields):
+        batches = [
+            fields[i : i + cols_per_pass]
+            for i in range(0, len(fields), cols_per_pass)
+        ]
+        out = _profile_pass(df, batches[0])
+        for batch in batches[1:]:
+            out = out.unionByName(_profile_pass(df, batch))
+        return out
+    return _profile_pass(df, fields)
+
+
+def _profile_pass(df: DataFrame, fields) -> DataFrame:
+    """One aggregation over ``fields`` (a subset of df's schema) pivoted
+    to per-column profile rows — the unit profile_table batches."""
     from pyspark.sql import types as T
 
+    # prune the scan to this batch's columns (plus nothing): the
+    # projection is what lets N batches over a columnar source cost the
+    # same total IO as one pass
+    df = df.select(*[f.name for f in fields])
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
-    for f in df.schema.fields:
+    for f in fields:
         c = F.col(f.name)
         aggs.append(F.sum(c.isNull().cast("long")).alias(f"__null_{f.name}"))
         aggs.append(F.count_distinct(c).alias(f"__dist_{f.name}"))
@@ -200,6 +230,11 @@ def profile_table(df: DataFrame) -> DataFrame:
             aggs.append(F.lit(None).cast("string").alias(f"__min_{f.name}"))
             aggs.append(F.lit(None).cast("string").alias(f"__max_{f.name}"))
     stats = df.agg(*aggs)
+    return _pivot_profile(stats, fields)
+
+
+def _pivot_profile(stats: DataFrame, fields) -> DataFrame:
+    from pyspark.sql import types as T
 
     def _entry(f) -> Column:
         numeric = isinstance(f.dataType, T.NumericType)
@@ -215,7 +250,7 @@ def profile_table(df: DataFrame) -> DataFrame:
         )
 
     return stats.select(
-        F.explode(F.array(*[_entry(f) for f in df.schema.fields])).alias("p")
+        F.explode(F.array(*[_entry(f) for f in fields])).alias("p")
     ).select("p.*")
 
 

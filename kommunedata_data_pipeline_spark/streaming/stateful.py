@@ -36,17 +36,36 @@ _ROCKSDB_PROVIDER = (
 
 def tws_available() -> bool:
     """transformWithStateInPandas talks to the JVM over a protobuf state
-    protocol — its Python driver worker hard-imports google.protobuf,
-    which this container does not ship. Capability-gate (like the render
-    libs in transforms/documents.py): the operator is real and the
-    registry/tests pick it up automatically on an image that has
-    protobuf."""
-    try:
-        import google.protobuf.descriptor  # noqa: F401
+    protocol — its Python runner hard-imports google.protobuf, which
+    this container does not ship as a pip package. compat.pbruntime
+    probes for a pure-Python runtime vendored by host tooling and
+    bootstraps it (driver side here; worker side via enable_tws_workers)
+    — so the gate now opens wherever either a real install or a
+    vendored runtime exists."""
+    from kommunedata_data_pipeline_spark.compat import ensure_protobuf
 
-        return True
-    except ImportError:
+    return ensure_protobuf()
+
+
+def enable_tws_workers(spark) -> bool:
+    """Arrange for Spark Python workers to see the same protobuf runtime
+    as the driver. Must be called BEFORE defining a transformWithState
+    query: PySpark snapshots ``SparkContext.environment`` into each new
+    PythonFunction, and the worker factory both merges its PYTHONPATH
+    and exports the rest into the spawned worker process — which makes
+    compat/pbshim/sitecustomize.py run at worker interpreter startup,
+    ahead of the runner's google.protobuf import. Mutating
+    ``sc.environment`` changes the worker-pool key, so already-running
+    workers for other queries are untouched. Returns False (and changes
+    nothing) when no usable runtime was found."""
+    from kommunedata_data_pipeline_spark.compat import worker_env_for_protobuf
+
+    sc = spark.sparkContext
+    env = worker_env_for_protobuf(sc.environment.get("PYTHONPATH", ""))
+    if env is None:
         return False
+    sc.environment.update(env)
+    return True
 
 
 def user_running_totals(events: DataFrame) -> DataFrame:
@@ -126,7 +145,19 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
     ``user_running_totals``; across batches the ValueState carries the
     accumulator. Requires the RocksDB state store provider (see
     ``rocksdb_state_store``) — the HDFS-backed default doesn't implement
-    the transformWithState column families."""
+    the transformWithState column families.
+
+    The processor class is module-level, which cloudpickle serializes
+    by reference — requiring this package importable inside the worker.
+    Workers only inherit the driver's cwd on sys.path by accident of
+    local mode, so pin by-value pickling for this module instead (the
+    same choice a user submitting to a real cluster without --py-files
+    would need)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserValueStatsProcessor(),
         outputStructType=TWS_OUT_SCHEMA,

@@ -187,6 +187,45 @@ def test_profile_table_invariants(spark):
     assert rows["ts"]["min_str"] < rows["ts"]["max_str"]
 
 
+def test_profile_table_batched_matches_single_pass(spark):
+    """cols_per_pass batches a wide table into bounded aggregations with
+    the exact same output (same rows, schema order preserved), and each
+    batch is one aggregation — the wide-schema hardening contract."""
+    from pyspark.sql import functions as F
+
+    from kommunedata_data_pipeline_spark.operators.relational import profile_table
+
+    # 200 synthetic columns of mixed type over a small base
+    base = spark.range(97)
+    wide = base.select(
+        "id",
+        *[
+            (F.col("id") * (i + 1) % 13).cast("double").alias(f"num_{i:03d}")
+            if i % 2 == 0
+            else F.concat(F.lit(f"s{i}-"), (F.col("id") % 7).cast("string")).alias(
+                f"str_{i:03d}"
+            )
+            for i in range(199)
+        ],
+    )
+    single = profile_table(wide).collect()
+    batched = profile_table(wide, cols_per_pass=32).collect()
+    assert [r["col_name"] for r in batched] == [f.name for f in wide.schema.fields]
+    assert batched == single
+    # plan shape: ceil(200/32)=7 batches -> exactly 7 aggregation passes,
+    # unioned; a per-column-scan regression would show ~200 aggregates
+    plan = (
+        profile_table(wide, cols_per_pass=32)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Union" in plan
+    # count_distinct rewrites each batch's aggregation into a two-level
+    # (partial-distinct Expand + final) aggregate -> 2 nodes per batch
+    assert plan.count("Aggregate [") == 2 * 7
+
+
 def test_hll_estimate_by_tracks_exact_per_key(spark):
     from kommunedata_data_pipeline_spark.operators.sketches import hll_estimate_by
 

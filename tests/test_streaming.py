@@ -130,9 +130,12 @@ def test_tws_value_stats_across_batches(spark, tmp_path):
         pytest.skip("google.protobuf absent: transformWithState runner cannot start")
 
     from kommunedata_data_pipeline_spark.streaming.stateful import (
+        enable_tws_workers,
         rocksdb_state_store,
         user_value_stats_tws,
     )
+
+    assert enable_tws_workers(spark)
 
     src = tmp_path / "events_src"
     src.mkdir()
