@@ -2357,13 +2357,11 @@ def _maybe_register_tws() -> None:
         enable_tws_workers(spark)
         with rocksdb_state_store(spark):
             s = user_value_stats_tws(read_events_stream(spark, sf_dir))
-            # 2 state partitions: each one is a RocksDB instance whose
-            # open/commit/close dominates this bounded run (measured
-            # 8→2 ≈ −3.5 s first run, parity after); a real deployment
-            # sizes this to key-cardinality × executor count instead.
-            run_to_memory(
-                s, "q_stream_tws_sink", output_mode="update", shuffle_partitions=2
-            )
+            # 8 state partitions (the Python-stateful default): measured
+            # at sf0.1 (1500 keys) 8 ≈ 3.0 s steady vs 2 ≈ 4.9 s — the
+            # per-key state round-trips want worker parallelism more
+            # than RocksDB wants fewer instances.
+            run_to_memory(s, "q_stream_tws_sink", output_mode="update")
         return spark.table("q_stream_tws_sink")
 
 

@@ -90,7 +90,10 @@ def user_running_totals(events: DataFrame) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    # prune before the stateful op: column pruning does NOT push through
+    # a Python stateful operator, and every retained column rides the
+    # key shuffle AND the Arrow transfer into the worker
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=COUNTS_SCHEMA,
         stateStructType=STATE_SCHEMA,
@@ -111,10 +114,11 @@ class UserValueStatsProcessor(StatefulProcessor):
         self._stats = handle.getValueState("stats", TWS_STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        if self._stats.exists():
-            n, total, vmin, vmax = self._stats.get()
-        else:
-            n, total, vmin, vmax = 0, 0.0, None, None
+        # one get() instead of exists()+get(): every ValueState call is a
+        # synchronous round trip to the JVM state server, paid per key
+        # per batch — get() already encodes absence as None
+        prev = self._stats.get()
+        n, total, vmin, vmax = prev if prev is not None else (0, 0.0, None, None)
         for pdf in rows:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
@@ -158,7 +162,9 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
     from pyspark import cloudpickle
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    return events.groupBy("user_id").transformWithStateInPandas(
+    # same pre-stateful pruning as user_running_totals: only the key and
+    # the aggregated column cross the shuffle + Arrow boundary
+    return events.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserValueStatsProcessor(),
         outputStructType=TWS_OUT_SCHEMA,
         outputMode="Update",
