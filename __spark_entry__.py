@@ -5309,6 +5309,162 @@ def q_priority_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_gini_skew",
+    """
+    WITH f AS (
+      SELECT 'user_id' AS col_name, CAST(user_id AS VARCHAR) AS ks, count(*) AS f
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+      UNION ALL
+      SELECT 'event_type', event_type, count(*)
+      FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+    ), r AS (
+      SELECT col_name, f,
+             row_number() OVER (PARTITION BY col_name ORDER BY f, ks) AS i
+      FROM f
+    )
+    SELECT col_name, count(*) AS n_keys,
+           round(2.0 * sum(i * f) / (count(*) * sum(f))
+                 - (count(*) + 1.0) / count(*), 6) AS gini,
+           round(max(f) * 1.0 / sum(f), 6) AS top_share
+    FROM r GROUP BY col_name
+    """,
+)
+def q_gini_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report (frequency Gini + top-key share) for the two join
+    keys of the events table — the measurement that decides whether a
+    key needs the salting/hot-cold valves before a 100 TB shuffle
+    (operators/statistics.py:gini_skew_report)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import gini_skew_report
+
+    return gini_skew_report(_t(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+@_q(
+    "q_chi_square",
+    """
+    WITH c AS (
+      SELECT event_type AS a, EXTRACT(hour FROM ts) AS b, count(*) AS obs
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ), ra AS (SELECT a, sum(obs) AS ra FROM c GROUP BY a),
+       cb AS (SELECT b, sum(obs) AS cb FROM c GROUP BY b),
+       g  AS (SELECT sum(obs) AS nn FROM c),
+       e AS (
+         SELECT c.a, c.b, c.obs, ra.ra * cb.cb * 1.0 / g.nn AS exp
+         FROM c JOIN ra ON c.a = ra.a JOIN cb ON c.b = cb.b CROSS JOIN g
+       )
+    SELECT count(*) AS n_cells,
+           (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
+           round(sum((obs - exp) * (obs - exp) / exp), 4) AS chi2
+    FROM e
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event type vs hour-of-day — the "is
+    the event mix stable across time" drift check, computed from ONE
+    contingency aggregation (marginals re-derive from the tiny cell
+    table; operators/statistics.py:chi_square_independence)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        chi_square_independence,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hod")
+    )
+    return chi_square_independence(e, "event_type", "hod")
+
+
+@_q(
+    "q_kl_divergence",
+    """
+    WITH c AS (
+      SELECT lang AS k,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS f0,
+             sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS f1
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ), t AS (SELECT sum(f0) AS n0, sum(f1) AS n1, count(*) AS v FROM c),
+       p AS (
+         SELECT (f0 + 0.5) / (n0 + 0.5 * v) AS p,
+                (f1 + 0.5) / (n1 + 0.5 * v) AS q
+         FROM c CROSS JOIN t
+       )
+    SELECT count(*) AS vocab,
+           round(sum(p * ln(p / q)), 6) AS kl_pq,
+           round(sum(q * ln(q / p)), 6) AS kl_qp
+    FROM p
+    """,
+)
+def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed symmetric KL divergence between the language mixes of
+    the even/odd document split — the distribution-drift detector run
+    before trusting a mixture weight across corpus snapshots
+    (operators/statistics.py:kl_divergence_splits)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        kl_divergence_splits,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return kl_divergence_splits(d, "lang", F.col("doc_id") % 2 == 1)
+
+
+@_q(
+    "q_exact_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS median_value,
+           round(quantile_cont(value, 0.9), 4) AS p90_value,
+           count(value) AS n_vals
+    FROM events GROUP BY event_type
+    """,
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-group percentiles (Spark `percentile` ==
+    ANSI percentile_cont == DuckDB quantile_cont). Exact quantiles need
+    a per-group sort; at 100 TB swap in approx_percentile (t-digest,
+    map-side combinable) when 4-dp exactness isn't required — same call
+    shape."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+        F.count("value").alias("n_vals"),
+    )
+
+
+@_q(
+    "q_grouping_sets",
+    """
+    SELECT event_type, EXTRACT(dow FROM ts) + 1 AS dow,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           CAST(GROUPING(EXTRACT(dow FROM ts) + 1) AS INT) AS g_dow
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    GROUP BY CUBE(event_type, EXTRACT(dow FROM ts) + 1)
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week) with grouping flags — all four
+    grouping sets in ONE pass (Catalyst expands the cube into a single
+    Expand + aggregation; no per-set re-scan). Decimal-exact sums; the
+    grouping() flags disambiguate rollup nulls from data nulls."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select("event_type", F.dayofweek("ts").alias("dow"), "value")
+    )
+    return e.cube("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("sum_value"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("dow").cast("int").alias("g_dow"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
@@ -5398,14 +5554,25 @@ _R3_DRIVER_CHECKED = frozenset(
 )
 
 
+# Never driver-checked as of the r3 snapshot (registered after the r3
+# check ran). These three plus the 46 r1-stale queries fill the driver's
+# 50-slot window exactly — queries registered DURING round 4 must sort
+# after the stale tier or they'd evict stale refreshes from the window.
+_PRE_R4_UNCHECKED = frozenset(
+    {"q_stream_tws", "q12_priority_mix_shape", "q20_threshold_shape"}
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's ~50-row check window lands on the queries that most
-    need a fresh row: never-checked (new this round) first, then the 46
-    whose latest driver row predates two testdata regenerations (round 1
-    only), then recent greens (r3, then r2, then the rest)."""
+    need a fresh row: the three registered-after-the-r3-check queries
+    first, then the 46 whose latest driver row predates two testdata
+    regenerations (round 1 only) — together exactly the 50-slot window —
+    then queries new this round (checked next round), then recent greens
+    (r3, then r2)."""
     checked = _R1_DRIVER_CHECKED | _R2_DRIVER_CHECKED | _R3_DRIVER_CHECKED
-    first = [n for n in _SPARK if n not in checked]
+    head = [n for n in _SPARK if n in _PRE_R4_UNCHECKED]
     r1_stale = [
         n
         for n in _SPARK
@@ -5413,13 +5580,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         and n not in _R2_DRIVER_CHECKED
         and n not in _R3_DRIVER_CHECKED
     ]
+    new_r4 = [n for n in _SPARK if n not in checked and n not in _PRE_R4_UNCHECKED]
     r3 = [n for n in _SPARK if n in _R3_DRIVER_CHECKED]
     r2 = [
         n
         for n in _SPARK
         if n in _R2_DRIVER_CHECKED and n not in _R3_DRIVER_CHECKED
     ]
-    ordered = first + r1_stale + r3 + r2
+    ordered = head + r1_stale + new_r4 + r3 + r2
     assert len(ordered) == len(set(ordered)) == len(_SPARK), (
         "registry tiers must partition _SPARK exactly"
     )

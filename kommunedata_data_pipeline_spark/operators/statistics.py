@@ -1,0 +1,149 @@
+"""Distribution diagnostics for corpus curation at scale.
+
+The reference pipeline trusts its sources blindly (scraper.py has no
+notion of distributional drift); a 100 TB training-data pipeline can't —
+mixture weighting (operators/sampling.py), contamination checks
+(operators/corpus.py) and split assignment all assume you can MEASURE
+how skewed a key is, whether two splits share a distribution, and
+whether two categoricals are independent. These operators are those
+measurements, each a single aggregation pipeline over the key
+distribution (never over raw rows twice), all engine-exact arithmetic
+(integer counts + explicitly rounded doubles) so they oracle against
+ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gini_skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column key-skew report: frequency Gini coefficient + top-key
+    share for each requested column — the "will this key shuffle die at
+    scale" diagnostic (Gini 0 = perfectly uniform keys, →1 = one key
+    owns the table; anything above ~0.6 wants the skew-join/salting
+    valves in operators/joins.py, operators/aggregates.py).
+
+    Gini over frequencies f_1..f_n (ascending): G = 2·Σ(i·f_i)/(n·Σf) −
+    (n+1)/n, computed per column from its frequency table. Scale shape:
+    one groupBy per column over that column only (map-side combinable,
+    pruned scan), then the Gini sum is a window cumsum over the
+    n_keys-row frequency table — negligible beside the count. The
+    per-column frequency tables are unioned, so the whole report is one
+    job. Integer rank·count products keep the sum exact; the only float
+    is the final division, rounded to 6 dp.
+    """
+    parts = []
+    for c in cols:
+        freq = (
+            df.select(F.col(c).alias("k"))
+            .where(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .select(F.lit(c).alias("col_name"), "f", F.col("k").cast("string").alias("ks"))
+        )
+        parts.append(freq)
+    allfreq = parts[0]
+    for p in parts[1:]:
+        allfreq = allfreq.unionByName(p)
+    w = Window.partitionBy("col_name").orderBy("f", "ks")
+    ranked = allfreq.select(
+        "col_name", "f", F.row_number().over(w).alias("i")
+    )
+    return (
+        ranked.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("f").alias("n_rows"),
+            F.sum(F.col("i") * F.col("f")).alias("iw"),
+            F.max("f").alias("top_f"),
+        )
+        .select(
+            "col_name",
+            "n_keys",
+            F.round(
+                2.0 * F.col("iw") / (F.col("n_keys") * F.col("n_rows"))
+                - (F.col("n_keys") + 1.0) / F.col("n_keys"),
+                6,
+            ).alias("gini"),
+            F.round(F.col("top_f") / F.col("n_rows"), 6).alias("top_share"),
+        )
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square statistic for independence of two categorical
+    columns — one row (n_cells, dof, chi2). The workhorse behind "does
+    document quality depend on source?" / "is event mix stable across
+    shards?" checks.
+
+    Scale shape: ONE contingency groupBy(a, b) over the pruned two-column
+    scan; marginals derive from the contingency table (tiny — |A|·|B|
+    rows) by two re-aggregations and broadcast-join back. Expected counts
+    and the statistic are computed on the cell table, never the raw rows.
+    Chi2 uses exact integer observed counts; rounded to 4 dp.
+    """
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    row_tot = cells.groupBy("a").agg(F.sum("obs").alias("ra"))
+    col_tot = cells.groupBy("b").agg(F.sum("obs").alias("cb"))
+    grand = cells.agg(F.sum("obs").alias("n"))
+    scored = (
+        cells.join(F.broadcast(row_tot), "a")
+        .join(F.broadcast(col_tot), "b")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("exp", F.col("ra") * F.col("cb") / F.col("n"))
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        ((F.count_distinct("a") - 1) * (F.count_distinct("b") - 1)).alias("dof"),
+        F.round(
+            F.sum((F.col("obs") - F.col("exp")) ** 2 / F.col("exp")), 4
+        ).alias("chi2"),
+    )
+
+
+def kl_divergence_splits(
+    df: DataFrame, key_col: str, split_col: Column, alpha: float = 0.5
+) -> DataFrame:
+    """Smoothed KL divergence D(P‖Q) + D(Q‖P) between the ``key_col``
+    distributions of two data splits (``split_col`` must evaluate to
+    0/1) — the drift detector run between corpus snapshots, train/eval
+    splits, or shard halves before trusting a mixture weight.
+
+    Additive (Laplace α) smoothing over the UNION vocabulary keeps both
+    logs finite and makes the result well-defined when a key appears in
+    only one split. Scale shape: one groupBy(key) with two conditional
+    sums (map-side combinable), then the divergence sums reduce the
+    |vocab|-row table. Exact integer counts; rounded to 6 dp.
+    """
+    counts = (
+        df.select(F.col(key_col).alias("k"), split_col.cast("int").alias("s"))
+        .where(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("f0"),
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("f1"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("f0").alias("n0"),
+        F.sum("f1").alias("n1"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        ((F.col("f0") + F.lit(alpha)) / (F.col("n0") + F.lit(alpha) * F.col("v"))).alias("p"),
+        ((F.col("f1") + F.lit(alpha)) / (F.col("n1") + F.lit(alpha) * F.col("v"))).alias("q"),
+    )
+    return probs.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_pq"),
+        F.round(F.sum(F.col("q") * F.log(F.col("q") / F.col("p"))), 6).alias("kl_qp"),
+    )
