@@ -5310,6 +5310,39 @@ def q_priority_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_prefix_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+    """,
+)
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (AllPairs/PPJoin shape)
+    at Jaccard ≥ 0.5. The oracle is the BRUTE-FORCE posting-list
+    self-join — passing it proves the prefix bound generates every
+    qualifying pair (exact result, no LSH recall loss) while joining
+    only each document's rarest (1−t)·|doc| tokens
+    (operators/dedup.py:prefix_filter_jaccard_pairs)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(d, 3, 0.5)
+
+
+@_q(
     "q_gini_skew",
     """
     WITH f AS (

@@ -148,6 +148,90 @@ def ngram_jaccard_pairs(
     return out
 
 
+def prefix_filter_jaccard_pairs(
+    documents: DataFrame, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (the
+    AllPairs/PPJoin family) — same output contract as
+    ``ngram_jaccard_pairs`` (doc_a < doc_b, jaccard ≥ threshold, rounded
+    6 dp) but candidates come from a bounded prefix join instead of the
+    full posting-list self-join, and unlike MinHash-LSH there is NO
+    recall loss: the prefix bound is a theorem, not an estimate.
+
+    Bound: order every document's shingles by a global rank (ascending
+    document frequency — rarest first, so prefixes are the least-shared
+    tokens). If J(A,B) ≥ t then |A∩B| ≥ t·|A∪B| ≥ t·|X| for either set
+    X, so fewer than ceil(t·|X|) overlap tokens is a contradiction
+    unless at least one falls in X's first |X| − ceil(t·|X|) + 1 tokens.
+    Join ONLY on those prefix tokens, add the size filter
+    min(|A|,|B|) ≥ t·max(|A|,|B|) (same theorem), then verify the
+    surviving candidates exactly with an array intersection.
+
+    Scale shape: the df groupBy and per-doc rank window are linear; the
+    candidate join touches |prefix| ≈ (1−t)·|doc| tokens per doc — at
+    t = 0.8 that's 5× fewer postings than the full join, and they are
+    the RAREST tokens, so the join's per-key fan-out (the quadratic
+    danger) is structurally small instead of df-capped. The epsilon in
+    the ceil guards float round-up at exact multiples (ceil must never
+    exceed the true integer ceiling, else the prefix shortens and
+    recall breaks).
+    """
+    sh = doc_shingles(documents, k)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .select("doc_id", "shingle", F.row_number().over(w).alias("pos"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    need = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        .where(F.col("pos") <= F.col("n_sh") - need + 1)
+        .select("doc_id", "shingle", "n_sh")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    cands = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    toks = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("toks"))
+    verified = (
+        cands.join(
+            toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("n_a", F.size("ta"))
+        .withColumn("n_b", F.size("tb"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
 # Affine MinHash family over a prime modulus: slot i value of base hash h
 # is ((2i+1)*h + i*MINHASH_C) mod MINHASH_P. One md5 per shingle (the base
 # hash), then num_hashes cheap multiply-adds — vs num_hashes md5s per

@@ -187,6 +187,29 @@ def test_profile_table_invariants(spark):
     assert rows["ts"]["min_str"] < rows["ts"]["max_str"]
 
 
+def test_prefix_filter_jaccard_equals_bruteforce(spark):
+    """Prefix filtering is EXACT: the bounded-candidate join must return
+    the identical pair set (and jaccard values) as the full posting-list
+    self-join, at two thresholds (one catching the ceil edge at t=0.5)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    d = load_table(spark, SF_SMALL, "documents")
+    for t in (0.5, 0.8):
+        brute = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(d, 3, t).collect()
+        }
+        pf = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in prefix_filter_jaccard_pairs(d, 3, t).collect()
+        }
+        assert pf == brute
+        assert len(brute) > 0 or t > 0.5  # sf0.001 has near-dup pairs at 0.5
+
+
 def test_profile_table_batched_matches_single_pass(spark):
     """cols_per_pass batches a wide table into bounded aggregations with
     the exact same output (same rows, schema order preserved), and each

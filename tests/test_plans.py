@@ -276,6 +276,14 @@ def test_profile_is_one_aggregation_no_union(spark):
     assert "HashAggregate" in p or "SortAggregate" in p or "ObjectHashAggregate" in p
 
 
+def test_prefix_jaccard_joins_are_equi(spark):
+    """Candidate generation must stay an equi-join on the prefix token
+    (never a cartesian/NL pair blowup), and verification an equi-join on
+    doc ids."""
+    p = _plan(spark, "q_prefix_jaccard")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_snapshot_diff_is_keyed_join(spark):
     p = _plan(spark, "q_snapshot_diff")
     assert "FullOuter" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
