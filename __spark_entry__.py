@@ -5310,6 +5310,74 @@ def q_priority_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_bm25_topk",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+           WHERE w IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+    dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    sc AS (
+      SELECT tf.doc_id,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+      FROM tf JOIN dfq USING (w) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+    )
+    SELECT doc_id, round(sum(s), 4) AS bm25
+    FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 against a fixed 3-term query — the lexical-retrieval
+    probe behind contamination checks and targeted curation. One
+    tokenize pass, term filter straight after the explode, tiny
+    broadcast df/stats joins (operators/retrieval.py:bm25_topk)."""
+    from kommunedata_data_pipeline_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["spark", "vector", "merge"])
+
+
+@_q(
+    "q_equidepth_histogram",
+    """
+    WITH v AS (
+      SELECT event_type, value, event_id,
+             ntile(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS q
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    )
+    SELECT event_type, q, count(*) AS n,
+           round(min(value), 4) AS lo, round(max(value), 4) AS hi
+    FROM v GROUP BY event_type, q
+    """,
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type equi-depth (quartile) histogram: ntile over a
+    deterministic total order (value, event_id), then per-bucket
+    min/max/count — the feature-binning shape. The window is PARTITIONED
+    by event_type (per-key parallel sort), never a global single-task
+    sort; at 100 TB the same report comes from approx quantile
+    boundaries + a width-bucket join, trading exactness for one pass."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select("event_type", "value", F.ntile(4).over(w).alias("q"))
+        .groupBy("event_type", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@_q(
     "q_prefix_jaccard",
     f"""
     WITH {_SHINGLES_CTE},
