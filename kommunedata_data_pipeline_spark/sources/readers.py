@@ -106,6 +106,52 @@ def read_url_list(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSON-lines scan — the interchange format every crawl/annotation
+    tool emits. ALWAYS pass a schema in production: schema inference
+    reads the whole dataset once before the real scan (a full extra pass
+    at 100 TB), and a declared schema both skips that and gives Catalyst
+    column pruning into the JSON parser (unread fields are never
+    materialized). Corrupt lines land in ``_corrupt_record`` instead of
+    failing the job (PERMISSIVE), feeding the dead-letter sink."""
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        # the declared schema must carry the corrupt-record column or
+        # PERMISSIVE mode silently drops the bad rows
+        reader = reader.schema(f"{schema}, _corrupt_record string")
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, splittable downstream)."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC columnar sink — same pushdown/pruning class as parquet (Spark
+    ships the reader/writer natively); for pipelines whose downstream is
+    Hive/Trino-flavored. Partitioning mirrors write_partitioned."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan with predicate pushdown + column pruning (check
+    PushedFilters in .explain, same as the parquet path)."""
+    return spark.read.orc(path)
+
+
 def read_binary_blobs(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
     """Landed-blob scan (S12 at rest): `binaryFile` gives
     (path, modificationTime, length, content BINARY) — the Spark-native way

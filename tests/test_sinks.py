@@ -97,3 +97,64 @@ def test_binary_blob_reader(spark, tmp_path):
     assert set(rows) == {"a.pdf", "b.pdf"}
     assert rows["a.pdf"].startswith(b"%PDF-1.4")
     assert {r.length for r in df.collect()} == {12, 11}
+
+
+def test_jsonl_round_trip_and_corrupt_capture(spark, tmp_path):
+    """JSONL reader: declared schema (no inference pass), corrupt lines
+    land in _corrupt_record instead of failing the scan."""
+    from kommunedata_data_pipeline_spark.sources.readers import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    out = str(tmp_path / "docs_jsonl")
+    df = spark.createDataFrame(
+        [(1, "alpha", 4.5), (2, "beta", None)], "id long, name string, score double"
+    )
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, "id long, name string, score double")
+    assert {
+        (r.id, r.name, r.score) for r in back.select("id", "name", "score").collect()
+    } == {(1, "alpha", 4.5), (2, "beta", None)}
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part.jsonl").write_text(
+        '{"id": 1, "name": "ok", "score": 1.0}\n'
+        "this is not json at all\n"
+        '{"id": 2, "name": "fine", "score": 2.0}\n'
+    )
+    mixed = read_jsonl(spark, str(bad), "id long, name string, score double")
+    rows = mixed.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert {r.id for r in good} == {1, 2}
+    assert len(corrupt) == 1 and "not json" in corrupt[0]._corrupt_record
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC sink/scan: values survive, partition dirs exist, and a filter
+    on the partition column prunes; a value filter reaches PushedFilters."""
+    from kommunedata_data_pipeline_spark.sources.readers import read_orc, write_orc
+
+    out = str(tmp_path / "orc_sink")
+    df = _batch(
+        spark,
+        [
+            ("a.pdf", "aarhus", "oek", 1),
+            ("b.pdf", "odense", "plan", 2),
+            ("c.pdf", "aarhus", "plan", 3),
+        ],
+    )
+    write_orc(df, out, partition_cols=["municipality"])
+    assert (tmp_path / "orc_sink" / "municipality=aarhus").exists()
+    back = read_orc(spark, out)
+    assert back.count() == 3
+    assert back.where(F.col("municipality") == "aarhus").count() == 2
+    plan = (
+        back.where(F.col("n") > 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "GreaterThan(n,1)" in plan
