@@ -5310,6 +5310,86 @@ def q_priority_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_agg_state_merge",
+    """
+    WITH shard AS (
+      SELECT event_type, event_id % 4 AS shard,
+             count(value) AS st_n,
+             sum(CAST(value AS DECIMAL(28,6))) AS st_sum,
+             min(value) AS st_min, max(value) AS st_max
+      FROM events GROUP BY event_type, event_id % 4
+    )
+    SELECT event_type, CAST(sum(st_n) AS BIGINT) AS n,
+           round(CAST(sum(st_sum) AS DOUBLE), 2) AS total_value,
+           min(st_min) AS min_value, max(st_max) AS max_value,
+           round(CAST(sum(st_sum) AS DOUBLE) / sum(st_n), 4) AS avg_value
+    FROM shard GROUP BY event_type
+    """,
+)
+def q_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation: four simulated ingest shards each
+    produce a mergeable (count, decimal-sum, min, max) state, and the
+    report folds the STATES — never re-scanning history. The decimal
+    state makes the merge associative and exact, so the oracle (and any
+    shard order) reproduces the one-shot aggregate bit-for-bit
+    (operators/aggregates.py:partial_agg_state / merge_agg_states)."""
+    from kommunedata_data_pipeline_spark.operators.aggregates import (
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    shards = [
+        partial_agg_state(
+            e.where(F.col("event_id") % 4 == i), ["event_type"], "value"
+        )
+        for i in range(4)
+    ]
+    states = shards[0]
+    for s in shards[1:]:
+        states = states.unionByName(s)
+    return merge_agg_states(states, ["event_type"])
+
+
+@_q(
+    "q_debounce",
+    """
+    WITH d AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM d
+    WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 300 * 1000000
+    """,
+)
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst debouncing per (user, event type): keep the first event of
+    every gap-delimited burst (>5 min silence starts a new burst) — the
+    retry-storm / double-fire collapse every ingest needs. One
+    partitioned window, lag comparison in codegen
+    (operators/relational.py:debounce_bursts)."""
+    from kommunedata_data_pipeline_spark.operators.relational import debounce_bursts
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    kept = debounce_bursts(e, ["user_id", "event_type"], "ts", 300, "event_id")
+    return kept.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+@_q(
     "q_bm25_topk",
     f"""
     WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),

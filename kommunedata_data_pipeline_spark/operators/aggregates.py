@@ -164,3 +164,58 @@ def time_rollup(
         )
     )
     return rolled
+
+
+def partial_agg_state(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Mergeable aggregate state for one shard/run: per key, the
+    (count, sum, min, max) tuple that any further shard can be folded
+    into. The incremental-aggregation half of the pattern; see
+    merge_agg_states.
+
+    The sum is carried as DECIMAL(28,6) so state merging is associative
+    AND exact — a double sum would drift by merge order, breaking the
+    "merged shards == one-shot aggregate" contract this pattern exists
+    for."""
+    return df.groupBy(*keys).agg(
+        F.count(value_col).alias("st_n"),
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("st_sum"),
+        F.min(value_col).alias("st_min"),
+        F.max(value_col).alias("st_max"),
+    )
+
+
+def merge_agg_states(states: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold any number of per-shard aggregate states into final
+    aggregates — the incremental pattern behind continuous ingestion at
+    100 TB: each run aggregates ONLY its new partition into a state
+    table (partial_agg_state), and the report re-aggregates the small
+    state tables instead of re-scanning history. count/sum/min/max are
+    all mergeable (avg derives as sum/count at the end — never merge
+    averages); the same shape extends to any commutative monoid state
+    (HLL registers, KMV sketches — operators/sketches.py).
+
+    Input: a union of partial_agg_state outputs; output: one row per key
+    with final n / total (rounded 2 dp) / min / max / avg (rounded 4)."""
+    return (
+        states.groupBy(*keys)
+        .agg(
+            F.sum("st_n").alias("n"),
+            F.sum("st_sum").alias("__total"),
+            F.min("st_min").alias("min_value"),
+            F.max("st_max").alias("max_value"),
+        )
+        .select(
+            *keys,
+            "n",
+            F.round(F.col("__total").cast("double"), 2).alias("total_value"),
+            "min_value",
+            "max_value",
+            # divide AFTER the double cast: decimal/bigint division has
+            # engine-specific result-scale rules; double/bigint doesn't
+            F.round(
+                F.col("__total").cast("double") / F.col("n"), 4
+            ).alias("avg_value"),
+        )
+    )

@@ -292,3 +292,38 @@ def snapshot_diff(
         .otherwise("unchanged")
         .alias("status"),
     )
+
+
+def debounce_bursts(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Keep one row per key-burst: a row survives iff its predecessor in
+    (ts, tiebreak) order within the same key is more than ``gap_seconds``
+    older (or absent). Bursts CHAIN — a run of events each within the
+    gap of the next collapses to its first row no matter the total span
+    (the session-dedup semantics of UI debouncing, retry storms,
+    double-fire webhooks).
+
+    Scale shape: one window over partitionBy(keys) — per-key parallel
+    sort, no global ordering; the lag comparison is codegen. The first
+    row of every gap-delimited burst is exactly a row whose previous-row
+    gap exceeds the threshold, so NO second pass / cumsum is needed to
+    realize keep-first-per-burst.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    return (
+        df.withColumn("__prev_us", prev_us)
+        .where(
+            F.col("__prev_us").isNull()
+            | (
+                F.unix_micros(F.col(ts_col)) - F.col("__prev_us")
+                > gap_seconds * 1_000_000
+            )
+        )
+        .drop("__prev_us")
+    )

@@ -281,3 +281,64 @@ def test_snapshot_diff_statuses(spark):
     )
     rows = {r["k"]: r["status"] for r in snapshot_diff(a, b, "k", "h").collect()}
     assert rows == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_agg_state_merge_equals_oneshot_any_order(spark):
+    """Merged shard states must reproduce the one-shot aggregate exactly,
+    regardless of shard count or merge order (decimal state => exact)."""
+    from kommunedata_data_pipeline_spark.operators.aggregates import (
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    oneshot = {
+        r["event_type"]: r
+        for r in merge_agg_states(
+            partial_agg_state(ev, ["event_type"], "value"), ["event_type"]
+        ).collect()
+    }
+    for nshards in (2, 7):
+        shards = [
+            partial_agg_state(
+                ev.where(F.col("event_id") % nshards == i), ["event_type"], "value"
+            )
+            for i in range(nshards)
+        ]
+        states = shards[-1]  # reverse order on purpose
+        for s in reversed(shards[:-1]):
+            states = states.unionByName(s)
+        merged = {
+            r["event_type"]: r
+            for r in merge_agg_states(states, ["event_type"]).collect()
+        }
+        assert merged == oneshot
+
+
+def test_debounce_chains_bursts(spark):
+    """A chained burst (every consecutive gap under the threshold, total
+    span far over it) collapses to ONE row; a gap above the threshold
+    starts a new burst; keys never debounce across each other."""
+    from kommunedata_data_pipeline_spark.operators.relational import debounce_bursts
+
+    rows = [
+        # user 1 type a: chain 0s,100s,200s,300s (gaps 100<=300) then 1000s
+        (1, 1, "a", 0),
+        (2, 1, "a", 100),
+        (3, 1, "a", 200),
+        (4, 1, "a", 300),
+        (5, 1, "a", 1000),
+        # user 2 same type: independent
+        (6, 2, "a", 150),
+        # user 1 type b: independent of type a
+        (7, 1, "b", 50),
+    ]
+    df = spark.createDataFrame(
+        [(e, u, t, s) for e, u, t, s in rows],
+        "event_id long, user_id long, event_type string, sec long",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+    )
+    kept = debounce_bursts(df, ["user_id", "event_type"], "ts", 300, "event_id")
+    assert sorted(r.event_id for r in kept.collect()) == [1, 5, 6, 7]
