@@ -178,17 +178,28 @@ def prefix_filter_jaccard_pairs(
     """
     sh = doc_shingles(documents, k)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = (
+    # pack each doc ONCE on the doc_id shuffle: globally-ordered token
+    # array + size; prefixes slice off the front, verification
+    # intersects the same arrays — sizes/toks/prefix all derive from
+    # this one frame instead of three separate doc_id aggregations
+    packed = (
         sh.join(dfreq, "shingle")
-        .select("doc_id", "shingle", F.row_number().over(w).alias("pos"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("toks")
+        )
+        .select("doc_id", "toks", F.size("toks").alias("n_sh"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     need = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
-    prefix = (
-        ranked.join(sizes, "doc_id")
-        .where(F.col("pos") <= F.col("n_sh") - need + 1)
-        .select("doc_id", "shingle", "n_sh")
+    prefix = packed.select(
+        "doc_id",
+        "n_sh",
+        F.explode(
+            F.slice(F.col("toks"), F.lit(1), (F.col("n_sh") - need + 1).cast("int"))
+        ).alias("shingle"),
     )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
@@ -205,14 +216,13 @@ def prefix_filter_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    toks = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("toks"))
     verified = (
         cands.join(
-            toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")),
+            packed.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")),
             "doc_a",
         )
         .join(
-            toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")),
+            packed.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")),
             "doc_b",
         )
         .withColumn("n_common", F.size(F.array_intersect("ta", "tb")))

@@ -39,18 +39,29 @@ def bm25_topk(
     corpus + joins whose build sides are |terms| and 1 rows. The final
     top-k is a rounded-score sort with doc_id tiebreak (total order).
     """
+    # ONE tokenize pass for both doc length and term frequencies: map
+    # non-query tokens to a null marker before the aggregation, so the
+    # per-(doc, marker) counts carry dl (= sum over markers) AND tf
+    # (= the non-null marker rows). Without this, doclen and tf would
+    # each re-run the normalize+explode over the corpus.
     toks = documents.select(
         "doc_id",
         F.explode(F.split(normalized_text(F.col("text")), " ")).alias("w"),
     )
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    per = (
+        toks.select(
+            "doc_id",
+            F.when(F.col("w").isin(list(terms)), F.col("w")).alias("qw"),
+        )
+        .groupBy("doc_id", "qw")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    doclen = per.groupBy("doc_id").agg(F.sum("c").alias("dl"))
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = (
-        toks.where(F.col("w").isin(list(terms)))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tf = per.where(F.col("qw").isNotNull()).select(
+        "doc_id", F.col("qw").alias("w"), F.col("c").alias("tf")
     )
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     scored = (
