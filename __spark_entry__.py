@@ -5310,6 +5310,32 @@ def q_priority_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_compaction_plan",
+    """
+    WITH a AS (
+      SELECT lang AS part, doc_id AS f, n_chars AS sz,
+             CAST(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+                         - 1) / 50000) AS BIGINT) AS grp
+      FROM documents WHERE lang IS NOT NULL
+    )
+    SELECT part, grp, count(*) AS n_files,
+           CAST(sum(sz) AS BIGINT) AS total_bytes,
+           min(f) AS first_file, max(f) AS last_file
+    FROM a GROUP BY part, grp
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan over the documents listing (size =
+    n_chars, partition = lang, 50 KB target groups): greedy streaming
+    bin-packing as ONE per-partition window over metadata rows — the
+    lake-maintenance work list (operators/layout.py:plan_compaction)."""
+    from kommunedata_data_pipeline_spark.operators.layout import plan_compaction
+
+    d = _t(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
+    return plan_compaction(d, "lang", "n_chars", "doc_id", 50_000)
+
+
+@_q(
     "q_agg_state_merge",
     """
     WITH shard AS (

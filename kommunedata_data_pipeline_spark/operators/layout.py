@@ -17,7 +17,7 @@ no UDFs, fully inside codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 Z_BITS = 12  # 12 bits per dim -> 24-bit z-values
@@ -119,3 +119,41 @@ def zbox_bucket_range(
     z_lo = _z(_q(a_lo, a_width), _q(b_lo, b_width))
     z_hi = _z(_q(a_hi, a_width), _q(b_hi, b_width))
     return z_lo >> bucket_shift, z_hi >> bucket_shift
+
+
+def plan_compaction(
+    files: DataFrame,
+    part_col: str,
+    size_col: str,
+    order_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction plan: assign files to target-size output
+    groups, per table partition — the maintenance pass every long-lived
+    lake table needs (millions of 5 MB files turn scans into metadata
+    storms; compaction restores splittable ~target-size objects).
+
+    Assignment is the streaming greedy: walk files in ``order_col``
+    order, cut a new group when the running size passes the target
+    (group = floor((cumsum−1)/target)). Groups can overflow by at most
+    one file — the property that makes the plan a pure window expression
+    instead of an iterative packer. Scale shape: one window partitioned
+    by the TABLE partition (per-partition parallel sort over file
+    *metadata* rows, never file contents) + one rollup; the output is
+    the work list a rewrite job consumes group-by-group.
+    """
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    assigned = files.select(
+        F.col(part_col).alias("part"),
+        F.col(order_col).alias("f"),
+        F.col(size_col).alias("sz"),
+        F.floor((F.sum(size_col).over(w) - 1) / F.lit(target_bytes)).alias(
+            "grp"
+        ),
+    )
+    return assigned.groupBy("part", "grp").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("sz").alias("total_bytes"),
+        F.min("f").alias("first_file"),
+        F.max("f").alias("last_file"),
+    )

