@@ -2365,7 +2365,55 @@ def _maybe_register_tws() -> None:
         return spark.table("q_stream_tws_sink")
 
 
+def _maybe_register_tws_topk() -> None:
+    """q_stream_tws_topk — the ListState half of the transformWithState
+    surface (ValueState is q_stream_tws). Same capability gate."""
+    from kommunedata_data_pipeline_spark.streaming.stateful import tws_available
+
+    if not tws_available():
+        return
+
+    @_q(
+        "q_stream_tws_topk",
+        """
+        WITH r AS (
+          SELECT user_id, value, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rnk
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        )
+        SELECT user_id, CAST(rnk AS INT) AS rnk, value, event_id
+        FROM r WHERE rnk <= 3
+        """,
+    )
+    def q_stream_tws_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user running top-3 events by value in a typed ListState
+        (bounded k rows per key), RocksDB store. One micro-batch ⇒ the
+        standings equal the batch window top-3 — exact oracle. Values
+        are untouched input doubles (bit-identical both engines)."""
+        from kommunedata_data_pipeline_spark.streaming.stateful import (
+            enable_tws_workers,
+            rocksdb_state_store,
+            user_topk_tws,
+        )
+        from kommunedata_data_pipeline_spark.streaming.windows import (
+            read_events_stream,
+            run_to_memory,
+        )
+
+        enable_tws_workers(spark)
+        with rocksdb_state_store(spark):
+            s = user_topk_tws(
+                read_events_stream(spark, sf_dir).where(
+                    F.col("user_id").isNotNull() & F.col("value").isNotNull()
+                )
+            )
+            run_to_memory(s, "q_stream_tws_topk_sink", output_mode="update")
+        return spark.table("q_stream_tws_topk_sink")
+
+
 _maybe_register_tws()
+_maybe_register_tws_topk()
 
 
 @_q(

@@ -172,6 +172,70 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
     )
 
 
+TWS_TOPK_OUT_SCHEMA = "user_id bigint, rnk int, value double, event_id bigint"
+TWS_TOPK_STATE_SCHEMA = "value double, event_id bigint"
+
+
+class UserTopKProcessor(StatefulProcessor):
+    """transformWithState ListState demo: per-user running top-k events
+    by value (event_id tiebreak). ListState holds the current top-k
+    tuples — the typed collection-state API (vs ValueState's single
+    tuple); each batch merges its rows, re-ranks, truncates to k, and
+    emits the new standings. Bounded merge: state never exceeds k rows
+    per key regardless of stream length."""
+
+    def __init__(self, k: int = 3) -> None:
+        self._k = k
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._top = handle.getListState("topk", TWS_TOPK_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        cur = [(float(v), int(e)) for v, e in self._top.get()]
+        for pdf in rows:
+            sub = pdf[["value", "event_id"]].dropna(subset=["value"])
+            cur.extend(
+                (float(v), int(e))
+                for v, e in zip(sub["value"], sub["event_id"])
+            )
+        cur.sort(key=lambda t: (-t[0], t[1]))
+        cur = cur[: self._k]
+        self._top.put([(v, e) for v, e in cur])
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(cur),
+                "rnk": list(range(1, len(cur) + 1)),
+                "value": [v for v, _ in cur],
+                "event_id": [e for _, e in cur],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_topk_tws(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user running top-k via transformWithState ListState. Over a
+    single batch the emitted standings equal the batch window top-k,
+    giving an exact SQL oracle; across batches the ListState carries the
+    standings with at most k rows per key."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    return (
+        events.select("user_id", "value", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTopKProcessor(k),
+            outputStructType=TWS_TOPK_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 @contextlib.contextmanager
 def rocksdb_state_store(spark):
     """Scoped switch to the RocksDB state store provider (required by

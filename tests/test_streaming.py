@@ -178,3 +178,57 @@ def test_tws_value_stats_across_batches(spark, tmp_path):
     # all-NULL values: count counts the row, min/max stay NULL
     assert len(u8) == 1 and u8[0].n_events == 1
     assert u8[0].min_value is None and u8[0].max_value is None
+
+
+def test_tws_topk_liststate_across_batches(spark, tmp_path):
+    """ListState top-k: standings merge across micro-batches, state stays
+    bounded at k rows per key, ranks re-order as better values arrive."""
+    import pytest
+
+    from kommunedata_data_pipeline_spark.streaming.stateful import tws_available
+
+    if not tws_available():
+        pytest.skip("no usable protobuf runtime: transformWithState gated")
+
+    from kommunedata_data_pipeline_spark.streaming.stateful import (
+        enable_tws_workers,
+        rocksdb_state_store,
+        user_topk_tws,
+    )
+
+    assert enable_tws_workers(spark)
+    schema = "event_id long, user_id long, value double"
+    src = tmp_path / "topk_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 7, 5.0), (2, 7, 9.0), (3, 7, 1.0)], schema
+    ).coalesce(1).write.parquet(str(src / "a.parquet"))
+    spark.createDataFrame(
+        [(4, 7, 7.0), (5, 7, 0.5), (6, 8, 2.0)], schema
+    ).coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    with rocksdb_state_store(spark):
+        q = (
+            user_topk_tws(stream, k=3)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_topk_t")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    rows = spark.sql("SELECT * FROM tws_topk_t").collect()
+    # the memory sink keeps every batch's emission; the MERGED standings
+    # for user 7 (top-3 of {5,9,1} ∪ {7,0.5} = 9,7,5) must be among them
+    # — value 7.0 at rank 2 can only exist after cross-batch merge
+    u7 = {(r.rnk, r.value, r.event_id) for r in rows if r.user_id == 7}
+    assert {(1, 9.0, 2), (2, 7.0, 4), (3, 5.0, 1)} <= u7
+    # state stays bounded at k: no emission ever ranks past 3
+    assert max(r.rnk for r in rows) <= 3
+    u8 = [(r.rnk, r.value, r.event_id) for r in rows if r.user_id == 8]
+    assert u8 == [(1, 2.0, 6)]
