@@ -5358,6 +5358,104 @@ def q_priority_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_weighted_median",
+    """
+    WITH r AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS v,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey * 8 + l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT grp, min(v) AS weighted_median,
+           CAST(max(tw) AS BIGINT) AS total_weight
+    FROM r WHERE cw * 2 >= tw GROUP BY grp
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — lower weighted
+    median via one per-group window cumsum (integer weights ⇒ exact
+    threshold arithmetic; unique tiebreak pins the cumsum order;
+    operators/statistics.py:weighted_median_by)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        weighted_median_by,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("wq"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("uk"),
+    )
+    return weighted_median_by(li, "grp", "v", "wq", "uk")
+
+
+@_q(
+    "q_ref_integrity",
+    """
+    WITH o AS (
+      SELECT event_type AS grp, count(*) AS n_orphans
+      FROM events e
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+      GROUP BY event_type
+    ), t AS (
+      SELECT event_type AS grp, count(*) AS n_rows FROM events GROUP BY event_type
+    )
+    SELECT t.grp, n_rows, COALESCE(n_orphans, 0) AS n_orphans,
+           round(COALESCE(n_orphans, 0) * 1.0 / n_rows, 6) AS orphan_rate
+    FROM t LEFT JOIN o ON t.grp = o.grp
+    """,
+)
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: per event type, fact rows whose
+    user_id is absent from the customer dimension (one left-anti join
+    against the key-projected dim + two combinable rollups) — the
+    partial-dim-load smoke signal
+    (operators/statistics.py:referential_orphans)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        referential_orphans,
+    )
+
+    return referential_orphans(
+        _t(spark, sf_dir, "events"),
+        _t(spark, sf_dir, "customer"),
+        "user_id",
+        "c_custkey",
+        "event_type",
+    )
+
+
+@_q(
+    "q_intersect_except",
+    """
+    SELECT user_id, event_type, 'intersect' AS setop FROM (
+      SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
+      INTERSECT ALL
+      SELECT user_id, event_type FROM events WHERE event_id % 3 = 0
+    )
+    UNION ALL
+    SELECT user_id, event_type, 'except' AS setop FROM (
+      SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
+      EXCEPT ALL
+      SELECT user_id, event_type FROM events WHERE event_id % 3 = 0
+    )
+    """,
+)
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL / EXCEPT ALL between two event slices —
+    the bag-semantics set operators (D3/D4's multiset siblings), each a
+    single aggregate-on-both-sides plan, labeled and unioned."""
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.col("event_id") % 2 == 0).select("user_id", "event_type")
+    b = e.where(F.col("event_id") % 3 == 0).select("user_id", "event_type")
+    return a.intersectAll(b).withColumn("setop", F.lit("intersect")).unionByName(
+        a.exceptAll(b).withColumn("setop", F.lit("except"))
+    )
+
+
+@_q(
     "q_compaction_plan",
     """
     WITH a AS (

@@ -147,3 +147,86 @@ def kl_divergence_splits(
         F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_pq"),
         F.round(F.sum(F.col("q") * F.log(F.col("q") / F.col("p"))), 6).alias("kl_qp"),
     )
+
+
+def weighted_median_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Exact weighted median per group: the smallest value whose running
+    weight reaches half the group's total (lower weighted median —
+    deterministic, no interpolation). The robust center for "median
+    price weighted by quantity" style reporting where plain medians
+    over-count small rows.
+
+    Pass ``tiebreak_col`` (a unique key) whenever weights are floats:
+    it pins a TOTAL cumsum order, making the running float sums
+    bit-identical across engines/partitionings — without it, equal
+    values permute and the crossing row's sum can differ in the last
+    ulp right at a run boundary. The threshold test is ``2·cw ≥ tw``
+    (no halving) so integer weights stay exact end-to-end.
+
+    Scale shape: one window cumsum over (group, value-ordered) rows +
+    one aggregation — a per-group parallel sort, same class as any
+    percentile."""
+    order = [value_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(group_col)
+    ranked = df.select(
+        group_col,
+        value_col,
+        F.sum(weight_col).over(w).alias("cw"),
+        F.sum(weight_col).over(tot).alias("tw"),
+    )
+    return (
+        ranked.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy(group_col)
+        .agg(
+            F.min(value_col).alias("weighted_median"),
+            F.round(F.max("tw"), 2).alias("total_weight"),
+        )
+    )
+
+
+def referential_orphans(
+    facts: DataFrame, dims: DataFrame, fact_key: str, dim_key: str, by: str
+) -> DataFrame:
+    """Referential-integrity audit: per ``by`` group, how many fact rows
+    reference a key absent from the dimension (orphans), with the orphan
+    rate — the first broken-ingest smoke signal (a partial dim load shows
+    up here before any join silently drops rows downstream).
+
+    Scale shape: ONE left-anti join (orphans) + one groupBy, against the
+    key-projected dim (column-pruned build side; broadcast when small).
+    The totals come from a second groupBy over the pruned fact columns —
+    both map-side combinable."""
+    totals = facts.groupBy(F.col(by).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    orphans = (
+        facts.join(
+            dims.select(F.col(dim_key).alias(fact_key)).distinct(),
+            fact_key,
+            "left_anti",
+        )
+        .groupBy(F.col(by).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    return (
+        totals.join(orphans, "grp", "left")
+        .select(
+            "grp",
+            "n_rows",
+            F.coalesce("n_orphans", F.lit(0)).alias("n_orphans"),
+            F.round(
+                F.coalesce("n_orphans", F.lit(0)) / F.col("n_rows"), 6
+            ).alias("orphan_rate"),
+        )
+    )
