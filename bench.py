@@ -26,13 +26,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     # size shuffle partitions to the data (the knob is an upper bound —
     # AQE coalesces below it, but the initial task count still costs
-    # scheduling time per stage): ~16 MB per partition, floor 8, cap at
+    # scheduling time per stage): ~32 MB per partition, floor 8, cap at
     # the core count. At 100 TB the same rule lands at the core count.
+    # (Interleaved A/B at sf0.1: 19 partitions ≈ 5.7/6.2 s vs 8 ≈
+    # 5.1/5.2 s on an 11-query subset — per-stage task scheduling costs
+    # more than the extra parallelism buys below ~1 GB.)
     total_mb = sum(
         os.path.getsize(os.path.join(sf_dir, f)) for f in os.listdir(sf_dir)
     ) / 1e6
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    parts = max(8, min(cpus, int(total_mb // 16) + 1))
+    parts = max(8, min(cpus, int(total_mb // 32) + 1))
     # share base scans across the suite: every query re-reads the same
     # tables; persisting the scan once amortizes read+redistribution
     # (best-of-2 timing means the cached steady state is what's measured)

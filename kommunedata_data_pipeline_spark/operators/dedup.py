@@ -68,6 +68,18 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 _SHINGLE_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
 
 
+def _safe_unpersist(df: DataFrame) -> None:
+    """Unpersist an evicted cache entry, tolerating a stopped session:
+    a process that runs sequential SparkSessions (notebooks, test
+    harnesses) still holds entries pinned by the PREVIOUS session, whose
+    unpersist RPC would NPE — the storage died with the context, so
+    swallowing the failure is the correct cleanup."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+
+
 def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct pairs — shared base for Jaccard/MinHash."""
     import os
@@ -84,7 +96,7 @@ def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     )
     if cache_on:
         if hit is not None:
-            hit[1].unpersist()
+            _safe_unpersist(hit[1])
         sh = sh.persist()
         _SHINGLE_CACHE[k] = (documents, sh)
     return sh
@@ -118,7 +130,7 @@ def ngram_jaccard_pairs(
             sh = hit[1]
         else:
             if hit is not None:
-                hit[1].unpersist()
+                _safe_unpersist(hit[1])
             sh = sh.cache()
             _NGRAM_SH_CACHE[k] = (documents, sh)
     if df_cap is not None:
@@ -338,7 +350,7 @@ def _cached_signatures(documents: DataFrame, k: int, num_hashes: int) -> DataFra
     if hit is not None and hit[0] is documents:
         return hit[1]
     if hit is not None:
-        hit[1].unpersist()
+        _safe_unpersist(hit[1])
     sigs = minhash_signatures(documents, k, num_hashes).cache()
     _SIG_CACHE[key] = (documents, sigs)
     return sigs
