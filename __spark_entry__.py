@@ -5368,6 +5368,36 @@ def q_priority_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_entropy_report",
+    """
+    WITH f AS (
+      SELECT 'event_type' AS col_name, count(*) AS f
+      FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+      UNION ALL
+      SELECT 'user_id', count(*) FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT col_name, count(*) AS n_keys,
+           round(ln(sum(f)) - sum(f * ln(f)) / sum(f), 6) AS entropy,
+           round(CASE WHEN count(*) > 1
+                 THEN (ln(sum(f)) - sum(f * ln(f)) / sum(f)) / ln(count(*))
+                 ELSE 0.0 END, 6) AS norm_entropy
+    FROM f GROUP BY col_name
+    """,
+)
+def q_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon + normalized entropy of the event keys — the
+    mixture-balance metric behind corpus reweighting (one log per
+    DISTINCT key, never per row;
+    operators/statistics.py:entropy_report)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import entropy_report
+
+    return entropy_report(
+        _t(spark, sf_dir, "events"), ["event_type", "user_id"]
+    )
+
+
+@_q(
     "q_weighted_median",
     """
     WITH r AS (

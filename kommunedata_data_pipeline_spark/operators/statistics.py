@@ -230,3 +230,51 @@ def referential_orphans(
             ).alias("orphan_rate"),
         )
     )
+
+
+def entropy_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (nats) + normalized entropy per categorical
+    column — the mixture-balance metric behind corpus reweighting
+    (normalized 1.0 = perfectly balanced keys, →0 = one key dominates;
+    the multiplicative complement of gini_skew_report's view).
+
+    Scale shape: same as the Gini report — one map-side-combinable
+    groupBy per column over just that column, unioned; the entropy sum
+    reduces the tiny frequency tables. H = ln(N) − Σf·ln(f)/N computed
+    from integer counts (one log per DISTINCT key, not per row);
+    rounded 6 dp.
+    """
+    parts = []
+    for c in cols:
+        freq = (
+            df.select(F.col(c).alias("k"))
+            .where(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .select(F.lit(c).alias("col_name"), "f")
+        )
+        parts.append(freq)
+    allfreq = parts[0]
+    for p in parts[1:]:
+        allfreq = allfreq.unionByName(p)
+    return (
+        allfreq.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("f").alias("n_rows"),
+            F.sum(F.col("f") * F.log("f")).alias("flogf"),
+        )
+        .select(
+            "col_name",
+            "n_keys",
+            F.round(
+                F.log("n_rows") - F.col("flogf") / F.col("n_rows"), 6
+            ).alias("entropy"),
+            F.round(
+                F.when(F.col("n_keys") > 1,
+                       (F.log("n_rows") - F.col("flogf") / F.col("n_rows"))
+                       / F.log("n_keys")).otherwise(0.0),
+                6,
+            ).alias("norm_entropy"),
+        )
+    )

@@ -236,6 +236,65 @@ def user_topk_tws(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+TWS_TYPECOUNT_OUT_SCHEMA = "user_id bigint, event_type string, n bigint"
+
+
+class UserTypeCountsProcessor(StatefulProcessor):
+    """transformWithState MapState demo — the third typed state variable
+    (ValueState: user_value_stats_tws; ListState: user_topk_tws): per
+    user, a map event_type → running count. MapState gives per-subkey
+    point updates (only the types seen THIS batch are read/written),
+    which is the right state shape when the per-key domain is sparse and
+    large — a ValueState holding the whole dict would rewrite every
+    subkey every batch."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState("counts", "event_type string", "n bigint")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        batch: dict[str, int] = {}
+        for pdf in rows:
+            for t, c in pdf["event_type"].dropna().value_counts().items():
+                batch[str(t)] = batch.get(str(t), 0) + int(c)
+        out_t, out_n = [], []
+        for t, c in sorted(batch.items()):
+            # getValue encodes absence as None — one round trip, not the
+            # containsKey+getValue pair
+            prev = self._counts.getValue((t,))
+            n = (prev[0] if prev is not None else 0) + c
+            self._counts.updateValue((t,), (n,))
+            out_t.append(t)
+            out_n.append(n)
+        yield pd.DataFrame(
+            {"user_id": [key[0]] * len(out_t), "event_type": out_t, "n": out_n}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_type_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-(user, event_type) running counts in a MapState — emits only
+    the types touched by each batch (the point-update contract). Over a
+    single batch the emissions equal a plain groupBy(user_id,
+    event_type) count."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTypeCountsProcessor(),
+            outputStructType=TWS_TYPECOUNT_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 @contextlib.contextmanager
 def rocksdb_state_store(spark):
     """Scoped switch to the RocksDB state store provider (required by

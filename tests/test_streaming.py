@@ -232,3 +232,55 @@ def test_tws_topk_liststate_across_batches(spark, tmp_path):
     assert max(r.rnk for r in rows) <= 3
     u8 = [(r.rnk, r.value, r.event_id) for r in rows if r.user_id == 8]
     assert u8 == [(1, 2.0, 6)]
+
+
+def test_tws_typecounts_mapstate_across_batches(spark, tmp_path):
+    """MapState per-subkey counts: point updates merge across batches,
+    and a batch emits only the types it touched."""
+    import pytest
+
+    from kommunedata_data_pipeline_spark.streaming.stateful import tws_available
+
+    if not tws_available():
+        pytest.skip("no usable protobuf runtime: transformWithState gated")
+
+    from kommunedata_data_pipeline_spark.streaming.stateful import (
+        enable_tws_workers,
+        rocksdb_state_store,
+        user_type_counts_tws,
+    )
+
+    assert enable_tws_workers(spark)
+    schema = "event_id long, user_id long, event_type string"
+    src = tmp_path / "mc_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 7, "click"), (2, 7, "click"), (3, 7, "view")], schema
+    ).coalesce(1).write.parquet(str(src / "a.parquet"))
+    spark.createDataFrame(
+        [(4, 7, "click"), (5, 8, "view")], schema
+    ).coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    with rocksdb_state_store(spark):
+        q = (
+            user_type_counts_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_mc_t")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    rows = spark.sql("SELECT * FROM tws_mc_t").collect()
+    u7 = {(r.event_type, r.n) for r in rows if r.user_id == 7}
+    # click reaches 3 only via the cross-batch MapState merge (2 then +1)
+    assert {("click", 2), ("view", 1), ("click", 3)} <= u7
+    # the second batch touched only 'click' for user 7: no re-emission
+    # of an unchanged ('view', 1) beyond the first batch's
+    assert sum(1 for r in rows if r.user_id == 7 and r.event_type == "view") == 1
+    assert {(r.event_type, r.n) for r in rows if r.user_id == 8} == {("view", 1)}
