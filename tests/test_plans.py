@@ -295,3 +295,41 @@ def test_join_size_est_sketch_join_is_equi(spark):
     nested-loop allowed is the final one-row estimate x audit pairing."""
     p = _plan(spark, "q_join_size_est")
     assert "CartesianProduct" not in p
+
+
+def test_bm25_build_sides_are_broadcast(spark):
+    """df and corpus stats must reach the scoring join as broadcasts —
+    never a shuffle of the corpus against a 3-row table."""
+    p = _plan(spark, "q_bm25_topk")
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_gini_entropy_windows_are_partitioned(spark):
+    """The skew/entropy reports' window/aggregations run per column key,
+    never a single-partition global window over raw rows."""
+    for q in ("q_gini_skew", "q_entropy_report"):
+        p = _plan(spark, q)
+        assert "CartesianProduct" not in p
+    # gini's rank window is partitioned by col_name
+    p = _plan(spark, "q_gini_skew")
+    assert "col_name" in p
+
+
+def test_weighted_median_window_is_per_group(spark):
+    p = _plan(spark, "q_weighted_median")
+    assert "grp" in p and "CartesianProduct" not in p
+
+
+def test_ref_integrity_is_anti_join(spark):
+    p = _plan(spark, "q_ref_integrity")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_compaction_plan_no_global_sort(spark):
+    """The file-packing window must partition by the table partition —
+    a global Sort over all file rows would serialize the planner."""
+    p = _plan(spark, "q_compaction_plan")
+    assert "CartesianProduct" not in p
+    assert "part" in p or "lang" in p
