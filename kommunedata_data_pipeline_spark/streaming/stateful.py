@@ -295,6 +295,104 @@ def user_type_counts_tws(events: DataFrame) -> DataFrame:
     )
 
 
+TWS_SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start_ms bigint, session_end_ms bigint, n_events bigint"
+)
+TWS_SESSION_STATE_SCHEMA = "start_ms bigint, end_ms bigint, n bigint"
+
+
+class SessionCloseProcessor(StatefulProcessor):
+    """transformWithState EVENT-TIME TIMER demo — the capability neither
+    applyInPandasWithState nor window aggregations expose directly:
+    per-key callbacks when the watermark passes a registered instant.
+
+    Per user, an activity window accumulates (start, end, count); every
+    batch re-registers one timer at end + gap. When the event-time
+    watermark passes it (i.e. the key has been silent for the gap, as
+    judged by stream time, not wall clock), ``handleExpiredTimer`` emits
+    the closed session exactly once and clears the state — the "emit on
+    inactivity" pattern (session close, abandoned-cart, SLA breach)
+    without any per-batch polling of the whole keyspace: Spark fires
+    only the keys whose timers expired."""
+
+    def __init__(self, gap_ms: int = 600_000) -> None:
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._sess = handle.getValueState("sess", TWS_SESSION_STATE_SCHEMA)
+        self._handle = handle
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        mn = mx = None
+        n = 0
+        for pdf in rows:
+            ts_ms = pdf["ts"].astype("int64") // 1_000_000
+            if len(ts_ms):
+                bmn, bmx = int(ts_ms.min()), int(ts_ms.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+                n += len(ts_ms)
+        if n:
+            prev = self._sess.get()
+            if prev is not None:
+                mn = min(mn, prev[0])
+                mx = max(mx, prev[1])
+                n += prev[2]
+            self._sess.update((mn, mx, n))
+            # one live timer per key: re-arm at the new end-of-activity
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(mx + self._gap_ms)
+        return iter([])
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        cur = self._sess.get()
+        if cur is None:
+            return iter([])
+        self._sess.clear()
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "session_start_ms": [cur[0]],
+                        "session_end_ms": [cur[1]],
+                        "n_events": [cur[2]],
+                    }
+                )
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def session_close_tws(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Sessions emitted ONLY on inactivity (event-time timers). The input
+    must carry a ``ts`` timestamp column; the watermark is what drives
+    timer expiry, so a bounded replay emits exactly the sessions whose
+    gap elapsed before the final watermark."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    gap_ms = int(gap.split()[0]) * {"minutes": 60_000, "minute": 60_000, "seconds": 1_000, "second": 1_000}[gap.split()[1]]
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionCloseProcessor(gap_ms),
+            outputStructType=TWS_SESSION_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 @contextlib.contextmanager
 def rocksdb_state_store(spark):
     """Scoped switch to the RocksDB state store provider (required by

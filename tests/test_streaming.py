@@ -284,3 +284,68 @@ def test_tws_typecounts_mapstate_across_batches(spark, tmp_path):
     # of an unchanged ('view', 1) beyond the first batch's
     assert sum(1 for r in rows if r.user_id == 7 and r.event_type == "view") == 1
     assert {(r.event_type, r.n) for r in rows if r.user_id == 8} == {("view", 1)}
+
+
+def test_tws_event_time_timer_closes_sessions(spark, tmp_path):
+    """Event-time timers: a key silent for the gap (per the watermark,
+    not wall clock) emits its closed session exactly once; a key whose
+    gap hasn't elapsed by the final watermark emits nothing."""
+    import time
+
+    import pytest
+
+    from kommunedata_data_pipeline_spark.streaming.stateful import tws_available
+
+    if not tws_available():
+        pytest.skip("no usable protobuf runtime: transformWithState gated")
+
+    from pyspark.sql import functions as F
+
+    from kommunedata_data_pipeline_spark.streaming.stateful import (
+        enable_tws_workers,
+        rocksdb_state_store,
+        session_close_tws,
+    )
+
+    assert enable_tws_workers(spark)
+    schema = "event_id long, user_id long, sec long"
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # batch 1: user 7 active at t=100..200s
+    spark.createDataFrame(
+        [(1, 7, 100), (2, 7, 200)], schema
+    ).coalesce(1).write.parquet(str(src / "a.parquet"))
+    # batch 2: user 8 at t=10000s — watermark jumps past 200+600=800s,
+    # so user 7's timer fires; user 8's own gap never elapses
+    spark.createDataFrame(
+        [(3, 8, 10_000)], schema
+    ).coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+        .select("user_id", F.timestamp_seconds(F.col("sec")).alias("ts"))
+    )
+    with rocksdb_state_store(spark):
+        q = (
+            session_close_tws(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tws_sess_t")
+            .start()
+        )
+        q.processAllAvailable()
+        # the timer fires in the no-data batch after the watermark
+        # advances; poll briefly for it
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM tws_sess_t").count() > 0:
+                break
+            time.sleep(0.2)
+            q.processAllAvailable()
+        q.stop()
+    rows = spark.sql("SELECT * FROM tws_sess_t").collect()
+    assert [
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events) for r in rows
+    ] == [(7, 100_000, 200_000, 2)]
