@@ -99,6 +99,16 @@ def main() -> None:
         from kommunedata_data_pipeline_spark.operators.corpus import unigram_surprisal
         return unigram_surprisal(d)
 
+    def prefix_jaccard(d):
+        from kommunedata_data_pipeline_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+        return prefix_filter_jaccard_pairs(d, 3, 0.5)
+
+    def bm25(d):
+        from kommunedata_data_pipeline_spark.operators.retrieval import bm25_topk
+        return bm25_topk(d, ["spark", "vector", "merge"])
+
     def rollup(e):
         from kommunedata_data_pipeline_spark.operators.aggregates import time_rollup
         return time_rollup(e)
@@ -115,6 +125,8 @@ def main() -> None:
         "dedup_exact": dedup_exact_rows,
         "minhash_lsh_pairs": lsh_pairs,
         "ngram_jaccard_capped": jaccard_capped,
+        "prefix_filter_jaccard": prefix_jaccard,
+        "bm25_topk": bm25,
         "unigram_surprisal": surprisal,
     }
     event_ops = {
