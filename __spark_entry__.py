@@ -73,6 +73,11 @@ _SQL: dict[str, str] = {}
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
+        # Collision-proof: a duplicate registration would silently evict
+        # the earlier query AND let the survivor inherit a driver row
+        # earned by different semantics (this bit round 4: a new CUBE
+        # query reused the name q_grouping_sets). Fail loudly instead.
+        assert name not in _SPARK, f"duplicate query registration: {name}"
         _SPARK[name] = fn
         if sql is not None:
             _SQL[name] = sql
@@ -5826,7 +5831,7 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q_grouping_sets",
+    "q_cube_dow",
     """
     SELECT event_type, EXTRACT(dow FROM ts) + 1 AS dow,
            count(*) AS n,
@@ -5838,11 +5843,15 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CUBE(event_type, EXTRACT(dow FROM ts) + 1)
     """,
 )
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cube_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, day-of-week) with grouping flags — all four
     grouping sets in ONE pass (Catalyst expands the cube into a single
     Expand + aggregation; no per-set re-scan). Decimal-exact sums; the
-    grouping() flags disambiguate rollup nulls from data nulls."""
+    grouping() flags disambiguate rollup nulls from data nulls.
+
+    (Renamed from q_grouping_sets in r5: the r4 registration collided
+    with the r2-green GROUPING-SETS-via-spark.sql query of that name,
+    silently evicting it — see VERDICT r4 #1. Both now coexist.)"""
     e = (
         _t(spark, sf_dir, "events")
         .where(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
@@ -5947,40 +5956,76 @@ _R3_DRIVER_CHECKED = frozenset(
 )
 
 
-# Never driver-checked as of the r3 snapshot (registered after the r3
-# check ran). These three plus the 46 r1-stale queries fill the driver's
-# 50-slot window exactly — queries registered DURING round 4 must sort
-# after the stale tier or they'd evict stale refreshes from the window.
-_PRE_R4_UNCHECKED = frozenset(
-    {"q_stream_tws", "q12_priority_mix_shape", "q20_threshold_shape"}
+# Queries whose round-4 driver row is green (hash_match) — all 50 of
+# CORRECTNESS_r04.json. Note q_cube_dow's r4 row was recorded under the
+# colliding name q_grouping_sets with DIFFERENT registered semantics, so
+# neither query counts that row: q_cube_dow is treated as never-checked
+# and the restored q_grouping_sets keeps its (matching-semantics) r2 row.
+_R4_DRIVER_CHECKED = frozenset(
+    {
+        "q10_returned_items", "q12_priority_mix_shape", "q14_promo_effect",
+        "q16_supplier_cnt", "q17_small_qty", "q19_disjunctive",
+        "q1_pricing_summary", "q20_threshold_shape", "q22_no_orders",
+        "q2_min_cost_supplier", "q3_shipping_priority", "q4_exists_priority",
+        "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
+        "q_ann_lsh_topk", "q_anti_join_catalog", "q_arg_extremes",
+        "q_cosine_topk", "q_cube_aggregate", "q_date_parse_multiformat",
+        "q_dedup_exact", "q_dedup_keep_first", "q_doc_key_derivation",
+        "q_dup_clusters", "q_fingerprint", "q_flagship_worklist",
+        "q_incremental_filter", "q_json_extract", "q_lang_guess",
+        "q_metrics_rollup", "q_minhash_lsh_pairs", "q_minhash_signatures",
+        "q_ngram_jaccard_capped", "q_ngram_jaccard_pairs",
+        "q_outer_join_agg", "q_parent_child_assembly", "q_quality_score",
+        "q_regexp_extract", "q_rollup_region_nation", "q_semi_join",
+        "q_set_ops", "q_simhash", "q_sliding_window", "q_stream_tws",
+        "q_stream_tws_topk", "q_text_stats", "q_topk_per_group",
+        "q_tumbling_window", "q_window_functions",
+    }
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's ~50-row check window lands on the queries that most
-    need a fresh row: the three registered-after-the-r3-check queries
-    first, then the 46 whose latest driver row predates two testdata
-    regenerations (round 1 only) — together exactly the 50-slot window —
-    then queries new this round (checked next round), then recent greens
-    (r3, then r2)."""
-    checked = _R1_DRIVER_CHECKED | _R2_DRIVER_CHECKED | _R3_DRIVER_CHECKED
-    head = [n for n in _SPARK if n in _PRE_R4_UNCHECKED]
-    r1_stale = [
+    need a fresh row. Round-5 order: (1) queries with NO valid driver
+    row — the 14 registered after the r4 check window plus q_cube_dow
+    (whose r4 row was earned under the colliding name, VERDICT r4 #1) —
+    then the restored q_grouping_sets for a post-restoration re-check;
+    (2) queries new THIS round (per ADVICE r4: brand-new operators get a
+    driver row in their own round now, instead of waiting one); (3) the
+    38 queries whose latest row is r2 (oldest evidence), filling the
+    remaining slots; (4) r3-latest; (5) r4-green freshest, last."""
+    any_checked = (
+        _R1_DRIVER_CHECKED
+        | _R2_DRIVER_CHECKED
+        | _R3_DRIVER_CHECKED
+        | _R4_DRIVER_CHECKED
+    )
+    restored = ["q_grouping_sets"]
+    never = [
+        n for n in _SPARK if n not in any_checked and n not in restored
+    ]
+    r2_latest = [
+        n
+        for n in _SPARK
+        if n in _R2_DRIVER_CHECKED
+        and n not in _R3_DRIVER_CHECKED
+        and n not in _R4_DRIVER_CHECKED
+        and n not in restored
+    ]
+    r3_latest = [
+        n
+        for n in _SPARK
+        if n in _R3_DRIVER_CHECKED and n not in _R4_DRIVER_CHECKED
+    ]
+    r1_latest = [
         n
         for n in _SPARK
         if n in _R1_DRIVER_CHECKED
-        and n not in _R2_DRIVER_CHECKED
-        and n not in _R3_DRIVER_CHECKED
+        and n not in (_R2_DRIVER_CHECKED | _R3_DRIVER_CHECKED | _R4_DRIVER_CHECKED)
     ]
-    new_r4 = [n for n in _SPARK if n not in checked and n not in _PRE_R4_UNCHECKED]
-    r3 = [n for n in _SPARK if n in _R3_DRIVER_CHECKED]
-    r2 = [
-        n
-        for n in _SPARK
-        if n in _R2_DRIVER_CHECKED and n not in _R3_DRIVER_CHECKED
-    ]
-    ordered = head + r1_stale + new_r4 + r3 + r2
+    r4 = [n for n in _SPARK if n in _R4_DRIVER_CHECKED]
+    ordered = never + restored + r1_latest + r2_latest + r3_latest + r4
     assert len(ordered) == len(set(ordered)) == len(_SPARK), (
         "registry tiers must partition _SPARK exactly"
     )
