@@ -5506,20 +5506,28 @@ def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
       SELECT lang AS part, doc_id AS f, n_chars AS sz,
              CAST(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
-                         - 1) / 50000) AS BIGINT) AS grp
+                         - 1) / 50000) AS BIGINT) AS raw_grp
       FROM documents WHERE lang IS NOT NULL
+    ),
+    g AS (
+      SELECT part, raw_grp, count(*) AS n_files,
+             CAST(sum(sz) AS BIGINT) AS total_bytes,
+             min(f) AS first_file, max(f) AS last_file
+      FROM a GROUP BY part, raw_grp
     )
-    SELECT part, grp, count(*) AS n_files,
-           CAST(sum(sz) AS BIGINT) AS total_bytes,
-           min(f) AS first_file, max(f) AS last_file
-    FROM a GROUP BY part, grp
+    SELECT part,
+           CAST(dense_rank() OVER (PARTITION BY part ORDER BY raw_grp) - 1
+                AS BIGINT) AS grp,
+           n_files, total_bytes, first_file, last_file
+    FROM g
     """,
 )
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction plan over the documents listing (size =
-    n_chars, partition = lang, 50 KB target groups): greedy streaming
-    bin-packing as ONE per-partition window over metadata rows — the
-    lake-maintenance work list (operators/layout.py:plan_compaction)."""
+    n_chars, partition = lang, 50 KB target groups): cumsum-bucket
+    bin-packing as ONE per-partition window over metadata rows, group
+    ids dense-renumbered per partition — the lake-maintenance work list
+    (operators/layout.py:plan_compaction)."""
     from kommunedata_data_pipeline_spark.operators.layout import plan_compaction
 
     d = _t(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
@@ -5689,7 +5697,7 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM common
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
     """,
 )
 def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -98,16 +99,23 @@ def main() -> None:
             prefix="tws-warm-",
             dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
         )
-        spark.createDataFrame(
-            [(1, 1.0), (2, 2.0)], "user_id long, value double"
-        ).coalesce(1).write.mode("overwrite").parquet(warm_dir)
-        with rocksdb_state_store(spark):
-            s = user_value_stats_tws(
-                spark.readStream.schema("user_id long, value double").parquet(warm_dir)
-            )
-            run_to_memory(
-                s, "tws_warm", output_mode="update", shuffle_partitions=1
-            )
+        try:
+            spark.createDataFrame(
+                [(1, 1.0), (2, 2.0)], "user_id long, value double"
+            ).coalesce(1).write.mode("overwrite").parquet(warm_dir)
+            with rocksdb_state_store(spark):
+                s = user_value_stats_tws(
+                    spark.readStream.schema(
+                        "user_id long, value double"
+                    ).parquet(warm_dir)
+                )
+                run_to_memory(
+                    s, "tws_warm", output_mode="update", shuffle_partitions=1
+                )
+        finally:
+            # /dev/shm is RAM — leaking a parquet dir + RocksDB
+            # checkpoint per bench run would eat memory across runs
+            shutil.rmtree(warm_dir, ignore_errors=True)
 
     # best-of-2 per query: this box shows multi-x CPU-steal variance
     # between identical runs; the min is the reproducible steady-state.

@@ -120,6 +120,11 @@ def ensure_protobuf() -> bool:
             paths = [p for p in (root, google_parent) if p not in sys.path]
             sys.path.extend(dict.fromkeys(paths))
             importlib.invalidate_caches()
+            # a prior failed probe may have cached google/google.protobuf
+            # as an EMPTY namespace package (e.g. zipimported from a JVM
+            # jar's embedded google/protobuf/*.proto resources); a cached
+            # namespace module never re-resolves, so purge before retry
+            _forget_google()
             if _usable():
                 install_runtime_version_shim()
                 _runtime_paths = list(dict.fromkeys((root, google_parent)))
@@ -141,10 +146,19 @@ def worker_env_for_protobuf(existing_pythonpath: str = "") -> dict[str, str] | N
     assumed to share the interpreter's site-packages (true in local and
     in any same-image cluster) and only the sitecustomize shim dir is
     added, which then no-ops.
+
+    Only ``_SHIM_DIR`` ships via PYTHONPATH: PYTHONPATH entries precede
+    site-packages, so putting the discovered runtime ROOTS there would
+    make every worker resolve the whole vendored third_party tree
+    (boto3, dateutil, certifi, ...) ahead of real installs — violating
+    the append-never-prepend invariant. The roots travel only in
+    ``KDP_PB_RUNTIME_PATHS``; the shim's sitecustomize tries the real
+    import first and appends them to the END of sys.path, so
+    site-packages wins in workers exactly as it does on the driver.
     """
     if _runtime_paths is None and not ensure_protobuf():
         return None
-    parts = [_SHIM_DIR, *(_runtime_paths or [])]
+    parts = [_SHIM_DIR]
     if existing_pythonpath:
         parts.append(existing_pythonpath)
     return {

@@ -149,13 +149,14 @@ def ngram_jaccard_pairs(
         common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
-            ),
+            "j_raw",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        # filter on the UNROUNDED jaccard (round only the emitted value):
+        # filtering post-round would admit pairs with true J in
+        # [t-5e-7, t) that no candidate-bound variant can guarantee
+        .where(F.col("j_raw") >= threshold)
+        .select("doc_a", "doc_b", F.round("j_raw", 6).alias("jaccard"))
     )
     return out
 
@@ -241,15 +242,13 @@ def prefix_filter_jaccard_pairs(
         .withColumn("n_a", F.size("ta"))
         .withColumn("n_b", F.size("tb"))
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ),
+            "j_raw",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        # unrounded filter, rounded emit — must mirror ngram_jaccard_pairs
+        # exactly or "identical output" breaks for true J in [t-5e-7, t)
+        .where(F.col("j_raw") >= threshold)
+        .select("doc_a", "doc_b", F.round("j_raw", 6).alias("jaccard"))
     )
     return verified
 

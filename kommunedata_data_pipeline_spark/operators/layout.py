@@ -133,14 +133,26 @@ def plan_compaction(
     lake table needs (millions of 5 MB files turn scans into metadata
     storms; compaction restores splittable ~target-size objects).
 
-    Assignment is the streaming greedy: walk files in ``order_col``
-    order, cut a new group when the running size passes the target
-    (group = floor((cumsum−1)/target)). Groups can overflow by at most
-    one file — the property that makes the plan a pure window expression
-    instead of an iterative packer. Scale shape: one window partitioned
-    by the TABLE partition (per-partition parallel sort over file
-    *metadata* rows, never file contents) + one rollup; the output is
-    the work list a rewrite job consumes group-by-group.
+    Assignment is cumsum-bucketing, NOT the strict streaming greedy:
+    walk files in ``order_col`` order and bucket each file by which
+    ``[k*target, (k+1)*target)`` interval its running-size prefix ends
+    in (group = floor((cumsum-1)/target)). Consequences, documented on
+    purpose: a group CAN close under target when a file straddles a
+    bucket boundary (sizes [9, 9] at target 10 make two 9-byte groups,
+    where the greedy would emit one 18-byte group), and a single file
+    larger than the target consumes several raw bucket ids. Overflow
+    stays bounded — a group exceeds target only via its final file —
+    and under-fill is bounded by one straddling file per boundary,
+    which is the trade for keeping assignment a pure window expression
+    instead of an iterative packer. Raw bucket ids are renumbered with
+    a dense_rank over the (tiny) per-group rollup so emitted group ids
+    are contiguous from 0 per partition regardless of oversized files.
+
+    Scale shape: one window partitioned by the TABLE partition
+    (per-partition parallel sort over file *metadata* rows, never file
+    contents) + one rollup + one dense_rank over the rollup rows (a few
+    rows per partition — negligible); the output is the work list a
+    rewrite job consumes group-by-group.
     """
     w = Window.partitionBy(part_col).orderBy(order_col)
     assigned = files.select(
@@ -148,12 +160,21 @@ def plan_compaction(
         F.col(order_col).alias("f"),
         F.col(size_col).alias("sz"),
         F.floor((F.sum(size_col).over(w) - 1) / F.lit(target_bytes)).alias(
-            "grp"
+            "raw_grp"
         ),
     )
-    return assigned.groupBy("part", "grp").agg(
+    rolled = assigned.groupBy("part", "raw_grp").agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum("sz").alias("total_bytes"),
         F.min("f").alias("first_file"),
         F.max("f").alias("last_file"),
+    )
+    dense = Window.partitionBy("part").orderBy("raw_grp")
+    return rolled.select(
+        "part",
+        (F.dense_rank().over(dense) - 1).cast("bigint").alias("grp"),
+        "n_files",
+        "total_bytes",
+        "first_file",
+        "last_file",
     )

@@ -370,3 +370,39 @@ def test_compaction_plan_invariants(spark):
         ordered = sorted(groups, key=lambda g: g.grp)
         for a, b in zip(ordered, ordered[1:]):
             assert a.last_file < b.first_file
+
+
+def test_compaction_plan_oversized_and_straddling_files(spark):
+    """Pinned edge cases of the cumsum-bucket semantics (ADVICE r4):
+    a file larger than 2x target must not leave holes in group ids
+    (dense renumber), and a boundary-straddling file documents the
+    bounded under-fill (two 9-byte files at target 10 form two groups
+    under cumsum-bucketing — not the greedy's one)."""
+    from kommunedata_data_pipeline_spark.operators.layout import plan_compaction
+
+    rows = [
+        # partition "a": 9, 9 -> cumsum 9, 18 -> raw buckets 0, 1
+        ("a", 1, 9),
+        ("a", 2, 9),
+        # partition "b": 35-byte file at target 10 skips raw ids 0-2;
+        # then a 4-byte file lands in raw bucket 3 with it
+        ("b", 1, 35),
+        ("b", 2, 4),
+        ("b", 3, 8),
+    ]
+    d = spark.createDataFrame(rows, "part string, f int, sz int")
+    plan = plan_compaction(d, "part", "sz", "f", 10).collect()
+    by_part: dict = {}
+    for r in plan:
+        by_part.setdefault(r.part, []).append(r)
+    # contiguous-from-0 even with the oversized file
+    for part, groups in by_part.items():
+        assert sorted(g.grp for g in groups) == list(range(len(groups)))
+    a = sorted(by_part["a"], key=lambda g: g.grp)
+    assert [g.total_bytes for g in a] == [9, 9]  # documented under-fill
+    b = sorted(by_part["b"], key=lambda g: g.grp)
+    # 35 ends in bucket 3 (cumsum 35), 4 ends in bucket 3 (cumsum 39),
+    # 8 ends in bucket 4 (cumsum 47) -> two dense groups
+    assert [g.grp for g in b] == [0, 1]
+    assert [g.total_bytes for g in b] == [39, 8]
+    assert sum(g.n_files for g in plan) == 5
