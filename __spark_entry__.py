@@ -2365,8 +2365,16 @@ def _maybe_register_tws() -> None:
             # 8 state partitions (the Python-stateful default): measured
             # at sf0.1 (1500 keys) 8 ≈ 3.0 s steady vs 2 ≈ 4.9 s — the
             # per-key state round-trips want worker parallelism more
-            # than RocksDB wants fewer instances.
-            run_to_memory(s, "q_stream_tws_sink", output_mode="update")
+            # than RocksDB wants fewer instances. KDP_TWS_PARTS
+            # overrides for tuning runs (scripts/tws_tune.py).
+            import os as _os
+
+            run_to_memory(
+                s,
+                "q_stream_tws_sink",
+                output_mode="update",
+                shuffle_partitions=int(_os.environ.get("KDP_TWS_PARTS", "8")),
+            )
         return spark.table("q_stream_tws_sink")
 
 
@@ -2423,7 +2431,14 @@ def _maybe_register_tws_topk() -> None:
                     & (F.col("user_id") % 5 == 0)
                 )
             )
-            run_to_memory(s, "q_stream_tws_topk_sink", output_mode="update")
+            import os as _os
+
+            run_to_memory(
+                s,
+                "q_stream_tws_topk_sink",
+                output_mode="update",
+                shuffle_partitions=int(_os.environ.get("KDP_TWS_PARTS", "8")),
+            )
         return spark.table("q_stream_tws_topk_sink")
 
 

@@ -90,6 +90,7 @@ def main() -> None:
         from kommunedata_data_pipeline_spark.streaming.stateful import (
             enable_tws_workers,
             rocksdb_state_store,
+            user_topk_tws,
             user_value_stats_tws,
         )
         from kommunedata_data_pipeline_spark.streaming.windows import run_to_memory
@@ -101,16 +102,36 @@ def main() -> None:
         )
         try:
             spark.createDataFrame(
-                [(1, 1.0), (2, 2.0)], "user_id long, value double"
+                [(i, float(i), i) for i in range(64)],
+                "user_id long, value double, event_id long",
             ).coalesce(1).write.mode("overwrite").parquet(warm_dir)
+            warm_stream = spark.readStream.schema(
+                "user_id long, value double, event_id long"
+            ).parquet(warm_dir)
             with rocksdb_state_store(spark):
-                s = user_value_stats_tws(
-                    spark.readStream.schema(
-                        "user_id long, value double"
-                    ).parquet(warm_dir)
+                # warm BOTH processor shapes at the real partition count:
+                # the first TWS query per (processor, partitioning) pays
+                # JVM class loads + RocksDB instance + Python driver-
+                # worker JIT that later runs don't (measured ~5.7 s first
+                # vs ~3.3 s steady at sf0.1, scripts/tws_tune.py) — run
+                # each untimed so the timed attempts sit at steady state.
+                run_to_memory(
+                    user_value_stats_tws(
+                        warm_stream.select("user_id", "value")
+                    ),
+                    "tws_warm",
+                    output_mode="update",
+                    shuffle_partitions=int(
+                        os.environ.get("KDP_TWS_PARTS", "8")
+                    ),
                 )
                 run_to_memory(
-                    s, "tws_warm", output_mode="update", shuffle_partitions=1
+                    user_topk_tws(warm_stream),
+                    "tws_warm_topk",
+                    output_mode="update",
+                    shuffle_partitions=int(
+                        os.environ.get("KDP_TWS_PARTS", "8")
+                    ),
                 )
         finally:
             # /dev/shm is RAM — leaking a parquet dir + RocksDB
@@ -125,9 +146,69 @@ def main() -> None:
     # min reflects Catalyst + execution the way a prepared statement
     # would. Streaming queries execute inside fn() and return a memory
     # sink read, so they are rebuilt per attempt.
+    # Floor decomposition (judge-requested): split each query's wall
+    # time into ENGINE EXECUTION vs the per-query floor the aggregate
+    # ratio punishes linearly as the registry grows (driver-side
+    # planning, py4j chatter, job scheduling gaps — ~0.1-0.2 s/query at
+    # sf0.1 regardless of data volume). Batch queries: tag every attempt
+    # with a unique job group and read the merged wall-clock coverage of
+    # its jobs from the JVM AppStatusStore (jobs start AFTER Catalyst
+    # planning, so covered-time ≈ scheduling+execution; gaps and
+    # pre-job planning are the floor). Streaming queries run on their
+    # own thread where job-group tags don't propagate — for them the
+    # stash in streaming.windows.LAST_RUN_DURATIONS supplies per-phase
+    # durationMs, and addBatch is the execution component.
+    from kommunedata_data_pipeline_spark.streaming.windows import (
+        LAST_RUN_DURATIONS,
+    )
+
+    def _job_coverage_sec(tag: str) -> float | None:
+        """Merged [submission, completion] wall coverage (sec) of all
+        jobs tagged with job-group `tag`, or None if none recorded."""
+        try:
+            store = spark.sparkContext._jsc.sc().statusStore()
+            intervals = []
+            for _ in range(10):  # status listener bus is async
+                intervals = []
+                pending = False
+                jobs = store.jobsList(None)
+                for i in range(jobs.size()):
+                    j = jobs.apply(i)
+                    grp = j.jobGroup()
+                    if not (grp.isDefined() and grp.get() == tag):
+                        continue
+                    sub, comp = j.submissionTime(), j.completionTime()
+                    if not sub.isDefined():
+                        continue
+                    if not comp.isDefined():
+                        pending = True
+                        break
+                    intervals.append(
+                        (sub.get().getTime(), comp.get().getTime())
+                    )
+                if not pending:
+                    break
+                time.sleep(0.05)
+            if not intervals:
+                return None
+            intervals.sort()
+            covered, cur_s, cur_e = 0, *intervals[0]
+            for s, e in intervals[1:]:
+                if s > cur_e:
+                    covered += cur_e - cur_s
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            covered += cur_e - cur_s
+            return covered / 1000.0
+        except Exception:
+            return None
+
     timings: dict[str, float] = {}
+    exec_timings: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):
         attempts: list[float] = []
+        exec_attempts: list[float] = []
         df = None
         failed = False
         while len(attempts) < 2 or (
@@ -137,17 +218,38 @@ def main() -> None:
             len(attempts) == 2
             and abs(attempts[0] - attempts[1]) > 0.5 * min(attempts)
         ):
+            tag = f"bench:{name}:{len(attempts)}"
+            spark.sparkContext.setJobGroup(tag, name)
             t0 = time.perf_counter()
             try:
                 if df is None or name.startswith("q_stream"):
                     df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                attempts.append(time.perf_counter() - t0)
+                wall = time.perf_counter() - t0
+                attempts.append(wall)
+                if name.startswith("q_stream"):
+                    phases = LAST_RUN_DURATIONS.get(f"{name}_sink") or {}
+                    ex = phases.get("addBatch")
+                    exec_attempts.append(
+                        ex / 1000.0 if ex is not None else wall
+                    )
+                else:
+                    cov = _job_coverage_sec(tag)
+                    exec_attempts.append(cov if cov is not None else wall)
             except Exception as exc:  # keep the bench line parseable on failure
                 failed = True
                 print(f"BENCH FAIL {name}: {exc}", file=sys.stderr)
                 break
+            finally:
+                spark.sparkContext.setJobGroup("", "")
         timings[name] = -1.0 if failed else round(min(attempts), 3)
+        # exec time of the best WALL attempt (not min of exec — the two
+        # must describe the same run for floor = wall - exec to hold)
+        exec_timings[name] = (
+            -1.0
+            if failed
+            else round(exec_attempts[attempts.index(min(attempts))], 3)
+        )
 
     # Failed queries are EXCLUDED from the total (a -1 sentinel must not
     # offset real seconds) and named explicitly — a total with failures
@@ -155,6 +257,7 @@ def main() -> None:
     # rides next to the metric in both the sidecar and the stdout line.
     failed = sorted(n for n, t in timings.items() if t < 0)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total_exec = round(sum(t for t in exec_timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Per-query detail goes to a sidecar file + stderr: the r1 driver
     # truncated the 2.4 KB single-line JSON mid-string ("parsed": null),
@@ -164,6 +267,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # engine-execution seconds of the same best attempt per query
+        # (merged job wall coverage for batch, addBatch for streams);
+        # wall - exec = the per-query scheduling/planning floor
+        "exec_queries": exec_timings,
+        "value_exec": total_exec,
         "failed": failed,
         "sf": sf_val,
     }
@@ -176,6 +284,7 @@ def main() -> None:
             {
                 "metric": "total_query_seconds",
                 "value": total,
+                "value_exec": total_exec,
                 "unit": "sec",
                 "queries": {},
                 "queries_file": "BENCH_QUERIES.json",

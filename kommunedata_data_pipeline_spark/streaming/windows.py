@@ -164,6 +164,13 @@ def _needs_nodata_finalize(stream_df: DataFrame, output_mode: str) -> bool:
     return "EventTimeWatermark" in plan and "Aggregate" in plan
 
 
+# Per-phase durationMs sums of the most recent bounded run per sink name
+# (see the stash in run_to_memory) — consumed by bench.py to split each
+# streaming query's wall time into engine execution (addBatch) vs the
+# per-query streaming floor (planning, WAL/offset commits, drain waits).
+LAST_RUN_DURATIONS: dict[str, dict[str, int]] = {}
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
@@ -243,6 +250,22 @@ def run_to_memory(
             while not _saw_final_no_data_batch() and time.time() < deadline:
                 time.sleep(0.05)
                 q.processAllAvailable()
+        # stash per-phase durations for the bench's floor decomposition
+        # (streaming jobs run on their own thread, so the bench's
+        # job-group tagging can't see them): sum each durationMs phase
+        # across micro-batches, keyed by sink name, BEFORE stop() drops
+        # the progress buffer.
+        try:
+            import json as _json2
+
+            phases: dict[str, int] = {}
+            for p in q.recentProgress:
+                d = _json2.loads(p.json) if hasattr(p, "json") else p
+                for k, v in (d.get("durationMs") or {}).items():
+                    phases[k] = phases.get(k, 0) + int(v)
+            LAST_RUN_DURATIONS[name] = phases
+        except Exception:
+            pass
         q.stop()
     finally:
         if shuffle_partitions is not None:
