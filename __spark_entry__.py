@@ -2442,8 +2442,114 @@ def _maybe_register_tws_topk() -> None:
         return spark.table("q_stream_tws_topk_sink")
 
 
+def _maybe_register_tws_session_parity() -> None:
+    """q_stream_session_parity — cross-validates the two independent
+    session implementations: the event-time-timer transformWithState
+    processor (streaming/stateful.py:SessionCloseProcessor) against the
+    built-in ``session_window`` aggregation. Same capability gate as the
+    other TWS queries."""
+    from kommunedata_data_pipeline_spark.streaming.stateful import tws_available
+
+    if not tws_available():
+        return
+
+    @_q(
+        "q_stream_session_parity",
+        """
+        WITH coh AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL AND user_id % 7 = 0
+        ),
+        s AS (SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM coh WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 10 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id, sid
+        HAVING max(ts) + INTERVAL 10 MINUTE <= (SELECT max(ts) FROM coh)
+        """,
+    )
+    def q_stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Two INDEPENDENT streaming session implementations over the
+        same cohort, inner-joined on every output column: the TWS
+        event-time-timer processor (emit-on-inactivity + evidence-close)
+        and the built-in watermarked ``session_window`` aggregation.
+        They agree exactly on a bounded in-order replay — any divergence
+        (a session split/merge bug, a timer boundary error) shrinks the
+        join and the driver's row-count/hash check goes red. The oracle
+        is the batch gaps-and-islands SQL restricted to sessions closed
+        before the final watermark (= max cohort ts; watermark delay 0)."""
+        import os as _os
+
+        from kommunedata_data_pipeline_spark.streaming.stateful import (
+            enable_tws_workers,
+            rocksdb_state_store,
+            session_close_tws,
+        )
+        from kommunedata_data_pipeline_spark.streaming.windows import (
+            read_events_stream,
+            run_to_memory,
+        )
+
+        def cohort(df: DataFrame) -> DataFrame:
+            return df.where(
+                F.col("user_id").isNotNull()
+                & F.col("ts").isNotNull()
+                & (F.col("user_id") % 7 == 0)
+            ).select("user_id", "ts")
+
+        enable_tws_workers(spark)
+        with rocksdb_state_store(spark):
+            s = session_close_tws(
+                cohort(read_events_stream(spark, sf_dir)),
+                gap="10 minutes",
+                watermark="0 seconds",
+            )
+            run_to_memory(
+                s,
+                "q_tws_sess_par_sink",
+                output_mode="append",
+                shuffle_partitions=int(_os.environ.get("KDP_TWS_PARTS", "8")),
+            )
+        sw = (
+            cohort(read_events_stream(spark, sf_dir))
+            .withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        run_to_memory(
+            sw, "q_sw_sess_par_sink", output_mode="append", shuffle_partitions=2
+        )
+        tws = spark.table("q_tws_sess_par_sink").select(
+            "user_id",
+            F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
+            (
+                F.timestamp_micros(F.col("session_end_us"))
+                + F.expr("INTERVAL 10 MINUTES")
+            ).alias("session_end"),
+            "n_events",
+        )
+        both = spark.table("q_sw_sess_par_sink")
+        return tws.join(
+            both, ["user_id", "session_start", "session_end", "n_events"], "inner"
+        )
+
+
 _maybe_register_tws()
 _maybe_register_tws_topk()
+_maybe_register_tws_session_parity()
 
 
 @_q(

@@ -177,8 +177,10 @@ def prefix_filter_jaccard_pairs(
     X, so fewer than ceil(t·|X|) overlap tokens is a contradiction
     unless at least one falls in X's first |X| − ceil(t·|X|) + 1 tokens.
     Join ONLY on those prefix tokens, add the size filter
-    min(|A|,|B|) ≥ t·max(|A|,|B|) (same theorem), then verify the
-    surviving candidates exactly with an array intersection.
+    min(|A|,|B|) ≥ t·max(|A|,|B|) (same theorem) and the PPJoin
+    positional filter (the first shared token's positions bound the
+    remaining possible overlap — see the inline comment), then verify
+    the surviving candidates exactly with an array intersection.
 
     Scale shape: the df groupBy and per-doc rank window are linear; the
     candidate join touches |prefix| ≈ (1−t)·|doc| tokens per doc — at
@@ -210,24 +212,54 @@ def prefix_filter_jaccard_pairs(
     prefix = packed.select(
         "doc_id",
         "n_sh",
-        F.explode(
+        F.posexplode(
             F.slice(F.col("toks"), F.lit(1), (F.col("n_sh") - need + 1).cast("int"))
-        ).alias("shingle"),
+        ).alias("pos", "shingle"),
     )
     a = prefix.select(
-        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("n_sh").alias("n_a"),
+        F.col("pos").alias("pa"),
     )
     b = prefix.select(
-        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("n_b")
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("n_sh").alias("n_b"),
+        F.col("pos").alias("pb"),
     )
+    # PPJoin positional filter: both arrays are sorted by the SAME
+    # global token rank, so among shared prefix tokens the minimal-rank
+    # one attains min(pa) AND min(pb) simultaneously, and every token
+    # before it in either array is absent from the other (a shared
+    # earlier token would have lower rank). Hence
+    #   overlap <= 1 + min(n_a - pa - 1, n_b - pb - 1)   (pos 0-based)
+    # while J >= t requires overlap >= t/(1+t) * (n_a + n_b). Pairs
+    # failing that bound are pruned BEFORE the packed-array joins and
+    # the exact array_intersect — the verification step is the dominant
+    # cost at scale (SCALING.md measured 46x at 64x pre-filter).
     cands = (
         a.join(b, "shingle")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9))
+            & (
+                F.least("n_a", "n_b")
+                >= F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9)
+            )
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.min("pa").alias("pa"), F.min("pb").alias("pb"))
+        .where(
+            F.lit(1)
+            + F.least(
+                F.col("n_a") - F.col("pa") - 1, F.col("n_b") - F.col("pb") - 1
+            )
+            >= F.lit(threshold)
+            / F.lit(1.0 + threshold)
+            * (F.col("n_a") + F.col("n_b"))
+            - F.lit(1e-9)
         )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     verified = (
         cands.join(

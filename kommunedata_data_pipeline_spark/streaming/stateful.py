@@ -296,9 +296,9 @@ def user_type_counts_tws(events: DataFrame) -> DataFrame:
 
 
 TWS_SESSION_OUT_SCHEMA = (
-    "user_id bigint, session_start_ms bigint, session_end_ms bigint, n_events bigint"
+    "user_id bigint, session_start_us bigint, session_end_us bigint, n_events bigint"
 )
-TWS_SESSION_STATE_SCHEMA = "start_ms bigint, end_ms bigint, n bigint"
+TWS_SESSION_STATE_SCHEMA = "start_us bigint, end_us bigint, n bigint"
 
 
 class SessionCloseProcessor(StatefulProcessor):
@@ -306,44 +306,77 @@ class SessionCloseProcessor(StatefulProcessor):
     applyInPandasWithState nor window aggregations expose directly:
     per-key callbacks when the watermark passes a registered instant.
 
-    Per user, an activity window accumulates (start, end, count); every
-    batch re-registers one timer at end + gap. When the event-time
-    watermark passes it (i.e. the key has been silent for the gap, as
-    judged by stream time, not wall clock), ``handleExpiredTimer`` emits
-    the closed session exactly once and clears the state — the "emit on
-    inactivity" pattern (session close, abandoned-cart, SLA breach)
-    without any per-batch polling of the whole keyspace: Spark fires
-    only the keys whose timers expired."""
+    True gap-session semantics (upgraded r5 — the r4 version merged a
+    whole micro-batch into one activity window, splitting sessions only
+    across batch boundaries; it now matches ``session_window``, see
+    q_stream_session_parity): each batch merges the key's timestamps
+    with the open session by gap-interval sweep. Sessions PROVABLY
+    closed — a later event of the same key more than ``gap`` after
+    their end proves, in event time, that the gap elapsed — are emitted
+    immediately; the trailing open session stays in state with ONE
+    timer re-armed at end + gap. When the event-time watermark passes
+    it (the key has been silent for the gap, as judged by stream time,
+    not wall clock), ``handleExpiredTimer`` emits the closed session
+    exactly once and clears the state — the "emit on inactivity"
+    pattern (session close, abandoned-cart, SLA breach) without any
+    per-batch polling of the whole keyspace: Spark fires only the keys
+    whose timers expired.
+
+    Late-data caveat: an evidence-closed session is final; a late event
+    older than the proving gap cannot reopen it (the built-in
+    ``session_window`` buffers until the watermark instead). With the
+    watermark delay sized to the actual disorder bound the two emit
+    identical session sets."""
 
     def __init__(self, gap_ms: int = 600_000) -> None:
-        self._gap_ms = gap_ms
+        # state + output carry MICROSECONDS (the event-time precision of
+        # the input — session_window keeps it, so parity requires it);
+        # only timers are registered in ms (the timer API's unit)
+        self._gap_us = gap_ms * 1000
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._sess = handle.getValueState("sess", TWS_SESSION_STATE_SCHEMA)
         self._handle = handle
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        mn = mx = None
-        n = 0
+        ts_us: list[int] = []
         for pdf in rows:
-            ts_ms = pdf["ts"].astype("int64") // 1_000_000
-            if len(ts_ms):
-                bmn, bmx = int(ts_ms.min()), int(ts_ms.max())
-                mn = bmn if mn is None else min(mn, bmn)
-                mx = bmx if mx is None else max(mx, bmx)
-                n += len(ts_ms)
-        if n:
-            prev = self._sess.get()
-            if prev is not None:
-                mn = min(mn, prev[0])
-                mx = max(mx, prev[1])
-                n += prev[2]
-            self._sess.update((mn, mx, n))
-            # one live timer per key: re-arm at the new end-of-activity
-            for t in list(self._handle.listTimers()):
-                self._handle.deleteTimer(t)
-            self._handle.registerTimer(mx + self._gap_ms)
-        return iter([])
+            ts_us.extend((pdf["ts"].astype("int64") // 1_000).tolist())
+        if not ts_us:
+            return iter([])
+        prev = self._sess.get()
+        intervals = [tuple(prev)] if prev is not None else []
+        intervals.extend((t, t, 1) for t in ts_us)
+        intervals.sort()
+        merged: list[tuple[int, int, int]] = []
+        for s, e, c in intervals:
+            if merged and s - merged[-1][1] <= self._gap_us:
+                ls, le, lc = merged[-1]
+                merged[-1] = (ls, max(le, e), lc + c)
+            else:
+                merged.append((s, e, c))
+        closed, open_ = merged[:-1], merged[-1]
+        self._sess.update(open_)
+        # one live timer per key: re-arm at the new end-of-activity
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+        # ceil to ms: firing a fraction of a ms early would emit a
+        # session whose gap has not fully elapsed
+        self._handle.registerTimer(-((open_[1] + self._gap_us) // -1000))
+        if not closed:
+            return iter([])
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(closed),
+                        "session_start_us": [s for s, _, _ in closed],
+                        "session_end_us": [e for _, e, _ in closed],
+                        "n_events": [c for _, _, c in closed],
+                    }
+                )
+            ]
+        )
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         cur = self._sess.get()
@@ -355,8 +388,8 @@ class SessionCloseProcessor(StatefulProcessor):
                 pd.DataFrame(
                     {
                         "user_id": [key[0]],
-                        "session_start_ms": [cur[0]],
-                        "session_end_ms": [cur[1]],
+                        "session_start_us": [cur[0]],
+                        "session_end_us": [cur[1]],
                         "n_events": [cur[2]],
                     }
                 )

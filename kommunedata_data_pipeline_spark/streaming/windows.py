@@ -161,7 +161,12 @@ def _needs_nodata_finalize(stream_df: DataFrame, output_mode: str) -> bool:
     if output_mode != "append":
         return False
     plan = _analyzed_plan(stream_df)
-    return "EventTimeWatermark" in plan and "Aggregate" in plan
+    # TransformWithState with event-time timers is the other
+    # watermark-finalized append shape: timers fire only when a later
+    # (possibly no-data) batch advances the watermark past them.
+    return "EventTimeWatermark" in plan and (
+        "Aggregate" in plan or "TransformWithState" in plan
+    )
 
 
 # Per-phase durationMs sums of the most recent bounded run per sink name

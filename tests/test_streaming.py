@@ -347,5 +347,5 @@ def test_tws_event_time_timer_closes_sessions(spark, tmp_path):
         q.stop()
     rows = spark.sql("SELECT * FROM tws_sess_t").collect()
     assert [
-        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events) for r in rows
-    ] == [(7, 100_000, 200_000, 2)]
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events) for r in rows
+    ] == [(7, 100_000_000, 200_000_000, 2)]
