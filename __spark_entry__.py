@@ -2442,6 +2442,65 @@ def _maybe_register_tws_topk() -> None:
         return spark.table("q_stream_tws_topk_sink")
 
 
+def _maybe_register_tws_mapstate() -> None:
+    """q_stream_tws_mapstate — the MapState member of the typed-state
+    family (ValueState: q_stream_tws; ListState: q_stream_tws_topk;
+    timers: q_stream_session_parity), completing driver-oracled coverage
+    of the whole transformWithState state surface."""
+    from kommunedata_data_pipeline_spark.streaming.stateful import tws_available
+
+    if not tws_available():
+        return
+
+    @_q(
+        "q_stream_tws_mapstate",
+        """
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND user_id % 11 = 0
+        GROUP BY user_id, event_type
+        """,
+    )
+    def q_stream_tws_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-(user, event_type) running counts in a typed MapState —
+        point per-subkey reads/writes (only the types seen this batch),
+        the right state shape for sparse large per-key domains. One
+        micro-batch ⇒ emissions equal a plain two-key groupBy count —
+        exact oracle. Cohort-bounded (user_id % 11) for the same reason
+        as q_stream_tws_topk: each touched (user, type) pair is a
+        synchronous get+update round trip per batch, a cost a real
+        deployment amortizes over the stream lifetime."""
+        import os as _os
+
+        from kommunedata_data_pipeline_spark.streaming.stateful import (
+            enable_tws_workers,
+            rocksdb_state_store,
+            user_type_counts_tws,
+        )
+        from kommunedata_data_pipeline_spark.streaming.windows import (
+            read_events_stream,
+            run_to_memory,
+        )
+
+        enable_tws_workers(spark)
+        with rocksdb_state_store(spark):
+            s = user_type_counts_tws(
+                read_events_stream(spark, sf_dir).where(
+                    F.col("user_id").isNotNull()
+                    & F.col("event_type").isNotNull()
+                    & (F.col("user_id") % 11 == 0)
+                )
+            )
+            run_to_memory(
+                s,
+                "q_stream_tws_mapstate_sink",
+                output_mode="update",
+                shuffle_partitions=int(_os.environ.get("KDP_TWS_PARTS", "8")),
+            )
+        return spark.table("q_stream_tws_mapstate_sink")
+
+
 def _maybe_register_tws_session_parity() -> None:
     """q_stream_session_parity — cross-validates the two independent
     session implementations: the event-time-timer transformWithState
@@ -2549,7 +2608,79 @@ def _maybe_register_tws_session_parity() -> None:
 
 _maybe_register_tws()
 _maybe_register_tws_topk()
+_maybe_register_tws_mapstate()
 _maybe_register_tws_session_parity()
+
+
+@_q(
+    "q_python_datasource",
+    """
+    WITH m AS (SELECT i FROM range(3) t(i)),
+    c AS (SELECT j FROM range(2) t(j)),
+    p AS (SELECT i, j, p FROM m, c, range(3) t(p) WHERE p < 2 + (i+j) % 2),
+    r AS (SELECT i, j, p, k FROM p, range(3) t(k))
+    SELECT 'm'||i AS municipality, 'c'||j AS committee,
+           CAST(p AS INT) AS page_no, CAST(k AS INT) AS pos,
+           'https://m'||i||'.dk/c'||j||'/doc'||(p*3+k) AS url,
+           CASE WHEN k%2=0 THEN 'Referat' ELSE 'Dagsorden' END AS raw_type
+    FROM r WHERE 'm'||i = 'm1'
+    """,
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end drive of the custom Spark 4 Python DataSource
+    (sources/datasource.py — the reference's portal listings as a
+    declarative source, S5–S11): a deterministic synthetic portal
+    directory is materialized once, read through
+    ``spark.read.format("kommunedata_listings")``, and an equality
+    filter on municipality exercises source-level pushdown pruning
+    (the non-matching portals are never opened — asserted separately in
+    tests/test_datasource.py). The fixture is pure arithmetic, so the
+    oracle regenerates the identical rows from ``range()`` — an
+    engine-independent check of the whole partition/pushdown/read
+    path. The fixture is tiny (KBs), content-versioned by path, and
+    left in place: the returned DataFrame reads it lazily."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from kommunedata_data_pipeline_spark.sources.datasource import register
+
+    base = "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    d = _os.path.join(base, "kdp_portal_fixture_v1")
+    if not _os.path.isdir(d):
+        tmp = _tempfile.mkdtemp(prefix="kdp_portal_", dir=base)
+        for i in range(3):
+            for j in range(2):
+                npages = 2 + (i + j) % 2
+                pages = [
+                    [
+                        {
+                            "url": f"https://m{i}.dk/c{j}/doc{p * 3 + k}",
+                            "raw_date": f"2024-01-{k + 1:02d}",
+                            "raw_type": "Referat" if k % 2 == 0 else "Dagsorden",
+                        }
+                        for k in range(3)
+                    ]
+                    for p in range(npages)
+                ]
+                with open(_os.path.join(tmp, f"m{i}__c{j}.json"), "w") as fh:
+                    _json.dump(pages, fh)
+        try:
+            _os.rename(tmp, d)
+        except OSError:  # lost a concurrent-creation race: theirs is identical
+            import shutil as _shutil
+
+            _shutil.rmtree(tmp, ignore_errors=True)
+    register(spark)
+    return (
+        spark.read.format("kommunedata_listings")
+        .option("path", d)
+        .load()
+        .where(F.col("municipality") == "m1")
+        .select(
+            "municipality", "committee", "page_no", "pos", "url", "raw_type"
+        )
+    )
 
 
 @_q(
