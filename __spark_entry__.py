@@ -2591,6 +2591,18 @@ def _maybe_register_tws_session_parity() -> None:
         run_to_memory(
             sw, "q_sw_sess_par_sink", output_mode="append", shuffle_partitions=2
         )
+        # merge the two streams' phase durations under this query's
+        # canonical sink key so the bench floor decomposition sees the
+        # combined addBatch instead of falling back to wall time
+        from kommunedata_data_pipeline_spark.streaming.windows import (
+            LAST_RUN_DURATIONS,
+        )
+
+        _merged: dict[str, int] = {}
+        for _snk in ("q_tws_sess_par_sink", "q_sw_sess_par_sink"):
+            for _k, _v in (LAST_RUN_DURATIONS.get(_snk) or {}).items():
+                _merged[_k] = _merged.get(_k, 0) + _v
+        LAST_RUN_DURATIONS["q_stream_session_parity_sink"] = _merged
         tws = spark.table("q_tws_sess_par_sink").select(
             "user_id",
             F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
