@@ -1782,7 +1782,20 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(F.col("p_size") == 10)
     s = _t(spark, sf_dir, "supplier")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    # push the selective part filter BELOW the distinct: a broadcast
+    # semi join prunes lineitem to the ~1/50 of rows whose part
+    # qualifies before the (partkey, suppkey) distinct shuffles —
+    # Catalyst can't reorder a join below an aggregate on its own, and
+    # at 100 TB the difference is shuffling 2% of lineitem vs all of it
+    ps = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     j = (
         p.join(ps, F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -5444,40 +5457,59 @@ def q11_concentration_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_blame_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 SHAPE (adapted: 'late' = shipped >80 days after order —
-    no commitdate/receiptdate): the double correlated EXISTS / NOT
-    EXISTS pattern expressed as two semi joins — suppliers who were the
-    ONLY late supplier on a multi-supplier order. The correlated
-    subqueries become per-order distinct-supplier counts (map-side
-    combinable) instead of per-row re-scans."""
+    no commitdate/receiptdate): suppliers who were the ONLY late
+    supplier on a multi-supplier order.
+
+    Rewritten r5 from the two-semi-join form to TWO aggregations over
+    ONE lineitem pass: orders ships as a broadcast (orderkey,
+    orderdate) projection so per-row lateness is a map-side flag; then
+    groupBy (orderkey, suppkey) folds each supplier's late-item count,
+    and groupBy orderkey derives n_suppliers / n_late_suppliers / the
+    unique late supplier + its item count (valid exactly when
+    n_late_suppliers == 1, the filter). The old plan shuffled
+    lineitem-scale data ~5 times (two distinct+group pipelines + two
+    semi joins); this shuffles it twice, both aggregations map-side
+    combinable — the shape that survives 100x (the blame query is the
+    classic TPC-H shuffle hog). Oracle unchanged: same SQL text."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
-    late = (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+    flagged = li.join(
+        F.broadcast(o.select("o_orderkey", "o_orderdate")),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
+        )
+        .cast("int")
+        .alias("is_late"),
     )
-    multi = (
-        li.select("l_orderkey", "l_suppkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.count("*").alias("__n"))
-        .where(F.col("__n") > 1)
-        .select("l_orderkey")
+    per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late"),
+        F.sum("is_late").alias("n_late_items"),
     )
-    solo_late = (
-        late.distinct()
-        .groupBy("l_orderkey")
-        .agg(F.count("*").alias("__n"))
-        .where(F.col("__n") == 1)
-        .select("l_orderkey")
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("supp_late").alias("n_late_supp"),
+            F.max(
+                F.when(F.col("supp_late") == 1, F.col("l_suppkey"))
+            ).alias("late_supp"),
+            F.sum(
+                F.when(F.col("supp_late") == 1, F.col("n_late_items"))
+            ).alias("late_items"),
+        )
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
     return (
-        late.join(multi, "l_orderkey", "left_semi")
-        .join(solo_late, "l_orderkey", "left_semi")
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        per_order.join(
+            F.broadcast(s), F.col("s_suppkey") == F.col("late_supp")
+        )
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("late_items").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
