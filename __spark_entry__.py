@@ -2709,6 +2709,116 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_variant_json",
+    """
+    SELECT event_id, event_type AS t, round(value, 6) AS v,
+           user_id AS u, CAST(NULL AS INT) AS miss
+    FROM events WHERE user_id IS NOT NULL
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: JSON text → ``parse_json`` → typed
+    ``variant_get``/``try_variant_get`` path extraction (the
+    semi-structured type that shreds lazily instead of forcing a
+    schema up front — the scale answer to ragged JSON columns). The
+    JSON is built from the row's own columns, so the oracle recomputes
+    every extraction from the originals — a pure round-trip identity
+    check (string → variant → typed value == source column).
+    try_variant_get on a missing path must yield NULL, not error."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            F.to_json(
+                F.struct(
+                    F.col("event_type").alias("t"),
+                    F.col("value").alias("v"),
+                    F.struct(F.col("user_id").alias("u")).alias("nested"),
+                )
+            ).alias("js"),
+        )
+    )
+    v = ev.select("event_id", F.parse_json("js").alias("vr"))
+    return v.select(
+        "event_id",
+        F.variant_get("vr", "$.t", "string").alias("t"),
+        F.round(F.variant_get("vr", "$.v", "double"), 6).alias("v"),
+        F.variant_get("vr", "$.nested.u", "bigint").alias("u"),
+        F.try_variant_get("vr", "$.missing", "int").alias("miss"),
+    )
+
+
+@_q(
+    "q_pipe_syntax",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|>) — the full SQL surface is exposed,
+    not just the DataFrame DSL: the same relational program written as
+    a linear pipeline (FROM |> WHERE |> AGGREGATE ... GROUP BY).
+    Catalyst compiles it to the identical plan as the classic form, so
+    the plain-SQL oracle pins the semantics."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE count(*) AS n,
+                     round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                AS DOUBLE), 2) AS total
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n, total
+        """
+    )
+
+
+@_q(
+    "q_collation",
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE lower(event_type) END AS et
+      FROM events WHERE event_type IS NOT NULL
+    )
+    SELECT lower(et) AS event_type_ci, CAST(count(*) AS BIGINT) AS n
+    FROM mixed GROUP BY lower(et)
+    """,
+)
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation surface: grouping under UTF8_LCASE compares
+    case-insensitively WITHOUT rewriting every row through lower() —
+    at scale the collation applies inside the hash aggregate instead
+    of materializing a second string column. The case mix is synthetic
+    (upper on even event_ids); the emitted key is lowercased so both
+    engines pick the same representative."""
+    mixed = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .select(
+            F.when(
+                F.col("event_id") % 2 == 0, F.upper("event_type")
+            )
+            .otherwise(F.lower("event_type"))
+            .alias("et")
+        )
+    )
+    return (
+        mixed.groupBy(F.collate("et", "UTF8_LCASE").alias("et_ci"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lower(F.col("et_ci")).cast("string").alias("event_type_ci"), "n"
+        )
+    )
+
+
+@_q(
     "q_stream_enrich",
     """
     SELECT c_mktsegment, event_type, count(*) AS n,

@@ -349,3 +349,103 @@ def test_tws_event_time_timer_closes_sessions(spark, tmp_path):
     assert [
         (r.user_id, r.session_start_us, r.session_end_us, r.n_events) for r in rows
     ] == [(7, 100_000_000, 200_000_000, 2)]
+
+
+def test_session_close_multibatch_random(spark, tmp_path):
+    """Randomized (seeded) cross-batch differential test of the
+    gap-session TWS processor: events for several users with gaps drawn
+    around the session gap (including EXACTLY-gap merges), replayed
+    in-order across 4 micro-batches, must emit exactly the sessions a
+    Python reference model closes before the final watermark — sessions
+    split across batch boundaries, multiple sessions inside one batch,
+    and the never-closed trailing session per user are all covered."""
+    import random
+    import time
+
+    import pytest
+
+    from kommunedata_data_pipeline_spark.streaming.stateful import tws_available
+
+    if not tws_available():
+        pytest.skip("no usable protobuf runtime: transformWithState gated")
+
+    from pyspark.sql import functions as F
+
+    from kommunedata_data_pipeline_spark.streaming.stateful import (
+        enable_tws_workers,
+        rocksdb_state_store,
+        session_close_tws,
+    )
+
+    assert enable_tws_workers(spark)
+    gap_s = 600
+    rng = random.Random(20260814)
+    events = []  # (user, sec)
+    for user in range(1, 7):
+        t = rng.randint(0, 500)
+        for _ in range(rng.randint(8, 20)):
+            events.append((user, t))
+            # mix: intra-session steps, EXACTLY-gap steps (must merge),
+            # and gap-breaking steps (new session). Odd seconds only so
+            # no end+gap can collide exactly with the global max ts.
+            step = rng.choice([7, 123, gap_s, gap_s + 1, gap_s * 3 + 13])
+            t += step
+    events.sort(key=lambda e: e[1])
+
+    # python reference: gap-merge per user, closed = end+gap < final max
+    final_max = max(s for _, s in events)
+    by_user: dict = {}
+    for u, s in events:
+        by_user.setdefault(u, []).append(s)
+    expected = set()
+    for u, ts in by_user.items():
+        sess = [[ts[0], ts[0], 1]]
+        for s in ts[1:]:
+            if s - sess[-1][1] <= gap_s:
+                sess[-1][1] = s
+                sess[-1][2] += 1
+            else:
+                sess.append([s, s, 1])
+        for st, en, n in sess:
+            if en + gap_s < final_max:
+                expected.add((u, st * 1_000_000, en * 1_000_000, n))
+
+    src = tmp_path / "rand_sess_src"
+    src.mkdir()
+    quarter = (len(events) + 3) // 4
+    schema = "user_id long, sec long"
+    for i in range(4):
+        chunk = events[i * quarter : (i + 1) * quarter]
+        if chunk:
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                str(src / f"b{i}.parquet")
+            )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+        .select("user_id", F.timestamp_seconds(F.col("sec")).alias("ts"))
+    )
+    with rocksdb_state_store(spark):
+        q = (
+            session_close_tws(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tws_sess_rand")
+            .start()
+        )
+        q.processAllAvailable()
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM tws_sess_rand").count() >= len(expected):
+                break
+            time.sleep(0.2)
+            q.processAllAvailable()
+        q.stop()
+    rows = spark.sql("SELECT * FROM tws_sess_rand").collect()
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in rows
+    }
+    assert len(rows) == len(got), "duplicate session emissions"
+    assert got == expected
