@@ -3757,6 +3757,47 @@ def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_token_pmi",
+    r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents)
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (
+      SELECT token, count(*) AS df FROM tok
+      GROUP BY token HAVING count(*) BETWEEN 3 AND 150
+    ),
+    kept AS (SELECT tok.doc_id, tok.token, df FROM tok JOIN dfreq USING (token)),
+    p AS (
+      SELECT a.token AS ta, b.token AS tb, a.df AS dfa, b.df AS dfb,
+             count(*) AS c_ab
+      FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3
+    ),
+    s AS (
+      SELECT ta, tb, CAST(c_ab AS BIGINT) AS c_ab,
+             round(ln(c_ab * (SELECT n_docs FROM nd) / (dfa * dfb)), 6) AS pmi
+      FROM p
+    )
+    SELECT CAST(row_number() OVER (ORDER BY pmi DESC, ta, tb) AS INT) AS rank,
+           ta, tb, c_ab, pmi
+    FROM s QUALIFY rank <= 50
+    """,
+)
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 within-document token collocations by PMI — df-capped
+    pair join (see operators/corpus.py:token_pmi_pairs for the scale
+    argument), rounded-PMI ranking with full tie-breaks."""
+    from kommunedata_data_pipeline_spark.operators.corpus import token_pmi_pairs
+
+    return token_pmi_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "q_pii_scrub",
     r"""
     WITH inj AS (

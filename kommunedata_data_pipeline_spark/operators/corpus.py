@@ -281,3 +281,74 @@ def unigram_surprisal(
             ).alias("avg_neg_logp"),
         )
     )
+
+
+def token_pmi_pairs(
+    documents: DataFrame,
+    df_cap: int = 150,
+    min_df: int = 3,
+    min_pair: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` within-document token co-occurrences by pointwise
+    mutual information: PMI(a,b) = ln(c_ab · N / (df_a · df_b)) over
+    distinct-token document sets — the collocation detector every
+    corpus analysis runs (strongly-associated pairs surface compound
+    terms and boilerplate).
+
+    Scale shape: the pair self-join is the quadratic danger, so the
+    same df-cap discipline as the n-gram join applies BEFORE it —
+    tokens outside [min_df, df_cap] never enter the join. Stopword-band
+    tokens (df > cap) would each contribute O(df²) pairs for pure
+    noise (their PMI ≈ 0 by construction); singletons can't co-occur
+    meaningfully. What remains is a doc_id equi-join whose per-doc
+    fan-out is bounded by the kept-tokens-per-doc choose 2, then one
+    map-side-combinable pair count and a TakeOrdered head — no full
+    sort, no uncapped blowup. The ranking key is the ROUNDED pmi (ties
+    broken by the pair), so cross-engine float ulps can't flip the
+    order."""
+    tok = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col("text"))))
+        ).alias("token"),
+    )
+    dfreq = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(min_df, df_cap))
+    )
+    kept = tok.join(dfreq, "token")
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    a = kept.select(
+        "doc_id", F.col("token").alias("ta"), F.col("df").alias("dfa")
+    )
+    b = kept.select(
+        "doc_id", F.col("token").alias("tb"), F.col("df").alias("dfb")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb", "dfa", "dfb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= min_pair)
+    )
+    scored = pairs.crossJoin(F.broadcast(n_docs)).select(
+        "ta",
+        "tb",
+        F.col("c_ab").cast("bigint").alias("c_ab"),
+        F.round(
+            F.log(
+                F.col("c_ab")
+                * F.col("n_docs")
+                / (F.col("dfa") * F.col("dfb"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("ta"), F.asc("tb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "ta", "tb", "c_ab", "pmi")
+    )

@@ -155,3 +155,36 @@ def test_edit_distance_topk_orders_identical_first(spark):
     )
     rows = edit_distance_topk(df, bucket_width=50, per_bucket=8, k=5).collect()
     assert rows[0].doc_a == 1 and rows[0].doc_b == 2 and rows[0].edit_dist == 0
+
+
+def test_token_pmi_caps_and_counts(spark):
+    """Hand-computable corpus: a pair that always co-occurs gets top
+    PMI; tokens outside the [min_df, df_cap] band never enter the
+    join (the stopword 'the' appears in every doc and is df-capped
+    out); pairs under min_pair are dropped."""
+    import math
+
+    from kommunedata_data_pipeline_spark.operators.corpus import token_pmi_pairs
+
+    docs = [
+        (1, "the alpha beta gamma"),
+        (2, "the alpha beta delta"),
+        (3, "the alpha beta gamma"),
+        (4, "the gamma delta"),
+        (5, "the epsilon zeta"),
+        (6, "the epsilon zeta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = token_pmi_pairs(df, df_cap=5, min_df=2, min_pair=2, k=10).collect()
+    got = {(r.ta, r.tb): (r.c_ab, r.pmi) for r in rows}
+    # 'the' (df=6 > cap 5) must appear in no pair
+    assert not any("the" in pair for pair in got)
+    # alpha+beta co-occur in all 3 of their docs: c=3, df 3 each
+    assert got[("alpha", "beta")][0] == 3
+    assert got[("alpha", "beta")][1] == round(math.log(3 * 6 / (3 * 3)), 6)
+    # epsilon+zeta: perfect 2-of-2 association -> highest PMI, rank 1
+    top = min(rows, key=lambda r: r.rank)
+    assert (top.ta, top.tb) == ("epsilon", "zeta")
+    assert top.pmi == round(math.log(2 * 6 / (2 * 2)), 6)
+    # gamma+delta co-occur only once (< min_pair) -> absent
+    assert ("delta", "gamma") not in got
