@@ -3108,6 +3108,34 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_stream_dedup_ttl",
+    """
+    SELECT event_id, user_id, event_type FROM events ORDER BY event_id
+    """,
+)
+def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — dedup whose per-key state is
+    dropped once the watermark passes first-seen + delay (bounded state
+    by contract, vs plain dropDuplicates' unbounded key set; see
+    streaming/windows.py:streaming_dedup_within_watermark). event_id is
+    unique in the corpus, so the emitted stream equals the input
+    relation — the exact oracle; the TTL semantics (late duplicate
+    re-emission after state expiry) are pinned in pytest where batch
+    boundaries can be controlled."""
+    from kommunedata_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        streaming_dedup_within_watermark,
+    )
+
+    s = streaming_dedup_within_watermark(read_events_stream(spark, sf_dir)).select(
+        "event_id", "user_id", "event_type"
+    )
+    run_to_memory(s, "q_stream_dedup_ttl_sink", shuffle_partitions=2)
+    return spark.table("q_stream_dedup_ttl_sink").orderBy("event_id")
+
+
+@_q(
     "q_stream_tumbling",
     """
     SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
@@ -3754,6 +3782,70 @@ def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kommunedata_data_pipeline_spark.operators.corpus import token_zipf
 
     return token_zipf(_t(spark, sf_dir, "documents"), k=50)
+
+
+@_q(
+    "q_approx_quantile_bound",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           TRUE AS ok_p50, TRUE AS ok_p90
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def q_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK sketch — the mergeable, map-side-combinable
+    percentile that replaces the exact per-group sort at 100 TB) with
+    its rank-error CONTRACT verified in-engine: for accuracy A the
+    sketch guarantees |rank(approx) − p·n| ≤ n/A. The query computes
+    the approx values, joins back to count each group's actual ranks
+    around them, and emits booleans that are TRUE iff the bound holds
+    (±1 for rank/interpolation boundary) — the oracle pins them to
+    literal TRUE, so a sketch drifting out of contract turns the row
+    red. Exact quantiles ride along for the value comparison."""
+    acc = 1000
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    ag = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9)), F.lit(acc)
+        ).alias("ap"),
+    )
+    ranks = (
+        ev.join(
+            F.broadcast(ag.select("event_type", "ap")), "event_type"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") <= F.col("ap")[0]).alias("cle50"),
+            F.count_if(F.col("value") < F.col("ap")[0]).alias("clt50"),
+            F.count_if(F.col("value") <= F.col("ap")[1]).alias("cle90"),
+            F.count_if(F.col("value") < F.col("ap")[1]).alias("clt90"),
+        )
+    )
+
+    def ok(clt, cle, p):
+        tol = F.col("n") / acc + 1
+        target = F.col("n") * p
+        return (F.col(clt) <= target + tol) & (F.col(cle) >= target - tol)
+
+    return (
+        ag.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "p50",
+            "p90",
+            ok("clt50", "cle50", 0.5).alias("ok_p50"),
+            ok("clt90", "cle90", 0.9).alias("ok_p90"),
+        )
+    )
 
 
 @_q(

@@ -98,6 +98,23 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the TTL'd sibling of
+    ``dropDuplicates``: a key's state is dropped once the watermark
+    passes its FIRST-SEEN event time + delay, so duplicates are only
+    suppressed within the delay window. The difference that matters at
+    100 TB: plain streaming dropDuplicates on a non-event-time key set
+    keeps state forever (unbounded growth); this variant bounds state
+    to one watermark horizon by CONTRACT, accepting re-emission of
+    duplicates that arrive later than the delay — the right trade for
+    at-least-once upstreams whose redeliveries cluster in time."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stream_static_enrich(
     events: DataFrame, dim: DataFrame, on_left: str, on_right: str
 ) -> DataFrame:

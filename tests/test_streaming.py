@@ -449,3 +449,68 @@ def test_session_close_multibatch_random(spark, tmp_path):
     }
     assert len(rows) == len(got), "duplicate session emissions"
     assert got == expected
+
+
+def test_dedup_within_watermark_ttl_reemission(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract: a duplicate arriving
+    within the delay window is suppressed; after the watermark passes
+    first-seen + delay the key's state is gone, so a LATER duplicate is
+    re-emitted (the bounded-state trade plain dropDuplicates doesn't
+    make)."""
+    from pyspark.sql import functions as F
+
+    from kommunedata_data_pipeline_spark.streaming.windows import (
+        streaming_dedup_within_watermark,
+    )
+
+    schema = "event_id long, sec long"
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    # batch a: first sightings of 1 and 2
+    spark.createDataFrame([(1, 100), (2, 200)], schema).coalesce(1).write.parquet(
+        str(src / "a.parquet")
+    )
+    # batch b: duplicate of 1 inside the 600s window (suppressed) plus a
+    # far-future event that advances the watermark past 100+600
+    spark.createDataFrame([(1, 150), (3, 5000)], schema).coalesce(1).write.parquet(
+        str(src / "b.parquet")
+    )
+    # batch c: duplicate of 1 in the same trigger that evicts its state
+    # (eviction runs at END of batch -> still suppressed)
+    spark.createDataFrame([(1, 4500)], schema).coalesce(1).write.parquet(
+        str(src / "c.parquet")
+    )
+    # batch d: duplicate of 1 AFTER eviction completed -> re-emitted
+    spark.createDataFrame([(1, 4600)], schema).coalesce(1).write.parquet(
+        str(src / "d.parquet")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+        .select(
+            "event_id", F.timestamp_seconds(F.col("sec")).alias("ts")
+        )
+    )
+    q = (
+        streaming_dedup_within_watermark(stream, "600 seconds")
+        .select("event_id", "ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_dedup_t")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM ttl_dedup_t").collect()
+    counts: dict = {}
+    for r in rows:
+        counts[r.event_id] = counts.get(r.event_id, 0) + 1
+    assert counts[2] == 1 and counts[3] == 1
+    # within-window duplicate suppressed; the 4500s duplicate rides the
+    # SAME trigger whose end-of-batch eviction drops the key, so it is
+    # still suppressed; the 4600s duplicate lands after eviction and is
+    # re-emitted - exactly the bounded-state trade of the API
+    assert counts[1] == 2
+    emitted_secs = sorted(int(r.ts.timestamp()) for r in rows if r.event_id == 1)
+    assert emitted_secs == [100, 4600]
