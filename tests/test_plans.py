@@ -380,3 +380,25 @@ def test_collation_grouping_expression(spark):
     assert "collate" in p
     assert "SortAggregate" in p or "HashAggregate" in p
     assert "CartesianProduct" not in p
+
+
+def test_token_pmi_pair_join_is_equi(spark):
+    """The PMI pair join must be a doc_id equi-join over the df-capped
+    token band — never a cartesian blowup; the n_docs scalar rides a
+    broadcast."""
+    p = _plan(spark, "q_token_pmi")
+    assert "CartesianProduct" not in p
+    # the only nested-loop allowed is the one-row n_docs scalar broadcast
+    # (count tree lines "BroadcastNestedLoopJoin Cross ..." — the detail
+    # section repeats the node name without the join-type suffix)
+    assert p.count("BroadcastNestedLoopJoin Cross") <= 1
+    # the pair join itself must be hash/sort-merge on doc_id
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_approx_quantile_rank_join_broadcasts(spark):
+    """The rank-verification join back to events must broadcast the
+    tiny per-group sketch frame, never shuffle events for it."""
+    p = _plan(spark, "q_approx_quantile_bound")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
