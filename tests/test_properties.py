@@ -169,3 +169,104 @@ def test_skyline_matches_bruteforce(spark):
     df = spark.createDataFrame(rows, "id long, price double, lead long")
     got = {r.id for r in skyline_2d(df, "price", "lead", "id", 50.0).collect()}
     assert got == sky
+
+
+# --- gap-session processor vs reference model (pure Python, no Spark) ---
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self._timers: list[int] = []
+
+    def getValueState(self, name, schema):
+        self._state = _FakeValueState()
+        return self._state
+
+    def listTimers(self):
+        return list(self._timers)
+
+    def deleteTimer(self, t):
+        self._timers.remove(t)
+
+    def registerTimer(self, t):
+        self._timers.append(t)
+
+
+@given(
+    ts=st.lists(
+        st.integers(min_value=0, max_value=50_000), min_size=1, max_size=40
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=39), max_size=4),
+    gap_s=st.sampled_from([60, 600, 3600]),
+)
+@settings(max_examples=60, deadline=None)
+def test_session_processor_matches_reference_under_any_batch_split(
+    ts, cuts, gap_s
+):
+    """Drive SessionCloseProcessor directly (mock state/handle, no
+    Spark): for ANY in-order batch split of a timestamp multiset, the
+    emitted sessions (evidence-closed + final timer fire) must equal
+    the single-pass gap-merge reference — batching is an execution
+    detail, not a semantic one."""
+    import pandas as pd
+
+    from kommunedata_data_pipeline_spark.streaming.stateful import (
+        SessionCloseProcessor,
+    )
+
+    ts = sorted(ts)
+    gap_us = gap_s * 1_000_000
+    # reference: single-pass gap merge over the sorted multiset (us)
+    us = [t * 1_000_000 for t in ts]
+    ref = [[us[0], us[0], 1]]
+    for t in us[1:]:
+        if t - ref[-1][1] <= gap_us:
+            ref[-1][1] = t
+            ref[-1][2] += 1
+        else:
+            ref.append([t, t, 1])
+    expected = {tuple(s) for s in ref}
+
+    proc = SessionCloseProcessor(gap_ms=gap_s * 1000)
+    handle = _FakeHandle()
+    proc.init(handle)
+    bounds = sorted({0, len(ts), *(c for c in cuts if c < len(ts))})
+    emitted = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        chunk = ts[lo:hi]
+        if not chunk:
+            continue
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime([t * 1_000_000_000 for t in chunk])}
+        )
+        for out in proc.handleInputRows((7,), iter([pdf]), None):
+            emitted.extend(
+                zip(
+                    out["session_start_us"],
+                    out["session_end_us"],
+                    out["n_events"],
+                )
+            )
+        # exactly one live timer at open-end + gap after every batch
+        assert len(handle._timers) == 1
+    # final watermark passes everything: fire the timer for the tail
+    for out in proc.handleExpiredTimer((7,), None, None):
+        emitted.extend(
+            zip(out["session_start_us"], out["session_end_us"], out["n_events"])
+        )
+    got = {(int(a), int(b), int(c)) for a, b, c in emitted}
+    assert got == expected
