@@ -4528,6 +4528,71 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_join_sink")
 
 
+@_q(
+    "q_stream_join_outer",
+    """
+    WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purch_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+                  - INTERVAL 2 HOUR AS w),
+    m AS (SELECT view_id, purch_id, v.user_id,
+                 v.ts AS vts, p.ts AS pts
+          FROM v JOIN p ON v.user_id = p.user_id
+           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+    SELECT view_id, purch_id, user_id,
+           epoch_us(vts) AS view_ts_us, epoch_us(pts) AS purch_ts_us
+    FROM m
+    UNION ALL
+    SELECT view_id, CAST(NULL AS BIGINT), user_id,
+           epoch_us(ts), CAST(NULL AS BIGINT)
+    FROM v
+    WHERE view_id NOT IN (SELECT view_id FROM m)
+      AND ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    """,
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the hardest watermark
+    semantics: matches emit immediately, while an unmatched view emits
+    its null row only once the global watermark (min of both sides'
+    event-time maxima minus the delay) proves no purchase can still
+    arrive in its [view_ts, view_ts + 1h] window. The oracle is the
+    batch interval join UNION the unmatched views whose match window
+    provably closed before the final watermark — views whose window is
+    still open at end-of-stream emit nothing, exactly as an unbounded
+    deployment would hold them."""
+    from kommunedata_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_interval_join,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purch_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purch_ts"),
+    )
+    joined = stream_stream_interval_join(
+        views, purchases, "user_id", "p_user", "view_ts", "purch_ts",
+        max_lag="1 hour", watermark="2 hours", how="left_outer",
+    ).select(
+        "view_id",
+        "purch_id",
+        "user_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        F.unix_micros("purch_ts").alias("purch_ts_us"),
+    )
+    run_to_memory(joined, "q_stream_join_outer_sink", shuffle_partitions=2)
+    return spark.table("q_stream_join_outer_sink")
+
+
 def _pagerank_oracle_sql(n_iter: int = 5) -> str:
     """Unrolled integer-PageRank oracle: recursive CTEs can't aggregate
     per step, so each synchronous update is one generated CTE layer."""

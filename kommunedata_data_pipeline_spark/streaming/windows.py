@@ -134,13 +134,21 @@ def stream_stream_interval_join(
     right_ts: str,
     max_lag: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on key where the right event lands in
+    """Stream-stream join on key where the right event lands in
     [left_ts, left_ts + max_lag]. Both sides carry watermarks and the
     join has a time-range bound, so Spark can expire join state — the
     requirement for unbounded streams: state per key is limited to the
     watermark horizon instead of growing forever. Key/ts column names
-    must be distinct across the two sides."""
+    must be distinct across the two sides.
+
+    ``how='left_outer'`` adds the watermark-driven null emission: an
+    unmatched left row is held in state until the watermark proves no
+    right row can still match (left_ts + max_lag passes the global
+    watermark), THEN emits once with nulls — the hardest stream-join
+    semantics (matches emit immediately; non-matches need stream time
+    to advance, so a bounded run needs the finalizing no-data batch)."""
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = (
@@ -148,7 +156,7 @@ def stream_stream_interval_join(
         & (r[right_ts] >= l[left_ts])
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_lag}"))
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)
 
 
 def _analyzed_plan(stream_df: DataFrame) -> str:
@@ -178,11 +186,16 @@ def _needs_nodata_finalize(stream_df: DataFrame, output_mode: str) -> bool:
     if output_mode != "append":
         return False
     plan = _analyzed_plan(stream_df)
-    # TransformWithState with event-time timers is the other
-    # watermark-finalized append shape: timers fire only when a later
-    # (possibly no-data) batch advances the watermark past them.
+    # Watermark-finalized append shapes beyond aggregations:
+    # TransformWithState event-time timers fire, and outer stream-stream
+    # joins emit their null rows, only when a later (possibly no-data)
+    # batch advances the watermark past the state's horizon.
     return "EventTimeWatermark" in plan and (
-        "Aggregate" in plan or "TransformWithState" in plan
+        "Aggregate" in plan
+        or "TransformWithState" in plan
+        or "Join LeftOuter" in plan
+        or "Join RightOuter" in plan
+        or "Join FullOuter" in plan
     )
 
 
