@@ -4593,6 +4593,55 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_join_outer_sink")
 
 
+def _pca_oracle_sql(iters: int = 6) -> str:
+    """Unrolled power-iteration oracle (same pattern as the PageRank
+    oracle below): each fixed step is one generated CTE layer pair
+    (per-row dot, then the next iterate per dimension)."""
+    layers = [
+        """dims AS (SELECT CAST(unnest(range(len(embedding))) AS INT) AS pos
+                    FROM (SELECT embedding FROM embeddings LIMIT 1)),
+        e AS (SELECT vec_id, dims.pos,
+                     CAST(embedding[dims.pos + 1] AS DOUBLE) AS val
+              FROM embeddings, dims),
+        m AS (SELECT pos, avg(val) AS m FROM e GROUP BY pos),
+        c AS (SELECT vec_id, e.pos, e.val - m.m AS val
+              FROM e JOIN m ON e.pos = m.pos),
+        v0 AS (SELECT pos, 1.0 AS val FROM m)"""
+    ]
+    for k in range(1, iters + 1):
+        layers.append(
+            f"""d{k} AS (SELECT c.vec_id, sum(c.val * v.val) AS dot
+                  FROM c JOIN v{k - 1} v ON c.pos = v.pos GROUP BY c.vec_id),
+        v{k} AS (SELECT c.pos, sum(c.val * d{k}.dot) AS val
+                 FROM c JOIN d{k} ON c.vec_id = d{k}.vec_id GROUP BY c.pos)"""
+        )
+    layers.append(
+        f"n AS (SELECT sqrt(sum(val * val)) AS nrm FROM v{iters})"
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(layers)
+        + f"""
+    SELECT pos, round(val / (SELECT nrm FROM n), 4) AS loading
+    FROM v{iters} ORDER BY pos"""
+    )
+
+
+@_q("q_pca_power_iteration", _pca_oracle_sql(6))
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud: 6 fixed
+    matrix-free power steps on the centered data (never materializes
+    the d×d covariance — see operators/similarity.py:pca_top_component
+    for the 100 TB argument). The oracle unrolls the identical steps
+    as CTE layers, so every join/aggregation of the iteration is
+    cross-checked, the same discipline as the PageRank oracle."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    return pca_top_component(_t(spark, sf_dir, "embeddings"))
+
+
 def _pagerank_oracle_sql(n_iter: int = 5) -> str:
     """Unrolled integer-PageRank oracle: recursive CTEs can't aggregate
     per step, so each synchronous update is one generated CTE layer."""

@@ -442,3 +442,78 @@ def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding") -> Da
             F.round(F.col("__s.rms"), 6).alias("rms_err"),
         )
     )
+
+
+def pca_top_component(
+    embeddings: DataFrame, vec_col: str = "embedding", iters: int = 6
+) -> DataFrame:
+    """Top principal direction of the embedding cloud by ``iters`` fixed
+    MATRIX-FREE power-iteration steps on the centered data — the
+    dimensionality diagnostic every embedding store runs (dominant
+    variance direction; project onto it for 1-D indexing or drift
+    checks).
+
+    Never materializes the d×d covariance: each step is two passes
+    expressed as joins — per-row dot = ⟨x−μ, v⟩ (map-side, v and μ ride
+    a broadcast), then v' = Σ_r (x_r−μ)·dot_r (one groupBy pos). That
+    is the 100 TB shape: O(n·d) per step streamed through aggregations,
+    never an O(d²) explode per row, and the iterate itself is a d-row
+    frame checkpointed per step (the PageRank lineage discipline,
+    graph.py). Fixed iteration count + deterministic all-ones start
+    give a cross-engine-reproducible result (the oracle unrolls the
+    same steps as CTE layers); output loadings are L2-normalized and
+    rounded. Like any power method, convergence to the true eigenpair
+    depends on the spectral gap — the CONTRACT here is "exactly k
+    power steps", which is what the oracle pins."""
+    rows = embeddings.select(
+        "vec_id", F.col(vec_col).cast("array<double>").alias("e")
+    )
+    by_pos = rows.select(
+        "vec_id", F.posexplode("e").alias("pos", "val")
+    )
+    means = by_pos.groupBy("pos").agg(F.avg("val").alias("m"))
+
+    def _as_array(df: DataFrame, val_col: str) -> DataFrame:
+        """(pos, val) frame → one-row ordered-array frame."""
+        return df.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", F.col(val_col)))),
+                lambda s: s[val_col],
+            ).alias("arr")
+        )
+
+    marr = _as_array(means, "m").withColumnRenamed("arr", "mu")
+    v = means.select("pos", F.lit(1.0).alias("val"))
+    for _ in range(iters):
+        varr = _as_array(v, "val").withColumnRenamed("arr", "vv")
+        dots = (
+            rows.crossJoin(F.broadcast(marr))
+            .crossJoin(F.broadcast(varr))
+            .select(
+                "vec_id",
+                F.zip_with("e", "mu", lambda a, b: a - b).alias("c"),
+                F.aggregate(
+                    F.zip_with(
+                        F.zip_with("e", "mu", lambda a, b: a - b),
+                        "vv",
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dot"),
+            )
+        )
+        v = (
+            dots.select("dot", F.posexplode("c").alias("pos", "cval"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("cval") * F.col("dot")).alias("val"))
+            .localCheckpoint(eager=True)  # d rows; cut the join lineage
+        )
+    nrm = v.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
+    return (
+        v.crossJoin(F.broadcast(nrm))
+        .select(
+            "pos", F.round(F.col("val") / F.col("nrm"), 4).alias("loading")
+        )
+        .orderBy("pos")
+    )

@@ -402,3 +402,12 @@ def test_approx_quantile_rank_join_broadcasts(spark):
     p = _plan(spark, "q_approx_quantile_bound")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_pca_iterate_broadcasts_never_cartesian(spark):
+    """Every power step joins the data against the d-row iterate via a
+    one-row-array broadcast — no cartesian pairing, no d^2-per-row
+    explode (the posexplode is over the d-length vector only)."""
+    p = _plan(spark, "q_pca_power_iteration")
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p or "SortAggregate" in p
