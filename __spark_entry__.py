@@ -5057,6 +5057,96 @@ def q_minhash_est_err(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_ewma",
+    """
+    WITH d AS (
+      SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS x100
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+    ),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS INT) AS rn
+          FROM d),
+    b AS (SELECT *, CASE WHEN rn = 1 THEN x100 * 2
+                         ELSE x100 * CAST(pow(2, rn - 1) AS BIGINT)
+                    END AS reb FROM r)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           round(x100 / 100.0, 2) AS x,
+           CAST(floor(CAST(CAST(sum(reb) OVER (PARTITION BY user_id ORDER BY rn)
+                                AS BIGINT) AS DOUBLE)
+                      / pow(2, rn) / 100 * 1000000) AS BIGINT) AS ewma_micro
+    FROM b
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user DAILY exponential smoothing (EWMA, α = 1/2) — the
+    sequential recurrence S_t = αx_t + (1−α)S_{t−1} turned into ONE
+    parallel window pass via exponent re-basing, computed
+    INTEGER-EXACT: daily sums land in DECIMAL cents, every re-basing
+    factor is a power of two applied as a bigint shift, and the
+    cumulative sum folds integers — so the result is bit-identical
+    across engines regardless of their window-sum association order
+    (a double-valued fold measured 3-4 of 10k values flipping a 6-dp
+    round boundary: DuckDB's segment-tree window sums associate
+    differently than Spark's sequential fold). Emission is
+    floor-to-micro, not round: the exact fold lands values precisely
+    on half-way points, where Spark rounds half-up and DuckDB
+    half-even. Width budget: series
+    length t costs 2^t in the rebased integers — 30 daily points peak
+    ~4e16 of bigint's 9.2e18; longer horizons re-base per segment and
+    stitch through the carry S·(1−α)^len, the two-phase prefix-scan
+    shape of global_running_sum. Generic double-valued operator:
+    operators/timeseries.py:ewma_smooth."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,2)"))
+            .alias("xd")
+        )
+        .select(
+            "user_id",
+            "day",
+            (F.col("xd") * 100).cast("bigint").alias("x100"),
+        )
+    )
+    wo = Window.partitionBy("user_id").orderBy("day")
+    cum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.withColumn("rn", F.row_number().over(wo))
+        .withColumn(
+            "reb",
+            F.when(F.col("rn") == 1, F.col("x100") * 2).otherwise(
+                F.expr("shiftleft(x100, rn - 1)")
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("x100") / 100.0, 2).alias("x"),
+            # floor-to-micro instead of round-to-6dp: the integer-exact
+            # fold makes values land EXACTLY on half-way points, where
+            # Spark rounds half-up and DuckDB half-even — floor() of the
+            # identical double is tie-free (same convention as the
+            # repo's md5 bit extraction)
+            F.floor(
+                F.sum("reb").over(cum).cast("double")
+                / F.pow(F.lit(2.0), F.col("rn"))
+                / 100
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("ewma_micro"),
+        )
+    )
+
+
+@_q(
     "q_locf_fill",
     """
     WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value

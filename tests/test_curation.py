@@ -406,3 +406,23 @@ def test_compaction_plan_oversized_and_straddling_files(spark):
     assert [g.grp for g in b] == [0, 1]
     assert [g.total_bytes for g in b] == [39, 8]
     assert sum(g.n_files for g in plan) == 5
+
+
+def test_ewma_smooth_matches_recurrence(spark):
+    """ewma_smooth's one-pass closed form equals the textbook recurrence
+    S_t = a*x_t + (1-a)*S_{t-1} computed sequentially in Python."""
+    from kommunedata_data_pipeline_spark.operators.timeseries import ewma_smooth
+
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    rows = [(1, i, x) for i, x in enumerate(xs)] + [(2, 0, 10.0), (2, 1, 0.0)]
+    df = spark.createDataFrame(rows, "k long, t long, x double")
+    out = {
+        (r.k, r.t): r.ewma
+        for r in ewma_smooth(df, "k", ["t"], "x", alpha=0.3).collect()
+    }
+    for key, series in ((1, xs), (2, [10.0, 0.0])):
+        s = series[0]
+        assert out[(key, 0)] == round(s, 6)
+        for t, x in enumerate(series[1:], start=1):
+            s = 0.3 * x + 0.7 * s
+            assert abs(out[(key, t)] - s) < 1e-6, (key, t)
