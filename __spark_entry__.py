@@ -6618,6 +6618,339 @@ def q_cube_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-5 additions: recursive traversal, similarity join on edit
+# distance, M4 downsampling, robust outliers
+
+# Deterministic sparse DAG on the customer key space, shared by the two
+# BFS queries: node u links to <= 6 pseudo-hash forward offsets (pure
+# BIGINT arithmetic — identical in Spark SQL and DuckDB, unlike the
+# md5-conversion idioms which differ per engine). Forward-only edges
+# (dst > src) make it a DAG, so the UNION ALL recursion terminates even
+# without UNION-distinct (which Spark 4.1 recursive CTEs don't support).
+# Depth is bounded at 5: path count <= sources * 6^5, SF-independent.
+_BFS_GRAPH_CTE = """
+WITH RECURSIVE mx AS (SELECT max(c_custkey) AS mxu FROM customer),
+ks AS (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3
+       UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6),
+edges AS (
+  SELECT DISTINCT c_custkey AS src,
+         c_custkey + 1 + ((c_custkey * 1103515245 + k * 12345) % 2147483647) % 211 AS dst
+  FROM customer, ks, mx
+  WHERE c_custkey + 1 + ((c_custkey * 1103515245 + k * 12345) % 2147483647) % 211 <= mx.mxu
+),
+srcs AS (SELECT c_custkey AS node FROM customer ORDER BY c_custkey LIMIT 3),
+walk AS (
+  SELECT node, 0 AS lvl FROM srcs
+  UNION ALL
+  SELECT e.dst AS node, w.lvl + 1 AS lvl
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.lvl < 5
+),
+lv AS (SELECT node, min(lvl) AS lvl FROM walk GROUP BY node)
+"""
+
+_RECURSIVE_CTE_SQL = _BFS_GRAPH_CTE + """
+SELECT CAST(lvl AS INT) AS lvl, CAST(count(*) AS BIGINT) AS n_nodes,
+       min(node) AS min_node, max(node) AS max_node
+FROM lv GROUP BY lvl ORDER BY lvl
+"""
+
+# The recursive member run by Spark — textually the walk/lv CTEs of
+# _BFS_GRAPH_CTE over pre-materialized edge/source views. The BROADCAST
+# hint rides in a comment (DuckDB ignores it); it pins the per-level
+# join to broadcast even at driver-default shuffle partitions.
+_RECURSIVE_WALK_SQL = """
+WITH RECURSIVE walk AS (
+  SELECT node, 0 AS lvl FROM bfs_srcs
+  UNION ALL
+  SELECT /*+ BROADCAST(e) */ e.dst AS node, w.lvl + 1 AS lvl
+  FROM walk w JOIN bfs_edges e ON e.src = w.node
+  WHERE w.lvl < 5
+),
+lv AS (SELECT node, min(lvl) AS lvl FROM walk GROUP BY node)
+SELECT CAST(lvl AS INT) AS lvl, CAST(count(*) AS BIGINT) AS n_nodes,
+       min(node) AS min_node, max(node) AS max_node
+FROM lv GROUP BY lvl ORDER BY lvl
+"""
+
+
+def _bfs_graph(spark: SparkSession, sf_dir: str):
+    """(edges, sources) DataFrames of the shared BFS DAG — the exact
+    DataFrame translation of _BFS_GRAPH_CTE's edges/srcs CTEs."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("u"))
+    mx = c.agg(F.max("u").alias("mxu"))
+    edges = (
+        c.select("u", F.explode(F.sequence(F.lit(1), F.lit(6))).alias("k"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("u").alias("src"),
+            F.expr(
+                "u + 1 + ((u * 1103515245 + k * 12345) % 2147483647) % 211"
+            ).alias("dst"),
+            "mxu",
+        )
+        .where(F.col("dst") <= F.col("mxu"))
+        .select("src", "dst")
+        .distinct()
+    )
+    sources = c.orderBy("u").limit(3).select(F.col("u").alias("node"))
+    return edges, sources
+
+
+@_q("q_recursive_cte", _RECURSIVE_CTE_SQL)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 ``WITH RECURSIVE``) breadth-first
+    reachability over a deterministic sparse DAG: per-level histogram of
+    minimum hop distance from the 3 smallest customer nodes. The
+    recursive walk/lv text is shared verbatim with the DuckDB oracle
+    (which additionally derives the graph in-CTE); Spark materializes
+    the edge/source views ONCE first — UnionLoopExec re-evaluates the
+    anchor side's CTE chain at every recursion level, and the measured
+    cost of leaving the DISTINCT-bearing edges derivation inline is 2×
+    (2.8 s vs 1.4 s warm at sf0.1). The DataFrame twin q_bfs_levels
+    runs the same traversal as an explicit frontier loop — the scale
+    path when path-counting UNION ALL recursion would explode (rows
+    are PATHS until the final min(lvl) dedup; the frontier loop dedups
+    every round)."""
+    edges, sources = _bfs_graph(spark, sf_dir)
+    edges.localCheckpoint(eager=True).createOrReplaceTempView("bfs_edges")
+    sources.localCheckpoint(eager=True).createOrReplaceTempView("bfs_srcs")
+    return spark.sql(_RECURSIVE_WALK_SQL)
+
+
+@_q(
+    "q_bfs_levels",
+    _BFS_GRAPH_CTE + """
+SELECT node, CAST(lvl AS INT) AS lvl FROM lv ORDER BY node
+""",
+)
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronous frontier BFS (operators/graph.py:bfs_levels)
+    over the same DAG as q_recursive_cte: (node, min hop level) from
+    the 3 smallest customer nodes, depth <= 5. Per round: broadcast the
+    frontier onto the cached edges (edge rows never move), distinct,
+    anti-join vs visited — the Pregel traversal shape that survives
+    graphs where recursive-CTE path enumeration is exponential."""
+    from kommunedata_data_pipeline_spark.operators.graph import bfs_levels
+
+    edges, sources = _bfs_graph(spark, sf_dir)
+    return bfs_levels(edges, sources, 5).orderBy("node")
+
+
+@_q(
+    "q_fuzzy_join_edit",
+    """
+    WITH s AS (
+      SELECT c_custkey AS sid, c_name AS str, length(c_name) AS n FROM customer
+    ),
+    vi AS (
+      SELECT sid, str, unnest(range(0, n + 1)) AS i FROM s
+    ),
+    v AS (
+      SELECT DISTINCT sid,
+             CASE WHEN i = 0 THEN str
+                  ELSE substr(str, 1, CAST(i AS INT) - 1)
+                       || substr(str, CAST(i AS INT) + 1)
+             END AS var
+      FROM vi
+    ),
+    cand AS (
+      SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+      FROM v a JOIN v b ON a.var = b.var AND a.sid < b.sid
+    ),
+    p AS (
+      SELECT id_a, id_b, levenshtein(sa.str, sb.str) AS edit_dist
+      FROM cand
+      JOIN s sa ON sa.sid = id_a
+      JOIN s sb ON sb.sid = id_b
+    )
+    SELECT CAST(edit_dist AS INT) AS edit_dist,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(id_a) AS BIGINT) AS sum_a,
+           CAST(sum(id_b) AS BIGINT) AS sum_b
+    FROM p WHERE edit_dist <= 1
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_fuzzy_join_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance<=1 similarity self-join over ALL customer
+    names via deletion-neighborhood signatures (FastSS/SymSpell —
+    operators/dedup.py:deletion_neighborhood_join), fingerprinted per
+    distance as (pair count, key sums). Signature buckets only hold
+    strings one aligned edit apart, so candidates track the true match
+    count on any data — including this zero-padded keyspace, where
+    q-gram prefix filtering degenerates (see q_edit_join_prefix for
+    the general-k Ed-Join on a bounded slice, and the pytest
+    brute-force crosschecks pinning both operators' recall)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        deletion_neighborhood_join,
+    )
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = deletion_neighborhood_join(c, "c_custkey", "c_name")
+    return (
+        pairs.groupBy("edit_dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("id_a").cast("bigint").alias("sum_a"),
+            F.sum("id_b").cast("bigint").alias("sum_b"),
+        )
+        .orderBy("edit_dist")
+    )
+
+
+@_q(
+    "q_edit_join_prefix",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(a.c_custkey) AS BIGINT) AS sum_a,
+           CAST(sum(b.c_custkey) AS BIGINT) AS sum_b
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_edit_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-k Ed-Join (positional q-gram prefix filter —
+    operators/dedup.py:edit_distance_join) on the c_custkey % 10 slice,
+    against the brute-force O(n²) levenshtein oracle: the filter chain
+    must lose NOTHING for the integer pair sums to agree. Bounded to a
+    decimated slice because BOTH roads are super-linear on this
+    low-entropy keyspace — the all-pairs oracle by construction, and
+    gram-prefix candidates because zero-padded serials share their
+    "rare" grams in blocks (the deletion-signature fast path in
+    q_fuzzy_join_edit covers the full table)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import edit_distance_join
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name")
+    )
+    pairs = edit_distance_join(c, "c_custkey", "c_name", k=1, q=3)
+    return (
+        pairs.groupBy("edit_dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("id_a").cast("bigint").alias("sum_a"),
+            F.sum("id_b").cast("bigint").alias("sum_b"),
+        )
+        .orderBy("edit_dist")
+    )
+
+
+@_q(
+    "q_m4_downsample",
+    """
+    WITH rng AS (
+      SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) + 1 AS t1 FROM events
+    ),
+    p AS (
+      SELECT event_type AS series,
+             CAST(least(99, (epoch_us(ts) - t0) * 100 // (t1 - t0)) AS INT)
+               AS bucket,
+             epoch_us(ts) AS t_us, event_id AS pid, value AS v
+      FROM events, rng
+    ),
+    w AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY series, bucket
+                                ORDER BY t_us, pid) AS rf,
+             row_number() OVER (PARTITION BY series, bucket
+                                ORDER BY t_us DESC, pid DESC) AS rl
+      FROM p
+    ),
+    mm AS (
+      SELECT series, bucket, CAST(count(*) AS BIGINT) AS n_points,
+             min(v) AS v_min, max(v) AS v_max
+      FROM p GROUP BY series, bucket
+    )
+    SELECT mm.series, mm.bucket, mm.n_points,
+           f.t_us AS t_open_us, round(f.v, 6) AS v_open,
+           round(mm.v_min, 6) AS v_min, round(mm.v_max, 6) AS v_max,
+           l.t_us AS t_close_us, round(l.v, 6) AS v_close
+    FROM mm
+    JOIN (SELECT * FROM w WHERE rf = 1) f
+      ON f.series = mm.series AND f.bucket = mm.bucket
+    JOIN (SELECT * FROM w WHERE rl = 1) l
+      ON l.series = mm.series AND l.bucket = mm.bucket
+    """,
+)
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (operators/timeseries.py:m4_downsample): per
+    event_type and 100-bucket slice of the global time range, the four
+    rendering-exact points (first/last/min/max). One map-side-combinable
+    hash aggregate — no window sort; integer microsecond buckets and
+    id-tiebroken struct min/max make it engine-exact (the oracle takes
+    the window-function road to the same four points)."""
+    from kommunedata_data_pipeline_spark.operators.timeseries import m4_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    out = m4_downsample(ev, "event_type", "ts", "value", "event_id", 100)
+    return out.select(
+        "series",
+        "bucket",
+        F.col("n_points").cast("bigint").alias("n_points"),
+        "t_open_us",
+        F.round("v_open", 6).alias("v_open"),
+        F.round("v_min", 6).alias("v_min"),
+        F.round("v_max", 6).alias("v_max"),
+        "t_close_us",
+        F.round("v_close", 6).alias("v_close"),
+    )
+
+
+@_q(
+    "q_robust_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(any_value(me.med), 6) AS med,
+           round(any_value(ma.mad), 6) AS mad,
+           CAST(sum(CASE WHEN d.ad > 4.4478 * ma.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d
+    JOIN mad ma USING (event_type)
+    JOIN med me USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier report per event_type
+    (operators/statistics.py:robust_outliers): exact interpolated
+    medians (parity pinned by q_percentiles/q_exact_percentiles), MAD,
+    and the strict-threshold outlier count at 3·1.4826·MAD. Identical
+    double ops on identical operands on both engines — the comparison
+    and count are bit-reproducible."""
+    from kommunedata_data_pipeline_spark.operators.statistics import robust_outliers
+
+    return robust_outliers(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    ).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "med",
+        "mad",
+        F.col("n_outliers").cast("bigint").alias("n_outliers"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -174,3 +174,61 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("n_edges"),
     ).crossJoin(deg.agg(F.count("*").cast("bigint").alias("n_nodes")))
     return stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+def bfs_levels(
+    edges: DataFrame, sources: DataFrame, max_depth: int
+) -> DataFrame:
+    """(node, lvl) minimum hop distance (BIGINT, INT) from any node in
+    ``sources(node)`` over directed ``edges(src, dst)``, explored to at
+    most ``max_depth`` hops. Level-synchronous frontier BFS — the
+    textbook Pregel traversal expressed as DataFrame rounds:
+
+    - the frontier (nodes first reached in round i) joins onto the
+      cached edge set; frontiers are bounded by the node count, so
+      while small they broadcast and the (never-reshuffled) edge rows
+      stay put — the only shuffle per round is the new-node distinct;
+    - an anti-join against the visited set implements the "first
+      reach wins" min-distance semantics exactly — a node re-reached
+      later is dropped, never relabeled;
+    - ``localCheckpoint(eager=True)`` per round truncates the lineage
+      (same device as the pagerank loop above — without it round i
+      re-executes every prior round);
+    - the loop EXITS EARLY when a frontier comes back empty, so
+      ``max_depth`` is a guard for deep chains, not a forced cost.
+
+    Integer levels, first-reach dedup → result independent of
+    partitioning and engine. Scale shape per round: one equi-join
+    (frontier onto edges, broadcast while small), one distinct, one
+    anti-join — all bounded by frontier x out-degree, never by the
+    full edge set."""
+    edges = edges.select("src", "dst").cache()
+    visited = (
+        sources.select(F.col("node").cast("bigint"))
+        .distinct()
+        .select("node", F.lit(0).alias("lvl"))
+        .localCheckpoint(eager=True)
+    )
+    frontier, n_frontier = visited, visited.count()
+    for depth in range(1, max_depth + 1):
+        f = (
+            F.broadcast(frontier.select("node"))
+            if n_frontier <= _PR_BROADCAST_MAX_NODES
+            else frontier.select("node")
+        )
+        reached = (
+            f.join(edges, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            reached.join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).alias("lvl"))
+            .localCheckpoint(eager=True)
+        )
+        n_frontier = fresh.count()
+        if n_frontier == 0:
+            break
+        visited = visited.unionAll(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+    return visited.select("node", F.col("lvl").cast("int").alias("lvl"))

@@ -278,3 +278,57 @@ def entropy_report(df: DataFrame, cols: list[str]) -> DataFrame:
             ).alias("norm_entropy"),
         )
     )
+
+
+def robust_outliers(
+    df: DataFrame, key_col: str, val_col: str, cutoff: float = 4.4478
+) -> DataFrame:
+    """Robust per-group outlier report via median absolute deviation:
+    for each key — n, exact median, exact MAD (median of |v − med|),
+    and the count of points with |v − med| > cutoff * MAD. The default
+    cutoff 4.4478 = 3 * 1.4826 is the classic "3 sigma" under the
+    normal-consistency constant; median/MAD resist the very outliers
+    that wreck mean/stddev-based z-scores (50% breakdown point vs 0%).
+
+    Three bounded passes, each one shuffle on the key: (1) exact
+    interpolated median per key, (2) MAD per key over |v − med| with
+    the medians broadcast back onto the scan (the per-key table is
+    GROUP-cardinality-sized, never data-sized), (3) outlier count with
+    (med, MAD) broadcast. All arithmetic on both engines is the same
+    double ops on the same operands — |v−med| and the cutoff product
+    are bit-reproducible, so the counts are engine-exact. Exact
+    medians shuffle each group's values once; at extreme scale swap
+    pass 1/2's percentile for the GK sketch (see
+    q_approx_quantile_bound) — the report shape is unchanged.
+    """
+    med = df.groupBy(key_col).agg(
+        F.expr(f"percentile({val_col}, 0.5D)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), key_col).select(
+        key_col, val_col, "med", F.abs(F.col(val_col) - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy(key_col).agg(
+        F.expr("percentile(ad, 0.5D)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    return (
+        dev.select(key_col, "ad")
+        .join(F.broadcast(mad.select(key_col, "mad")), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("ad") > F.lit(cutoff) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .join(F.broadcast(mad), key_col)
+        .select(
+            key_col,
+            "n",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )

@@ -218,3 +218,74 @@ def ewma_smooth(
         )
         .drop("rn", "reb")
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    series key and time bucket, keep exactly the four value-defining
+    points a pixel-perfect line rendering needs — first, last, min,
+    max. The standard big-data viz reduction (TimescaleDB /
+    VictoriaMetrics ship it as a first-class aggregate): error-free
+    for line charts at ``n_buckets`` horizontal pixels while reducing
+    arbitrarily many points to <= 4 per bucket.
+
+    Buckets are ``n_buckets`` equal micro-second slices of the GLOBAL
+    [min ts, max ts] range (computed in one tiny pre-agg, broadcast to
+    the scan); the last instant folds into the final bucket.
+    First/last are made deterministic under ts ties by the unique
+    ``id_col`` tiebreak — packed struct min/max, so one hash aggregate
+    computes all four points: a single shuffle on (key, bucket),
+    map-side combinable, no window sort. Integer bucket arithmetic and
+    pick-a-stored-value semantics (no float arithmetic on values) make
+    the result engine- and partitioning-exact.
+    """
+    rng = df.agg(
+        F.unix_micros(F.min(ts_col)).alias("t0"),
+        (F.unix_micros(F.max(ts_col)) + 1).alias("t1"),
+    )
+    return (
+        df.crossJoin(F.broadcast(rng))
+        .select(
+            F.col(key_col).alias("series"),
+            # integer `div` on BIGINT micro-seconds: (us−t0)*n_buckets
+            # is ≤ ~1e15, exact in BIGINT; float division here would
+            # hit the Spark-truncates / DuckDB-rounds cast divergence
+            F.least(
+                F.lit(n_buckets - 1),
+                F.expr(
+                    f"(unix_micros({ts_col}) - t0) * {n_buckets} div (t1 - t0)"
+                ),
+            )
+            .cast("int")
+            .alias("bucket"),
+            F.unix_micros(F.col(ts_col)).alias("t_us"),
+            F.col(id_col).alias("pid"),
+            F.col(val_col).alias("v"),
+        )
+        .groupBy("series", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(F.struct("t_us", "pid", "v")).alias("o"),
+            F.max(F.struct("t_us", "pid", "v")).alias("c"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+        .select(
+            "series",
+            "bucket",
+            "n_points",
+            F.col("o.t_us").alias("t_open_us"),
+            F.col("o.v").alias("v_open"),
+            "v_min",
+            "v_max",
+            F.col("c.t_us").alias("t_close_us"),
+            F.col("c.v").alias("v_close"),
+        )
+    )

@@ -426,3 +426,135 @@ def test_ewma_smooth_matches_recurrence(spark):
         for t, x in enumerate(series[1:], start=1):
             s = 0.3 * x + 0.7 * s
             assert abs(out[(key, t)] - s) < 1e-6, (key, t)
+
+
+def test_edit_distance_join_equals_bruteforce(spark):
+    """Ed-Join filter chain vs the all-pairs join, on strings chosen to
+    stress every filter: substitutions, insertions (length change),
+    shared rare/common grams, and a short-string (< q + k*q) block that
+    bypasses the pigeonhole path."""
+    from itertools import combinations
+
+    from kommunedata_data_pipeline_spark.operators.dedup import edit_distance_join
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for k, q in [(1, 3), (2, 2)]:
+        rows = [
+            (1, "copenhagen"), (2, "copenhagen"), (3, "kopenhagen"),
+            (4, "copenhagn"), (5, "copenhagens"), (6, "stockholm"),
+            (7, "stockhol"), (8, "aarhus"), (9, "aarhuus"),
+            (10, "ab"), (11, "abc"), (12, "abd"), (13, "b"),
+            (14, "xbcdefgh"), (15, "abcdefgh"),
+        ]
+        expect = {
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in combinations(rows, 2)
+            if lev(a, b) <= k
+        }
+        df = spark.createDataFrame(rows, "sid long, s string")
+        got = {
+            (r.id_a, r.id_b, r.edit_dist)
+            for r in edit_distance_join(df, "sid", "s", k=k, q=q).collect()
+        }
+        assert got == expect, (k, q, got ^ expect)
+
+
+def test_m4_downsample_four_points(spark):
+    from kommunedata_data_pipeline_spark.operators.timeseries import m4_downsample
+
+    # one series, 2 buckets over [t0, t1); values placed so first/last
+    # differ from min/max, with a ts tie broken by id
+    rows = [
+        (1, "a", "2024-01-01 00:00:00", 5.0),
+        (2, "a", "2024-01-01 00:00:01", 9.0),   # bucket-0 max
+        (3, "a", "2024-01-01 00:00:02", 1.0),   # bucket-0 min
+        (4, "a", "2024-01-01 00:00:03", 7.0),   # bucket-0 close
+        (5, "a", "2024-01-01 00:00:07", 2.0),   # bucket-1 open+min (tie, lower id)
+        (6, "a", "2024-01-01 00:00:07", 3.0),
+        (7, "a", "2024-01-01 00:00:08", 8.0),   # bucket-1 close+max
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, k string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.bucket: r
+        for r in m4_downsample(df, "k", "ts", "v", "pid", 2).collect()
+    }
+    b0, b1 = out[0], out[1]
+    assert (b0.v_open, b0.v_min, b0.v_max, b0.v_close, b0.n_points) == (
+        5.0, 1.0, 9.0, 7.0, 4)
+    assert (b1.v_open, b1.v_min, b1.v_max, b1.v_close, b1.n_points) == (
+        2.0, 2.0, 8.0, 8.0, 3)
+    # tie at :07 resolved by pid: open is id 5, not id 6
+    assert b1.v_open == 2.0
+
+
+def test_robust_outliers_hand_case(spark):
+    from kommunedata_data_pipeline_spark.operators.statistics import robust_outliers
+
+    # g: sorted [-50,8,9,10,10,11,12,14,100] -> med 10; devs sorted
+    # [0,0,1,1,2,2,4,58,90] -> MAD 2 -> cutoff 2*4.4478=8.9 -> the 58
+    # and 90 deviations are outliers, 14 (dev 4) is not
+    rows = [("g", v) for v in
+            [8.0, 9.0, 10.0, 11.0, 12.0, 14.0, 100.0, -50.0, 10.0]] + [
+        ("h", 5.0), ("h", 5.0), ("h", 5.0), ("h", 6.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r.k: r for r in robust_outliers(df, "k", "v").collect()}
+    assert out["g"].med == 10.0 and out["g"].mad == 2.0
+    assert out["g"].n_outliers == 2 and out["g"].n == 9
+    # h sorted [5,5,5,6]: med 5.0, devs [0,0,0,1] -> mad interpolated 0.0;
+    # strict > 0 catches only the single 6.0
+    assert out["h"].n_outliers == 1
+    assert out["h"].mad == 0.0
+
+
+def test_deletion_neighborhood_join_equals_bruteforce(spark):
+    """FastSS k=1 signature join vs all-pairs: substitutions,
+    insertions/deletions (length-differing pairs), repeated characters
+    (whose deletion variants collapse), and identical strings."""
+    from itertools import combinations
+
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        deletion_neighborhood_join,
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = [
+        (1, "copenhagen"), (2, "copenhagen"), (3, "kopenhagen"),
+        (4, "copenhagn"), (5, "copenhagens"), (6, "stockholm"),
+        (7, "stockhol"), (8, "aaaab"), (9, "aaab"), (10, "aaaa"),
+        (11, "a"), (12, ""), (13, "b"), (14, "ab"),
+    ]
+    expect = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in combinations(rows, 2)
+        if lev(a, b) <= 1
+    }
+    df = spark.createDataFrame(rows, "sid long, s string")
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in deletion_neighborhood_join(df, "sid", "s").collect()
+    }
+    assert got == expect, got ^ expect

@@ -63,3 +63,48 @@ def test_triangle_count_matches_bruteforce(spark):
     row = triangle_count(spark.createDataFrame(und, "u long, v long")).collect()[0]
     assert row.n_triangles == expect == 5
     assert row.n_nodes == 10 and row.n_edges == len(und)
+
+
+def test_bfs_levels_matches_reference_bfs(spark):
+    from collections import deque
+
+    from kommunedata_data_pipeline_spark.operators.graph import bfs_levels
+
+    # diamond + chain + an unreachable island {20, 21}; 8 is reachable
+    # two ways (levels must take the min), 9 only via the long chain
+    edges = [
+        (1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 8),
+        (2, 8), (8, 9), (20, 21),
+    ]
+
+    def ref(srcs, max_depth):
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+        lvl = {s: 0 for s in srcs}
+        dq = deque(srcs)
+        while dq:
+            n = dq.popleft()
+            if lvl[n] >= max_depth:
+                continue
+            for m in adj.get(n, []):
+                if m not in lvl:
+                    lvl[m] = lvl[n] + 1
+                    dq.append(m)
+        return lvl
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    for srcs, depth in [([1], 10), ([1], 2), ([1, 20], 10)]:
+        s = spark.createDataFrame([(x,) for x in srcs], "node long")
+        got = {r.node: r.lvl for r in bfs_levels(e, s, depth).collect()}
+        assert got == ref(srcs, depth), (srcs, depth)
+
+
+def test_bfs_levels_first_reach_wins_not_relabelled(spark):
+    from kommunedata_data_pipeline_spark.operators.graph import bfs_levels
+
+    # node 3 reachable at level 1 (1->3) and level 2 (1->2->3): must be 1
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src long, dst long")
+    s = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.lvl for r in bfs_levels(e, s, 5).collect()}
+    assert got == {1: 0, 2: 1, 3: 1}

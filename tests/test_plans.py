@@ -411,3 +411,32 @@ def test_pca_iterate_broadcasts_never_cartesian(spark):
     p = _plan(spark, "q_pca_power_iteration")
     assert "CartesianProduct" not in p
     assert "HashAggregate" in p or "SortAggregate" in p
+
+
+def test_fuzzy_join_edit_no_cartesian(spark):
+    """Ed-Join candidate generation must stay equi-join shaped: the
+    whole point of the prefix filter is never materializing the
+    all-pairs product (that's the ORACLE's job, in DuckDB)."""
+    p = _plan(spark, "q_fuzzy_join_edit")
+    assert "CartesianProduct" not in p
+    # the only nested-loop is the 1-row broadcast (none expected here)
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_m4_downsample_single_agg_no_window(spark):
+    """M4 is ONE map-side-combinable hash aggregate over (series,
+    bucket) — struct min/max, not a window sort (the window road is
+    what the oracle takes; the engine side must not pay a per-bucket
+    sort at 100 TB)."""
+    p = _plan(spark, "q_m4_downsample")
+    assert "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_robust_outliers_stat_joins_broadcast(spark):
+    """The per-key (median, MAD) tables are group-cardinality-sized:
+    re-attaching them to the scan must broadcast, never shuffle the
+    fact side."""
+    p = _plan(spark, "q_robust_outliers")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
