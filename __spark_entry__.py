@@ -6735,7 +6735,7 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kommunedata_data_pipeline_spark.operators.graph import bfs_levels
 
     edges, sources = _bfs_graph(spark, sf_dir)
-    return bfs_levels(edges, sources, 5).orderBy("node")
+    return bfs_levels(edges, sources, 5, early_exit=False).orderBy("node")
 
 
 @_q(
@@ -6949,6 +6949,97 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad",
         F.col("n_outliers").cast("bigint").alias("n_outliers"),
     )
+
+
+@_q(
+    "q_sssp_bounded",
+    """
+    WITH RECURSIVE mx AS (SELECT max(c_custkey) AS mxu FROM customer),
+    ks AS (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3
+           UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6),
+    edges AS (
+      SELECT DISTINCT src, dst, 1 + (src * 31 + dst * 17) % 97 AS w
+      FROM (
+        SELECT c_custkey AS src,
+               c_custkey + 1 + ((c_custkey * 1103515245 + k * 12345)
+                                % 2147483647) % 211 AS dst
+        FROM customer, ks
+      ), mx
+      WHERE dst <= mx.mxu
+    ),
+    src0 AS (SELECT min(c_custkey) AS node FROM customer),
+    walk AS (
+      SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM src0
+      UNION ALL
+      SELECT e.dst AS node, w.dist + e.w AS dist, w.hops + 1 AS hops
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hops < 6
+    )
+    SELECT node, min(dist) AS dist FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def q_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford (operators/graph.py:sssp_bounded): minimum
+    path cost within 6 hops from the smallest customer node, over the
+    shared BFS DAG with deterministic integer weights
+    w = 1 + (src*31 + dst*17) % 97. Unlike q_bfs_levels a label can
+    IMPROVE after first reach (cheaper longer-hop path), so the loop
+    relaxes changed labels and keeps per-node integer min — exact,
+    partitioning-independent, and oracled by bounded path enumeration
+    (the hop bound is part of the semantics, making the recursive-CTE
+    reference finite)."""
+    from kommunedata_data_pipeline_spark.operators.graph import sssp_bounded
+
+    edges, _ = _bfs_graph(spark, sf_dir)
+    wedges = edges.withColumn(
+        "w", F.expr("1 + (src * 31 + dst * 17) % 97")
+    )
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("u"))
+    src0 = c.agg(F.min("u").alias("node"))
+    return sssp_bounded(wedges, src0, 6, early_exit=False).orderBy("node")
+
+
+@_q(
+    "q_assoc_rules",
+    """
+    WITH tx AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey % 100 AS item FROM lineitem
+    ),
+    nb AS (SELECT count(DISTINCT b) AS n_baskets FROM tx),
+    isup AS (SELECT item, count(*) AS n_item FROM tx GROUP BY item),
+    freq AS (SELECT item FROM isup WHERE n_item >= 5),
+    ftx AS (SELECT b, item FROM tx WHERE item IN (SELECT item FROM freq)),
+    pair AS (
+      SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_ab
+      FROM ftx x JOIN ftx y ON x.b = y.b AND x.item <> y.item
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+           round(n_ab / n_baskets, 6) AS support,
+           round(n_ab / sa.n_item, 6) AS confidence,
+           round((n_ab * n_baskets) / (sa.n_item * sb.n_item), 6) AS lift
+    FROM pair
+    JOIN isup sa ON sa.item = pair.item_a
+    JOIN isup sb ON sb.item = pair.item_b
+    CROSS JOIN nb
+    ORDER BY lift DESC, item_a, item_b LIMIT 30
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over order baskets (basket =
+    l_orderkey, item = part category l_partkey % 100) —
+    operators/corpus.py:association_rules. Top-30 by lift with the
+    standard total tie-break (rounded measure + unique pair key).
+    Apriori item-support pruning runs BEFORE the per-basket pair join;
+    ratios are double divisions of exact BIGINT counts."""
+    from kommunedata_data_pipeline_spark.operators.corpus import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("b"),
+        (F.col("l_partkey") % 100).alias("item"),
+    )
+    rules = association_rules(li, "b", "item", 5, 5)
+    return rules.orderBy(F.desc("lift"), "item_a", "item_b").limit(30)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -352,3 +352,103 @@ def token_pmi_pairs(
         .where(F.col("rank") <= k)
         .select("rank", "ta", "tb", "c_ab", "pmi")
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int = 2,
+    min_pair_support: int = 2,
+) -> DataFrame:
+    """Pairwise association rules (support / confidence / lift) over
+    ``(basket, item)`` transactions — the market-basket sibling of
+    ``token_pmi_pairs``: one rule row per ORDERED pair (a -> b) with
+    pair support >= ``min_pair_support``.
+
+    Shuffle-lean shape: baskets are packed once into per-basket
+    distinct item ARRAYS (collect_set — one shuffle, dedup included),
+    item supports come from exploding the packed arrays (second
+    shuffle, already distinct), and candidate pairs are generated
+    MAP-SIDE from each array (nested transform + flatten — bounded by
+    basket size squared, never corpus-quadratic) feeding one
+    map-side-combinable pair count (third shuffle). No per-basket
+    self-join.
+
+    Apriori pruning where it matters at scale: items below
+    ``min_item_support`` are intersected OUT of the packed arrays
+    before pair generation (an infrequent item cannot participate in a
+    frequent pair — the anti-monotone property). The frequent-item set
+    is a one-row broadcast array, so the prune is fully distributed
+    with no driver-side collect. Confidence and lift are double
+    divisions of exact BIGINT counts (identical operands -> identical
+    IEEE results on both engines), rounded on emission only.
+    """
+    arr = (
+        baskets.select(
+            F.col(basket_col).alias("b"), F.col(item_col).alias("item")
+        )
+        .groupBy("b")
+        .agg(F.collect_set("item").alias("items"))
+        .cache()
+    )
+    # corpus-level constant as a lazy one-row broadcast (never a
+    # driver-side count): stapled onto the rule rows at the end
+    nb = arr.agg(F.count(F.lit(1)).alias("n_baskets"))
+    isup = (
+        arr.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    fset = isup.where(F.col("n_item") >= min_item_support).agg(
+        F.collect_set("item").alias("fset")
+    )
+    pair = (
+        arr.crossJoin(F.broadcast(fset))
+        .select(F.array_intersect("items", "fset").alias("fi"))
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "fi",
+                            lambda a: F.transform(
+                                F.col("fi"),
+                                lambda b: F.struct(
+                                    a.alias("item_a"), b.alias("item_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["item_a"] != p["item_b"],
+                )
+            ).alias("p")
+        )
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_support)
+    )
+    sa = F.broadcast(
+        isup.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    )
+    sb = F.broadcast(
+        isup.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    )
+    return (
+        pair.join(sa, "item_a")
+        .join(sb, "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(F.col("n_ab") / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * F.col("n_baskets"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

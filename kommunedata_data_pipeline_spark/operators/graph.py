@@ -177,7 +177,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
 
 def bfs_levels(
-    edges: DataFrame, sources: DataFrame, max_depth: int
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    shuffle_partitions: int | None = None,
+    early_exit: bool = True,
 ) -> DataFrame:
     """(node, lvl) minimum hop distance (BIGINT, INT) from any node in
     ``sources(node)`` over directed ``edges(src, dst)``, explored to at
@@ -187,48 +191,205 @@ def bfs_levels(
     - the frontier (nodes first reached in round i) joins onto the
       cached edge set; frontiers are bounded by the node count, so
       while small they broadcast and the (never-reshuffled) edge rows
-      stay put — the only shuffle per round is the new-node distinct;
-    - an anti-join against the visited set implements the "first
-      reach wins" min-distance semantics exactly — a node re-reached
-      later is dropped, never relabeled;
+      stay put — the only shuffle per round is the min-label groupBy;
+    - "first reach wins" is the min over (visited ∪ newly-reached):
+      levels only grow with rounds, so one map-side-combinable
+      ``min(lvl)`` both dedups re-reached nodes and preserves the
+      original label — and the next frontier is simply the rows
+      labelled with the current depth, a filter over the materialized
+      result instead of an anti-join job;
     - ``localCheckpoint(eager=True)`` per round truncates the lineage
       (same device as the pagerank loop above — without it round i
       re-executes every prior round);
-    - the loop EXITS EARLY when a frontier comes back empty, so
-      ``max_depth`` is a guard for deep chains, not a forced cost.
+    - with ``early_exit`` the loop stops when a frontier comes back
+      empty, so ``max_depth`` is a guard for deep chains, not a forced
+      cost; ``early_exit=False`` is the fixed-depth mode (the depth IS
+      the semantics and frontiers never empty early) — it trades the
+      per-round frontier count() job, pure scheduler floor when rounds
+      are few, for ONE upfront node-count bound that pins the
+      broadcast decision (any frontier is a subset of the nodes).
 
     Integer levels, first-reach dedup → result independent of
     partitioning and engine. Scale shape per round: one equi-join
-    (frontier onto edges, broadcast while small), one distinct, one
-    anti-join — all bounded by frontier x out-degree, never by the
-    full edge set."""
+    (frontier onto edges, broadcast while small) and one
+    map-side-combinable groupBy — bounded by frontier x out-degree
+    plus the visited set, never by the full edge set.
+
+    Like the pagerank loop, shuffle partitions are scoped to the
+    traversal (the eager checkpoints materialize every round inside
+    the scope), and default to an ADAPTIVE count derived from the
+    graph's node bound (~250k state rows per partition, floor 2, cap
+    cluster parallelism): per-round state is node-bounded and narrow,
+    so a 32-task round over an 800-node frontier is pure task-launch
+    floor — measured 2x end-to-end. Results are
+    partitioning-independent."""
+    spark = edges.sparkSession
     edges = edges.select("src", "dst").cache()
+    n_bound = _node_count_bound(edges)
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    target = shuffle_partitions or _adaptive_partitions(spark, n_bound)
+    spark.conf.set(key, str(target))
+    try:
+        return _bfs_loop(edges, sources, max_depth, early_exit, n_bound)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _node_count_bound(edges: DataFrame) -> int:
+    return (
+        edges.select(F.col(edges.columns[0]).alias("n"))
+        .unionAll(edges.select(F.col(edges.columns[1]).alias("n")))
+        .distinct()
+        .count()
+    )
+
+
+# Per-round state tables are node-bounded and narrow (two BIGINTs):
+# target enough rows per shuffle partition that task-launch floor never
+# dominates, capped at the cluster's parallelism for big graphs.
+_ROWS_PER_LOOP_PARTITION = 250_000
+
+
+def _adaptive_partitions(spark, n_rows: int) -> int:
+    return max(
+        2,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_rows // _ROWS_PER_LOOP_PARTITION),
+        ),
+    )
+
+
+def _bfs_loop(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    early_exit: bool,
+    n_bound: int,
+) -> DataFrame:
     visited = (
         sources.select(F.col("node").cast("bigint"))
         .distinct()
         .select("node", F.lit(0).alias("lvl"))
         .localCheckpoint(eager=True)
     )
-    frontier, n_frontier = visited, visited.count()
+    if early_exit:
+        n_bound = visited.count()
+    frontier = visited
     for depth in range(1, max_depth + 1):
         f = (
             F.broadcast(frontier.select("node"))
-            if n_frontier <= _PR_BROADCAST_MAX_NODES
+            if n_bound <= _PR_BROADCAST_MAX_NODES
             else frontier.select("node")
         )
         reached = (
             f.join(edges, F.col("node") == F.col("src"))
-            .select(F.col("dst").alias("node"))
-            .distinct()
+            .select(F.col("dst").alias("node"), F.lit(depth).alias("lvl"))
         )
-        fresh = (
-            reached.join(visited.select("node"), "node", "left_anti")
-            .select("node", F.lit(depth).alias("lvl"))
+        # ONE shuffle + ONE materialization per round: min(lvl) over
+        # (visited ∪ reached) IS first-reach-wins (lvl only grows), and
+        # the next frontier falls out as the rows labelled this depth —
+        # a filter over the checkpointed result, not an anti-join job.
+        visited = (
+            visited.unionAll(reached)
+            .groupBy("node")
+            .agg(F.min("lvl").alias("lvl"))
             .localCheckpoint(eager=True)
         )
-        n_frontier = fresh.count()
-        if n_frontier == 0:
-            break
-        visited = visited.unionAll(fresh).localCheckpoint(eager=True)
-        frontier = fresh
+        frontier = visited.where(F.col("lvl") == depth)
+        if early_exit:
+            n_bound = frontier.count()
+            if n_bound == 0:
+                break
     return visited.select("node", F.col("lvl").cast("int").alias("lvl"))
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    shuffle_partitions: int | None = None,
+    early_exit: bool = True,
+) -> DataFrame:
+    """(node, dist) minimum path COST (BIGINT) from any node in
+    ``sources(node)`` over weighted ``edges(src, dst, w)``, restricted
+    to paths of at most ``max_hops`` edges — bounded Bellman-Ford as
+    synchronous DataFrame rounds. The hop bound makes the semantics
+    exact and oracle-able (the reference enumerates all bounded paths);
+    on a DAG run it to the diameter for the unbounded answer.
+
+    Unlike bfs_levels (first reach wins), a node's label here can
+    IMPROVE in later rounds (a longer-hop path may be cheaper), so each
+    round is: relax every current label across every edge, union the
+    previous labels, keep the per-node min — three bounded steps (one
+    equi-join, one map-side-combinable min) with the same
+    broadcast-while-small + eager-checkpoint discipline as the
+    pagerank loop. Integer weights keep min() associative and
+    engine-exact. Frontier optimization: only labels that CHANGED last
+    round are re-relaxed (unchanged labels cannot produce new
+    improvements), so late rounds touch the still-moving subgraph
+    only. Shuffle partitions are scoped to the loop and sized from the
+    node bound, like bfs_levels."""
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst", "w").cache()
+    n_bound = _node_count_bound(edges)
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    target = shuffle_partitions or _adaptive_partitions(spark, n_bound)
+    spark.conf.set(key, str(target))
+    try:
+        return _sssp_loop(edges, sources, max_hops, early_exit, n_bound)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _sssp_loop(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    early_exit: bool,
+    n_bound: int,
+) -> DataFrame:
+    dist = (
+        sources.select(F.col("node").cast("bigint"))
+        .distinct()
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    if early_exit:
+        # changed-label counts drive early exit; the broadcast decision
+        # then tracks the live frontier instead of the whole-graph bound
+        n_bound = dist.count()
+    frontier = dist
+    for _ in range(max_hops):
+        f = (
+            F.broadcast(frontier)
+            if n_bound <= _PR_BROADCAST_MAX_NODES
+            else frontier
+        )
+        relaxed = f.join(edges, F.col("node") == F.col("src")).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+            F.lit(1).alias("gen"),
+        )
+        # ONE shuffle + ONE materialization per round: tag old labels
+        # gen=0 and relaxations gen=1, keep min(struct(dist, gen)) —
+        # a strict improvement (or a brand-new node) surfaces gen=1, a
+        # tie keeps the old label (gen 0 < 1). The changed-label
+        # frontier then falls out as a filter over the materialized
+        # result instead of a separate outer-join job.
+        dist = (
+            dist.select("node", "dist", F.lit(0).alias("gen"))
+            .unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min(F.struct("dist", "gen")).alias("s"))
+            .select("node", F.col("s.dist").alias("dist"), F.col("s.gen").alias("gen"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = dist.where(F.col("gen") == 1).select("node", "dist")
+        if early_exit:
+            n_bound = frontier.count()
+            if n_bound == 0:
+                break
+    return dist.select("node", "dist")

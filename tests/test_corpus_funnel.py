@@ -188,3 +188,32 @@ def test_token_pmi_caps_and_counts(spark):
     assert top.pmi == round(math.log(2 * 6 / (2 * 2)), 6)
     # gamma+delta co-occur only once (< min_pair) -> absent
     assert ("delta", "gamma") not in got
+
+
+def test_association_rules_hand_case(spark):
+    from kommunedata_data_pipeline_spark.operators.corpus import association_rules
+
+    # 4 baskets: {a,b,c} {a,b} {a,c} {b,d-only-once}
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"), (4, "d"),
+        (4, "b"),  # duplicate line: basket-distinct must collapse it
+    ]
+    df = spark.createDataFrame(rows, "b long, item string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in association_rules(df, "b", "item", 2, 2).collect()
+    }
+    # d has support 1 -> pruned before pairs; (b,d) absent
+    assert all("d" not in k for k in out)
+    ab = out[("a", "b")]
+    # support(a)=3, support(b)=3, support(ab)=2, n=4
+    assert ab.n_ab == 2
+    assert ab.support == round(2 / 4, 6)
+    assert ab.confidence == round(2 / 3, 6)
+    assert ab.lift == round(2 * 4 / (3 * 3), 6)
+    # rules are directional: (b,a) exists with its own confidence
+    assert out[("b", "a")].confidence == round(2 / 3, 6)
+    assert ("a", "c") in out and out[("a", "c")].n_ab == 2

@@ -108,3 +108,51 @@ def test_bfs_levels_first_reach_wins_not_relabelled(spark):
     s = spark.createDataFrame([(1,)], "node long")
     got = {r.node: r.lvl for r in bfs_levels(e, s, 5).collect()}
     assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_sssp_bounded_matches_reference(spark):
+    from kommunedata_data_pipeline_spark.operators.graph import sssp_bounded
+
+    # 1->2->4 (cost 1+1=2) beats direct 1->4 (cost 10): the label of 4
+    # must IMPROVE after first reach; 5 only via the expensive edge
+    edges = [(1, 2, 1), (2, 4, 1), (1, 4, 10), (4, 5, 2), (1, 3, 7)]
+
+    def ref(srcs, max_hops):
+        import itertools
+
+        best = {s: 0 for s in srcs}
+        frontier = {s: 0 for s in srcs}
+        for _ in range(max_hops):
+            nxt = {}
+            for (u, v, w) in edges:
+                if u in frontier:
+                    cand = frontier[u] + w
+                    if cand < best.get(v, 1 << 60):
+                        best[v] = cand
+                        nxt[v] = cand
+            frontier = nxt
+        return best
+
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    for srcs, hops in [([1], 10), ([1], 1), ([1, 4], 10)]:
+        s = spark.createDataFrame([(x,) for x in srcs], "node long")
+        got = {
+            r.node: r.dist
+            for r in sssp_bounded(e, s, hops, shuffle_partitions=4).collect()
+        }
+        assert got == ref(srcs, hops), (srcs, hops)
+
+
+def test_sssp_hop_bound_is_semantic(spark):
+    from kommunedata_data_pipeline_spark.operators.graph import sssp_bounded
+
+    # chain 1->2->3->4 (cost 1 each) + shortcut 1->4 cost 5: with
+    # max_hops=2 the chain can't reach 4, so dist(4) = 5; with 3 it's 3
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 5)],
+        "src long, dst long, w long",
+    )
+    s = spark.createDataFrame([(1,)], "node long")
+    two = {r.node: r.dist for r in sssp_bounded(e, s, 2, 4).collect()}
+    three = {r.node: r.dist for r in sssp_bounded(e, s, 3, 4).collect()}
+    assert two[4] == 5 and three[4] == 3
