@@ -7042,6 +7042,124 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.orderBy(F.desc("lift"), "item_a", "item_b").limit(30)
 
 
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_price
+FROM orders GROUP BY ALL ORDER BY ALL
+"""
+
+
+@_q("q_group_by_all", _GROUP_BY_ALL_SQL)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 SQL surface): grouping keys
+    inferred from the non-aggregate select list, total output order
+    inferred from all columns. IDENTICAL SQL text runs on both engines
+    (the q_grouping_sets convention); decimal-exact sum emitted as
+    double."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice AS price
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey % 20 = 0
+ORDER BY c.c_custkey, t.o_orderkey
+"""
+
+
+@_q("q_lateral_topk", _LATERAL_TOPK_SQL)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    SQL-surface road to top-k-per-group (the DSL road is
+    q_topk_per_group's rank window). IDENTICAL text on both engines;
+    Catalyst decorrelates the lateral into a ranked join rather than
+    re-executing the subquery per outer row. Full tie-break inside the
+    lateral (price DESC, key) pins the kept rows. Values are stored
+    doubles — no arithmetic, no rounding needed."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@_q(
+    "q_table_fingerprint",
+    """
+    SELECT count(*) AS n_rows,
+           bit_xor(h) AS xor_fp,
+           CAST(sum(h % 1000000007) AS BIGINT) AS sum_fp
+    FROM (
+      SELECT ('0x' || substr(md5(r), 1, 14))::BIGINT AS h FROM (
+        SELECT concat_ws('|', CAST(o_orderkey AS VARCHAR),
+               CAST(o_custkey AS VARCHAR), o_orderstatus, o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS r
+        FROM orders)
+    )
+    """,
+)
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprint of the orders table
+    (operators/statistics.py:table_fingerprint) — count + hash-XOR +
+    modular hash-sum over an engine-canonical row string. THE
+    migration-validation primitive: the oracle computing the same
+    single row from the same parquet via a different engine IS the
+    use case (source/target comparison without moving data)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        table_fingerprint,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    return table_fingerprint(o, row_repr)
+
+
+@_q(
+    "q_benford",
+    """
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice
+                        / power(10, floor(log10(o_totalprice)))) AS INT)
+               AS digit,
+             count(*) AS n
+      FROM orders WHERE o_totalprice > 0 GROUP BY 1
+    ),
+    t AS (SELECT sum(n) AS n_total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n / n_total, 6) AS pct,
+           round(log10(1 + 1 / digit), 6) AS benford_pct,
+           round(n / n_total - log10(1 + 1 / digit), 6) AS dev
+    FROM c, t ORDER BY digit
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen over order totals
+    (operators/statistics.py:benford_report) — data-forensics check
+    for fabricated/truncated values. Digit extraction and shares are
+    identical double ops on identical operands on both engines. (The
+    synthetic totals are NOT Benford-distributed — the point is the
+    report, and its large deviations prove it's measuring.)"""
+    from kommunedata_data_pipeline_spark.operators.statistics import benford_report
+
+    return benford_report(
+        _t(spark, sf_dir, "orders"), "o_totalprice"
+    ).orderBy("digit")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

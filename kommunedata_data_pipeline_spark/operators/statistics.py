@@ -332,3 +332,64 @@ def robust_outliers(
             "n_outliers",
         )
     )
+
+
+def table_fingerprint(df: DataFrame, row_repr: Column) -> DataFrame:
+    """Order-independent whole-table content fingerprint — the
+    migration-validation primitive: run the same fingerprint on the
+    source system and the landed table and compare ONE row instead of
+    the data. ``row_repr`` must be an engine-canonical string per row
+    (cast decimals/dates explicitly; float repr differs across
+    engines).
+
+    Three commutative-associative aggregates over a 56-bit md5-derived
+    row hash (14 hex chars — fits BIGINT exactly on both engines):
+    row count, XOR of hashes (order-independent, overflow-free), and a
+    modular sum (catches multiset differences XOR can miss: a row
+    repeated twice XORs to zero). One map-side-combinable pass, no
+    shuffle beyond the final single-row combine; partitioning and row
+    order cannot change the answer, which is what makes it comparable
+    across engines AND across cluster layouts. DuckDB twin of the
+    hash: ``('0x' || substr(md5(r), 1, 14))::BIGINT``."""
+    h = F.conv(F.substring(F.md5(row_repr), 1, 14), 16, 10).cast("bigint")
+    return df.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("h").alias("xor_fp"),
+        F.sum(F.col("h") % 1000000007).cast("bigint").alias("sum_fp"),
+    )
+
+
+def benford_report(df: DataFrame, val_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic data-forensics screen for fabricated or truncated numeric
+    columns. Per digit d in 1..9: observed count and share, Benford's
+    expected share log10(1 + 1/d), and the signed deviation.
+
+    The digit extraction floor(x / 10^floor(log10 x)) and every share
+    are identical double operations on identical operands on both
+    engines (bit-reproducible); one map-side-combinable digit groupBy
+    + a one-row broadcast total. Rows with value <= 0 are excluded
+    (no leading significant digit)."""
+    d = F.floor(
+        F.col(val_col) / F.pow(F.lit(10.0), F.floor(F.log10(val_col)))
+    ).cast("int")
+    counts = (
+        df.where(F.col(val_col) > 0)
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("n_total"), 6).alias("pct"),
+            F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("benford_pct"),
+            F.round(
+                F.col("n") / F.col("n_total") - F.log10(1 + 1 / F.col("digit")),
+                6,
+            ).alias("dev"),
+        )
+    )

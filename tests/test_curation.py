@@ -558,3 +558,39 @@ def test_deletion_neighborhood_join_equals_bruteforce(spark):
         for r in deletion_neighborhood_join(df, "sid", "s").collect()
     }
     assert got == expect, got ^ expect
+
+
+def test_table_fingerprint_order_and_partitioning_independent(spark):
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        table_fingerprint,
+    )
+
+    rows = [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+    base = spark.createDataFrame(rows, "k long, v string")
+    repr_ = F.concat_ws("|", F.col("k").cast("string"), "v")
+    fp = lambda df: table_fingerprint(df, repr_).collect()[0]
+    a = fp(base)
+    b = fp(base.repartition(7).sortWithinPartitions(F.desc("k")))
+    assert (a.n_rows, a.xor_fp, a.sum_fp) == (b.n_rows, b.xor_fp, b.sum_fp)
+    # a genuinely different multiset must move the fingerprint: the
+    # duplicated row XORs itself away but the modular SUM catches it
+    dup = base.unionAll(base.limit(2).filter(F.col("k") == 1))
+    c = fp(dup)
+    assert c.n_rows == 6 and c.sum_fp != a.sum_fp
+    assert c.xor_fp != a.xor_fp or c.sum_fp != a.sum_fp
+
+
+def test_benford_hand_case(spark):
+    from kommunedata_data_pipeline_spark.operators.statistics import benford_report
+
+    # values chosen across magnitudes; zeros/negatives excluded
+    vals = [1.0, 12.0, 150.0, 1900.0, 2.5, 29.0, 3.14, 0.0, -5.0, 0.07]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r.digit: r for r in benford_report(df, "x").collect()}
+    # digits: 1x4 (1,12,150,1900), 2x2 (2.5,29), 3x1, 7x1 (0.07) -> n=8
+    assert out[1].n == 4 and out[2].n == 2 and out[3].n == 1 and out[7].n == 1
+    assert 0 not in out and 5 not in out
+    assert out[1].pct == round(4 / 8, 6)
+    import math
+
+    assert out[1].benford_pct == round(math.log10(2), 6)

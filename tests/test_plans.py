@@ -440,3 +440,22 @@ def test_robust_outliers_stat_joins_broadcast(spark):
     p = _plan(spark, "q_robust_outliers")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_lateral_topk_decorrelates_to_window_join(spark):
+    """The correlated LATERAL ... ORDER BY ... LIMIT 2 must decorrelate
+    into a rank window + equi-join — NOT a per-outer-row nested-loop
+    re-execution of the subquery."""
+    p = _plan(spark, "q_lateral_topk")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_table_fingerprint_single_combine_no_shuffle_agg(spark):
+    """The fingerprint is one map-side-combinable pass: a partial
+    HashAggregate per scan task and a single final combine — no keyed
+    shuffle, no sort."""
+    p = _plan(spark, "q_table_fingerprint")
+    assert "HashAggregate" in p
+    assert "Sort " not in p and "SortAggregate" not in p
