@@ -7160,6 +7160,77 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("digit")
 
 
+@_q(
+    "q_time_weighted_avg",
+    """
+    WITH o AS (
+      SELECT event_type, value,
+             epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                     ORDER BY ts, value))
+               - epoch_us(ts) AS dur_us
+      FROM events
+    ),
+    a AS (
+      SELECT event_type, count(*) AS n_intervals,
+             CAST(sum(dur_us) AS BIGINT) AS total_us,
+             sum(CAST(value AS DECIMAL(18,6)) * dur_us) AS wsum
+      FROM o WHERE dur_us IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_intervals AS BIGINT) AS n_intervals,
+           total_us,
+           round(CAST(wsum AS DOUBLE) / total_us, 6) AS twa
+    FROM a
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average per event_type
+    (operators/timeseries.py:time_weighted_avg — the TimescaleDB
+    time_weight statistic): each value weighted by microseconds until
+    the key's next event. One lead() window + one aggregate; the
+    weighted sum accumulates in exact DECIMAL so partitioning cannot
+    move the answer, with a single double division at the end."""
+    from kommunedata_data_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    out = time_weighted_avg(_t(spark, sf_dir, "events"), "event_type", "ts", "value")
+    return out.select(
+        "event_type",
+        F.col("n_intervals").cast("bigint").alias("n_intervals"),
+        "total_us",
+        "twa",
+    )
+
+
+@_q(
+    "q_rolling_median",
+    """
+    SELECT event_type, epoch_us(ts) AS t_us, value,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY event_type ORDER BY ts, value
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS roll_med
+    FROM events WHERE user_id % 50 = 0
+    ORDER BY event_type, t_us, value
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (10-row window) per event_type over a
+    deterministic user slice (operators/timeseries.py:rolling_median)
+    — the robust smoother next to q_ewma's exponential mean. Windowed
+    interpolated percentile; cross-engine interpolation parity is the
+    same contract q_percentiles pins."""
+    from kommunedata_data_pipeline_spark.operators.timeseries import rolling_median
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
+    out = rolling_median(ev, "event_type", "ts", "value", 9)
+    return out.select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        "value",
+        "roll_med",
+    ).orderBy("event_type", "t_us", "value")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

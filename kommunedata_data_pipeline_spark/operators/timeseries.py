@@ -289,3 +289,82 @@ def m4_downsample(
             F.col("c.v").alias("v_close"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame, key_col: str, ts_col: str, val_col: str
+) -> DataFrame:
+    """Per-key time-weighted average under LOCF semantics (the
+    TimescaleDB ``time_weight('LOCF')`` statistic): each observation
+    holds its value until the NEXT observation of the same key, so its
+    weight is that interval in microseconds; the key's final
+    observation spans zero time and contributes no weight (stated, not
+    hidden — closing the window is the caller's modelling choice).
+    avg = sum(value * dur_us) / sum(dur_us).
+
+    Built on one lead() window per key (sort once per key group — the
+    minimal requirement, since weights depend on the successor) and a
+    map-side-combinable aggregate. EXACT cross-engine: duration is
+    integer microseconds, the weighted sum accumulates in
+    DECIMAL(38,6) (order-independent — double partial sums would make
+    the answer depend on partitioning), division happens once at the
+    end and is rounded on emission. Keys with a single observation
+    yield NULL (zero total weight)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, val_col)
+    dur = (
+        F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
+    ).alias("dur_us")
+    return (
+        df.select(key_col, ts_col, val_col)
+        .withColumn("dur_us", dur)
+        .where(F.col("dur_us").isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_us").cast("bigint").alias("total_us"),
+            F.sum(
+                F.col(val_col).cast("decimal(18,6)") * F.col("dur_us")
+            ).alias("_wsum"),
+        )
+        .select(
+            key_col,
+            "n_intervals",
+            "total_us",
+            # cast the EXACT decimal sum to double, then one double
+            # division — decimal-division scale rules differ between
+            # engines, double ops on identical operands do not
+            F.round(
+                F.col("_wsum").cast("double") / F.col("total_us"), 6
+            ).alias("twa"),
+        )
+    )
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    n_preceding: int = 9,
+) -> DataFrame:
+    """Exact rolling median over the last ``n_preceding``+1 rows per
+    key, ordered by (ts, value) — the robust smoother for spiky series
+    (a rolling MEAN chases every outlier; the median ignores them
+    until they are half the window). Runs as the percentile aggregate
+    over a bounded ROWS window frame: one sort per key group, O(w)
+    state per row, w fixed — scale cost is the per-key sort, identical
+    to any windowed analytic. Interpolated-median parity with DuckDB's
+    windowed quantile_cont is pinned by the oracle; emitted rounded."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, val_col)
+        .rowsBetween(-n_preceding, 0)
+    )
+    return df.select(
+        key_col,
+        ts_col,
+        val_col,
+        F.round(
+            F.expr(f"percentile({val_col}, 0.5D)").over(w), 6
+        ).alias("roll_med"),
+    )

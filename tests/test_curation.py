@@ -594,3 +594,49 @@ def test_benford_hand_case(spark):
     import math
 
     assert out[1].benford_pct == round(math.log10(2), 6)
+
+
+def test_time_weighted_avg_hand_case(spark):
+    from kommunedata_data_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    # k: value 10 holds 2s, value 20 holds 8s -> TWA = (10*2+20*8)/10 = 18;
+    # the final observation (99) spans zero time; single-row key drops out
+    rows = [
+        ("k", "2024-01-01 00:00:00", 10.0),
+        ("k", "2024-01-01 00:00:02", 20.0),
+        ("k", "2024-01-01 00:00:10", 99.0),
+        ("solo", "2024-01-01 00:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r.g: r for r in time_weighted_avg(df, "g", "ts", "v").collect()}
+    assert out["k"].twa == 18.0
+    assert out["k"].n_intervals == 2
+    assert out["k"].total_us == 10_000_000
+    assert "solo" not in out
+
+
+def test_rolling_median_matches_python(spark):
+    import statistics as pystats
+
+    from kommunedata_data_pipeline_spark.operators.timeseries import rolling_median
+
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0]
+    rows = [("g", f"2024-01-01 00:00:{i:02d}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = [
+        r.roll_med
+        for r in rolling_median(df, "g", "ts", "v", 2)
+        .orderBy("ts")
+        .collect()
+    ]
+    expect = [
+        round(pystats.median(vals[max(0, i - 2): i + 1]), 6)
+        for i in range(len(vals))
+    ]
+    assert out == expect
