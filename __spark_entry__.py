@@ -7231,6 +7231,43 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "t_us", "value")
 
 
+@_q(
+    "q_media_frames",
+    """
+    WITH ks AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2
+                UNION ALL SELECT 3),
+    m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS fmt,
+             1000 + ((CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 36 END) * 37)
+               % 9000 AS dur
+      FROM documents
+    )
+    SELECT media_id, fmt, CAST(4 AS INT) AS n_frames,
+           CAST(i AS INT) AS frame_idx,
+           CAST((i * dur) // 4 AS BIGINT) AS t_ms,
+           ('0x' || substr(md5(media_id || '#'
+                               || CAST((i * dur) // 4 AS VARCHAR)), 1, 8))::BIGINT
+             AS frame_fp
+    FROM m, ks
+    """,
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over synthesized video/audio blobs
+    (transforms/multimodal.py:synthetic_frame_sample): the 1-row-in,
+    n-frames-out mapInPandas shape — evenly spaced integer-ms
+    timestamps, md5-derived frame fingerprints standing in for decoded
+    pixels (decode stubbed, plumbing real). The oracle recomputes
+    every frame row by arithmetic from doc_id — blob length, duration,
+    timestamps, and fingerprint must all survive the binary
+    round-trip."""
+    from kommunedata_data_pipeline_spark.transforms.multimodal import (
+        synthetic_frame_sample,
+    )
+
+    return synthetic_frame_sample(_t(spark, sf_dir, "documents"), 4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

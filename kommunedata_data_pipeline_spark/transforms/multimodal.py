@@ -223,3 +223,74 @@ def synthetic_media(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(
         batches, "media_id string, content binary"
     )
+
+
+FRAMES_SCHEMA = (
+    "media_id string, fmt string, n_frames int, frame_idx int, "
+    "t_ms long, frame_fp long"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Evenly-spaced frame sampling over opaque video/audio blobs — the
+    ONE-ROW-IN, N-ROWS-OUT member of the multimodal plumbing family
+    (meta/features are 1:1; a real frame sampler explodes each blob
+    into per-frame rows, and THIS batch shape — pandas frames growing
+    n_frames× inside ``mapInPandas``, schema declared up front, blobs
+    never crossing a shuffle — is what the stub exercises end-to-end).
+
+    Deterministic stand-ins, clearly marked (decode libs absent here):
+    duration_ms = 1000 + (len(blob) * 37) % 9000 (a pure function of
+    the blob, as a container parse would be) and the sampled frame is
+    represented by an md5-derived BIGINT fingerprint of
+    ``{media_id}#{t_ms}`` instead of decoded pixels. Frame timestamps
+    are exact integer math: t_ms(i) = i * duration_ms // n_frames.
+    Swap the two ``_STUB`` lines for a real demuxer on a cluster image
+    — schema and batch shape stay identical."""
+    cols = ["media_id", "fmt", "n_frames", "frame_idx", "t_ms", "frame_fp"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = blob or b""
+                fmt = sniff_format(blob)
+                dur = 1000 + (len(blob) * 37) % 9000  # _STUB: container parse
+                for i in range(n_frames):
+                    t = (i * dur) // n_frames
+                    fp = int(
+                        hashlib.md5(f"{mid}#{t}".encode()).hexdigest()[:8], 16
+                    )  # _STUB: decoded-frame payload
+                    rows.append((str(mid), fmt, n_frames, i, t, fp))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+def synthetic_frame_sample(documents: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Fused synthesize→frame-sample over the documents table (one
+    Arrow pass, same fusion argument as synthetic_media_meta): blobs
+    from doc_id, frames from the blobs."""
+    cols = ["media_id", "fmt", "n_frames", "frame_idx", "t_ms", "frame_fp"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                blob = _synth_blob(int(did))
+                fmt = sniff_format(blob)
+                dur = 1000 + (len(blob) * 37) % 9000
+                for i in range(n_frames):
+                    t = (i * dur) // n_frames
+                    fp = int(
+                        hashlib.md5(f"{did}#{t}".encode()).hexdigest()[:8], 16
+                    )
+                    rows.append((str(did), fmt, n_frames, i, t, fp))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents.select("doc_id").mapInPandas(batches, FRAMES_SCHEMA)

@@ -170,3 +170,35 @@ def test_extract_features_deterministic(spark):
     feats = {r.media_id: r.features for r in rows}
     assert feats["a"] == feats["b"]  # same bytes → same features
     assert len(feats["a"]) == 8 and all(0.0 <= v < 1.0 for v in feats["a"])
+
+
+def test_sample_frames_shape_and_determinism(spark):
+    import hashlib
+
+    from kommunedata_data_pipeline_spark.transforms.multimodal import (
+        make_png,
+        sample_frames,
+    )
+
+    blob = make_png(16, 8)
+    df = spark.createDataFrame(
+        [("m1", bytearray(blob)), ("m2", None)],
+        "media_id string, content binary",
+    )
+    rows = sorted(
+        sample_frames(df, n_frames=3).collect(),
+        key=lambda r: (r.media_id, r.frame_idx),
+    )
+    # 1 row in -> n_frames rows out, for real AND null blobs
+    assert len(rows) == 6
+    m1 = [r for r in rows if r.media_id == "m1"]
+    dur = 1000 + (len(blob) * 37) % 9000
+    assert [r.t_ms for r in m1] == [0, dur // 3, (2 * dur) // 3]
+    assert all(r.fmt == "png" and r.n_frames == 3 for r in m1)
+    # fingerprint is the documented pure function of (id, t_ms)
+    expect = int(hashlib.md5(f"m1#{dur // 3}".encode()).hexdigest()[:8], 16)
+    assert m1[1].frame_fp == expect
+    # null blob: empty format, minimum duration, frames still emitted
+    m2 = [r for r in rows if r.media_id == "m2"]
+    assert all(r.fmt == "empty" for r in m2)
+    assert [r.t_ms for r in m2] == [0, 333, 666]
