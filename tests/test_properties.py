@@ -270,3 +270,52 @@ def test_session_processor_matches_reference_under_any_batch_split(
         )
     got = {(int(a), int(b), int(c)) for a, b, c in emitted}
     assert got == expected
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        # 2-letter alphabet + short lengths force dense near-dup structure
+        # (many pairs at distance exactly k) — the adversarial case for
+        # both filter schemes
+        st.text(alphabet="ab", min_size=0, max_size=8),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_fuzzy_joins_lose_nothing_vs_bruteforce(spark, strings):
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        deletion_neighborhood_join,
+        edit_distance_join,
+    )
+
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "sid long, s string")
+    expect1 = {
+        (i, j, _lev(a, b))
+        for (i, a) in rows
+        for (j, b) in rows
+        if i < j and _lev(a, b) <= 1
+    }
+    got_del = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in deletion_neighborhood_join(df, "sid", "s").collect()
+    }
+    assert got_del == expect1
+    got_ed = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in edit_distance_join(df, "sid", "s", k=1, q=2).collect()
+    }
+    assert got_ed == expect1
