@@ -340,7 +340,9 @@ def table_fingerprint(df: DataFrame, row_repr: Column) -> DataFrame:
     source system and the landed table and compare ONE row instead of
     the data. ``row_repr`` must be an engine-canonical string per row
     (cast decimals/dates explicitly; float repr differs across
-    engines).
+    engines). Caveat for nullable columns: ``concat_ws`` SKIPS nulls,
+    so ('a', NULL, 'b') and ('a', 'b', NULL) would collide — coalesce
+    each nullable column to a sentinel before concatenation.
 
     Three commutative-associative aggregates over a 56-bit md5-derived
     row hash (14 hex chars — fits BIGINT exactly on both engines):

@@ -190,6 +190,66 @@ def main() -> None:
 
         return triangle_count(e)
 
+    # --- fuzzy string join: multiplied customers keep the name FORMAT
+    # (zero-padded serials), so per-name neighbor counts — and hence
+    # true matches AND deletion-signature candidates — stay O(digits)
+    # regardless of the multiple: linear growth is the honest outcome.
+    cust_names = load_table(spark, SF_DIR, "customer").select("c_custkey")
+
+    def multiply_names(c: DataFrame, m: int) -> DataFrame:
+        off = 10_000_000
+        base = c
+        if m > 1:
+            base = c.crossJoin(
+                F.broadcast(
+                    c.sparkSession.range(m).select(F.col("id").alias("copy"))
+                )
+            ).select(
+                (F.col("c_custkey") + F.col("copy") * off).alias("c_custkey")
+            )
+        return base.select(
+            "c_custkey",
+            F.format_string("Customer#%09d", F.col("c_custkey")).alias("c_name"),
+        )
+
+    def fuzzy_del_op(c):
+        from kommunedata_data_pipeline_spark.operators.dedup import (
+            deletion_neighborhood_join,
+        )
+
+        return deletion_neighborhood_join(c, "c_custkey", "c_name")
+
+    # --- frontier BFS: disjoint graph copies with 3 sources PER COPY
+    # (u % copy-offset < 3), so the traversed region scales with the
+    # input instead of staying pinned to copy 0.
+    def bfs_op(e):
+        from kommunedata_data_pipeline_spark.operators.graph import bfs_levels
+
+        srcs = (
+            e.select(F.col("u").alias("node"))
+            .where(F.col("node") % 100_000_000 < 3)
+            .distinct()
+        )
+        return bfs_levels(
+            e.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            srcs,
+            5,
+            early_exit=False,
+        )
+
+    def assoc_op(e):
+        from kommunedata_data_pipeline_spark.operators.corpus import (
+            association_rules,
+        )
+
+        with_item = e.select(
+            F.col("user_id").alias("b"),
+            F.pmod(
+                F.get_json_object("props", "$.k").cast("bigint"), F.lit(50)
+            ).alias("item"),
+        )
+        return association_rules(with_item, "b", "item", 5, 5)
+
     results: dict[str, dict[int, float]] = {}
     rows_at: dict[str, dict[int, int]] = {
         "documents": {},
@@ -211,11 +271,18 @@ def main() -> None:
         em = multiply_events(events, m).localCheckpoint(eager=True)
         prm = multiply_edges(pr_edges, m, "src", "dst").localCheckpoint(eager=True)
         trm = multiply_edges(tri_edges, m, "u", "v").localCheckpoint(eager=True)
+        nm = multiply_names(cust_names, m).localCheckpoint(eager=True)
         rows_at["documents"][m] = dm.count()
         rows_at["events"][m] = em.count()
         rows_at["pr_edges"][m] = prm.count()
         rows_at["tri_edges"][m] = trm.count()
-        graph_ops = {"pagerank_5iter": (pagerank_op, prm), "triangle_count": (triangle_op, trm)}
+        graph_ops = {
+            "pagerank_5iter": (pagerank_op, prm),
+            "triangle_count": (triangle_op, trm),
+            "bfs_frontier_5": (bfs_op, trm),
+            "fuzzy_join_deletion": (fuzzy_del_op, nm),
+            "assoc_rules": (assoc_op, em),
+        }
         for name, op in list(doc_ops.items()) + list(event_ops.items()):
             src = dm if name in doc_ops else em
             best = None
@@ -258,6 +325,7 @@ def main() -> None:
         em.unpersist()
         prm.unpersist()
         trm.unpersist()
+        nm.unpersist()
 
     lines = [
         "# SCALING — measured operator scaling (structure-preserving synthetic multiples of sf0.1)",
