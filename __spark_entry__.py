@@ -7268,6 +7268,125 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synthetic_frame_sample(_t(spark, sf_dir, "documents"), 4)
 
 
+@_q(
+    "q_winsorize",
+    """
+    WITH pct AS (
+      SELECT event_type, quantile_cont(value, 0.05) AS p_lo,
+             quantile_cont(value, 0.95) AS p_hi
+      FROM events GROUP BY event_type
+    ),
+    c AS (
+      SELECT e.event_type, e.value AS v, p.p_lo, p.p_hi,
+             least(greatest(e.value, p.p_lo), p.p_hi) AS w
+      FROM events e JOIN pct p USING (event_type)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           round(any_value(p_lo), 6) AS p_lo,
+           round(any_value(p_hi), 6) AS p_hi,
+           round(CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS winsorized_sum
+    FROM c GROUP BY event_type
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization summary at [p05, p95]
+    (operators/statistics.py:winsorize_report): exact interpolated
+    clip bounds broadcast back onto the scan, strict clip counts, and
+    a DECIMAL-exact clipped sum — the heavy-tail tamer that keeps row
+    counts intact (unlike outlier dropping)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        winsorize_report,
+    )
+
+    return winsorize_report(
+        _t(spark, sf_dir, "events"), "event_type", "value", 0.05, 0.95
+    )
+
+
+@_q(
+    "q_seasonal_residuals",
+    """
+    WITH base AS (
+      SELECT event_type AS k, dayofweek(ts) AS dow, hour(ts) AS hod,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+               AS baseline
+      FROM events GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT e.event_type, e.event_id AS pid, e.value AS v,
+             round(b.baseline, 6) AS baseline,
+             round(e.value - b.baseline, 6) AS residual,
+             round(abs(e.value - b.baseline), 6) AS abs_res
+      FROM events e
+      JOIN base b ON b.k = e.event_type AND b.dow = dayofweek(e.ts)
+                 AND b.hod = hour(e.ts)
+    )
+    SELECT * FROM scored ORDER BY abs_res DESC, pid LIMIT 20
+    """,
+)
+def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly screen
+    (operators/timeseries.py:seasonal_residuals): top-20 observations
+    by deviation from their own (type, day-of-week, hour) cell mean.
+    The cell table broadcasts back onto the scan (never a data-sized
+    window); DECIMAL cell sums + one double division keep residuals
+    bit-identical across engines. (Engines label day-of-week
+    differently — irrelevant: cells only need to PARTITION rows the
+    same way, and they do.)"""
+    from kommunedata_data_pipeline_spark.operators.timeseries import (
+        seasonal_residuals,
+    )
+
+    return seasonal_residuals(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "value", "event_id", 20
+    )
+
+
+@_q(
+    "q_edit_join_k2",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey % 25 = 0
+    )
+    SELECT CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(a.c_custkey) AS BIGINT) AS sum_a,
+           CAST(sum(b.c_custkey) AS BIGINT) AS sum_b
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_edit_join_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ed-Join at k=2 (the general-k claim under driver evidence, not
+    just pytest): distance-2 pairs on the c_custkey % 25 slice, per
+    distance (count, key sums) vs the brute-force oracle — the k*q+1
+    prefix, 2-position band, and |len|<=2 filter must jointly lose
+    nothing."""
+    from kommunedata_data_pipeline_spark.operators.dedup import edit_distance_join
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 25 == 0)
+        .select("c_custkey", "c_name")
+    )
+    pairs = edit_distance_join(c, "c_custkey", "c_name", k=2, q=2)
+    return (
+        pairs.groupBy("edit_dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("id_a").cast("bigint").alias("sum_a"),
+            F.sum("id_b").cast("bigint").alias("sum_b"),
+        )
+        .orderBy("edit_dist")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

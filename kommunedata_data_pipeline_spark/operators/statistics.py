@@ -395,3 +395,52 @@ def benford_report(df: DataFrame, val_col: str) -> DataFrame:
             ).alias("dev"),
         )
     )
+
+
+def winsorize_report(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization summary: clip values to the exact
+    [p_lo, p_hi] interpolated percentiles and report, per key, the
+    clip counts and the winsorized sum — the standard heavy-tail
+    tamer for feature columns (unlike dropping outliers, clipping
+    keeps the row count, so downstream joins/weights stay intact).
+
+    Two passes, each one shuffle on the key: exact percentiles per key
+    (group-cardinality table, broadcast back onto the scan), then one
+    map-side-combinable aggregate of the clipped values. The clipped
+    value is either a stored double or the interpolated bound — both
+    engines compute the identical double — and the winsorized sum
+    accumulates in DECIMAL, so partitioning cannot move it. STRICT
+    outside-the-bound counts; rounded on emission only."""
+    pct = df.groupBy(key_col).agg(
+        F.expr(f"percentile({val_col}, {lo}D)").alias("p_lo"),
+        F.expr(f"percentile({val_col}, {hi}D)").alias("p_hi"),
+    )
+    clipped = df.join(F.broadcast(pct), key_col).select(
+        key_col,
+        F.col(val_col).alias("v"),
+        "p_lo",
+        "p_hi",
+        F.least(F.greatest(F.col(val_col), F.col("p_lo")), F.col("p_hi")).alias(
+            "w"
+        ),
+    )
+    return clipped.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("v") < F.col("p_lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("v") > F.col("p_hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.round(F.first("p_lo"), 6).alias("p_lo"),
+        F.round(F.first("p_hi"), 6).alias("p_hi"),
+        F.round(
+            F.sum(F.col("w").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("winsorized_sum"),
+    )

@@ -368,3 +368,56 @@ def rolling_median(
             F.expr(f"percentile({val_col}, 0.5D)").over(w), 6
         ).alias("roll_med"),
     )
+
+
+def seasonal_residuals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Seasonal-baseline anomaly screen: each observation's residual
+    against the mean of its own (key, day-of-week, hour) seasonal cell
+    — the seasonal-naive detrend that catches "this Tuesday 9am is
+    nothing like Tuesdays at 9" while ignoring ordinary daily rhythm.
+    Emits the ``top_k`` largest absolute residuals with a full
+    deterministic tie-break (rounded residual, unique id).
+
+    The cell-mean table is (keys × 168) rows — broadcast back onto the
+    scan, never a window over the data. Cross-engine exactness: cell
+    sums accumulate in DECIMAL (order-independent), the mean is ONE
+    double division, and the residual subtraction is the same double
+    op on the same operands on both engines."""
+    cell = [
+        F.dayofweek(ts_col).alias("dow"),
+        F.hour(ts_col).alias("hod"),
+    ]
+    base = (
+        df.groupBy(F.col(key_col).alias("k"), *cell)
+        .agg(
+            (
+                F.sum(F.col(val_col).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("baseline")
+        )
+    )
+    scored = (
+        df.select(
+            F.col(key_col).alias("k"),
+            *cell,
+            F.col(id_col).alias("pid"),
+            F.col(val_col).alias("v"),
+        )
+        .join(F.broadcast(base), ["k", "dow", "hod"])
+        .select(
+            F.col("k").alias(key_col),
+            "pid",
+            "v",
+            F.round("baseline", 6).alias("baseline"),
+            F.round(F.col("v") - F.col("baseline"), 6).alias("residual"),
+            F.round(F.abs(F.col("v") - F.col("baseline")), 6).alias("abs_res"),
+        )
+    )
+    return scored.orderBy(F.desc("abs_res"), "pid").limit(top_k)

@@ -640,3 +640,43 @@ def test_rolling_median_matches_python(spark):
         for i in range(len(vals))
     ]
     assert out == expect
+
+
+def test_winsorize_report_hand_case(spark):
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        winsorize_report,
+    )
+
+    # 11 values 0..10 -> p25=2.5, p75=7.5 (interpolated); 0,1,2 clip low,
+    # 8,9,10 clip high; winsorized sum = 2.5*3 + 3+4+5+6+7 + 7.5*3 = 55.0
+    rows = [("g", float(v)) for v in range(11)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = winsorize_report(df, "k", "v", 0.25, 0.75).collect()[0]
+    assert (out.n, out.n_clipped_low, out.n_clipped_high) == (11, 3, 3)
+    assert (out.p_lo, out.p_hi) == (2.5, 7.5)
+    assert out.winsorized_sum == 55.0
+
+
+def test_seasonal_residuals_cells_partition_correctly(spark):
+    from kommunedata_data_pipeline_spark.operators.timeseries import (
+        seasonal_residuals,
+    )
+
+    # same hour across two Mondays forms one cell (baseline 10);
+    # the 22.0 observation in the other cell is the top residual
+    rows = [
+        (1, "a", "2024-01-01 09:00:00", 8.0),    # Mon 9h
+        (2, "a", "2024-01-08 09:15:00", 12.0),   # Mon 9h (same cell)
+        (3, "a", "2024-01-01 10:00:00", 2.0),    # Mon 10h
+        (4, "a", "2024-01-08 10:30:00", 22.0),   # Mon 10h (same cell)
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, k string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = seasonal_residuals(df, "k", "ts", "v", "pid", 10).collect()
+    by_pid = {r.pid: r for r in out}
+    assert by_pid[1].baseline == 10.0 and by_pid[1].residual == -2.0
+    assert by_pid[4].baseline == 12.0 and by_pid[4].residual == 10.0
+    # ordered by |residual| desc: pid 4 (10.0) and pid 3 (-10.0) lead,
+    # tie broken by pid
+    assert [r.pid for r in out[:2]] == [3, 4]
