@@ -7387,6 +7387,54 @@ def q_edit_join_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_k_anonymity",
+    """
+    WITH classes AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bkt,
+             count(*) AS sz,
+             count(DISTINCT c_custkey % 7) AS lv
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           CAST(min(sz) AS BIGINT) AS min_class_size,
+           CAST(min(lv) AS BIGINT) AS min_l_diversity,
+           CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_k,
+           CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_below_k,
+           CAST(sum(CASE WHEN lv < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_l,
+           round(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) / sum(sz), 6)
+             AS suppression_rate
+    FROM classes
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit
+    (operators/statistics.py:k_anonymity_report) over customer
+    quasi-identifiers (segment, nation, account-balance bucket) with a
+    derived sensitive attribute: class counts, k=5 / l=2 violations,
+    and the suppression rate a k-anonymous release would pay. One
+    combinable groupBy; the class table is bounded by quasi-id
+    cardinality, never data-sized."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        k_anonymity_report,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias("bal_bkt"),
+        (F.col("c_custkey") % 7).alias("sens"),
+    )
+    return k_anonymity_report(
+        c, ["c_mktsegment", "c_nationkey", "bal_bkt"], "sens", 5, 2
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -444,3 +444,49 @@ def winsorize_report(
             F.sum(F.col("w").cast("decimal(18,6)")).cast("double"), 4
         ).alias("winsorized_sum"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    el: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier columns —
+    the release-gate check for any table leaving the pipeline: a row is
+    re-identifiable when its quasi-identifier combination is shared by
+    fewer than k rows, and attribute-disclosable when its equivalence
+    class holds fewer than l distinct sensitive values. One row out:
+    class counts, violating-class counts, the row-suppression rate a
+    k-anonymous release would need, and the minima actually attained.
+
+    One groupBy over the quasi columns (map-side combinable; the
+    equivalence-class table is bounded by the quasi-id cardinality,
+    not the data), with count_distinct(sensitive) riding the same
+    aggregate; the report reduces that table. Integer counts
+    end-to-end; the suppression rate is one rounded double division."""
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.count_distinct(sensitive_col).alias("lv"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.min("sz").cast("bigint").alias("min_class_size"),
+        F.min("lv").cast("bigint").alias("min_l_diversity"),
+        F.sum(F.when(F.col("sz") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_below_k"),
+        F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_below_k"),
+        F.sum(F.when(F.col("lv") < el, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_below_l"),
+        F.round(
+            F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0))
+            / F.sum("sz"),
+            6,
+        ).alias("suppression_rate"),
+    )

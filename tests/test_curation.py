@@ -680,3 +680,24 @@ def test_seasonal_residuals_cells_partition_correctly(spark):
     # ordered by |residual| desc: pid 4 (10.0) and pid 3 (-10.0) lead,
     # tie broken by pid
     assert [r.pid for r in out[:2]] == [3, 4]
+
+
+def test_k_anonymity_report_hand_case(spark):
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        k_anonymity_report,
+    )
+
+    # class (a,1): 3 rows, 2 sensitive values; class (b,2): 1 row (below
+    # k=2 AND below l=2); class (c,3): 2 rows, 1 sensitive value (l-violation)
+    rows = [
+        ("a", 1, "x"), ("a", 1, "y"), ("a", 1, "x"),
+        ("b", 2, "z"),
+        ("c", 3, "w"), ("c", 3, "w"),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s string")
+    out = k_anonymity_report(df, ["q1", "q2"], "s", 2, 2).collect()[0]
+    assert (out.n_classes, out.n_rows) == (3, 6)
+    assert (out.min_class_size, out.min_l_diversity) == (1, 1)
+    assert (out.classes_below_k, out.rows_below_k) == (1, 1)
+    assert out.classes_below_l == 2  # (b,2) and (c,3)
+    assert out.suppression_rate == round(1 / 6, 6)
