@@ -156,3 +156,62 @@ def test_sssp_hop_bound_is_semantic(spark):
     two = {r.node: r.dist for r in sssp_bounded(e, s, 2, 4).collect()}
     three = {r.node: r.dist for r in sssp_bounded(e, s, 3, 4).collect()}
     assert two[4] == 5 and three[4] == 3
+
+
+def test_bfs_and_sssp_random_dags_match_reference(spark):
+    """Randomized DAGs (seeded): frontier BFS and bounded Bellman-Ford
+    vs plain-Python references — covers multi-parent min-label merges,
+    unreachable islands, and label improvement chains the hand graphs
+    can't enumerate."""
+    import random
+
+    from kommunedata_data_pipeline_spark.operators.graph import (
+        bfs_levels,
+        sssp_bounded,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(8, 20)
+        edges = []
+        for u in range(n):
+            for v in range(u + 1, n):
+                if rng.random() < 0.25:
+                    edges.append((u, v, rng.randint(1, 9)))
+        if not edges:
+            continue
+        srcs = [0, rng.randrange(n)]
+        depth = rng.randint(1, 4)
+
+        lvl = {s: 0 for s in srcs}
+        frontier = set(srcs)
+        for d in range(1, depth + 1):
+            nxt = set()
+            for (u, v, _) in edges:
+                if u in frontier and v not in lvl:
+                    nxt.add(v)
+            for v in nxt:
+                lvl[v] = d
+            frontier = nxt
+
+        dist = {s: 0 for s in srcs}
+        fr = dict(dist)
+        for _ in range(depth):
+            nxt = {}
+            for (u, v, w) in edges:
+                if u in fr and fr[u] + w < min(dist.get(v, 1 << 60), nxt.get(v, 1 << 60)):
+                    nxt[v] = fr[u] + w
+            for v, c in nxt.items():
+                if c < dist.get(v, 1 << 60):
+                    dist[v] = c
+            fr = nxt
+
+        e = spark.createDataFrame(edges, "src long, dst long, w long")
+        s = spark.createDataFrame([(x,) for x in set(srcs)], "node long")
+        got_lvl = {
+            r.node: r.lvl
+            for r in bfs_levels(e.select("src", "dst"), s, depth, 4).collect()
+        }
+        assert got_lvl == lvl, (trial, depth)
+        got_dist = {r.node: r.dist for r in sssp_bounded(e, s, depth, 4).collect()}
+        assert got_dist == dist, (trial, depth)

@@ -459,3 +459,22 @@ def test_table_fingerprint_single_combine_no_shuffle_agg(spark):
     p = _plan(spark, "q_table_fingerprint")
     assert "HashAggregate" in p
     assert "Sort " not in p and "SortAggregate" not in p
+
+
+def test_winsorize_and_seasonal_stat_joins_broadcast(spark):
+    """Group-cardinality stat tables (percentile bounds, seasonal cell
+    means) must broadcast back onto the fact scan — never shuffle it."""
+    for name in ("q_winsorize", "q_seasonal_residuals"):
+        p = _plan(spark, name)
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+
+
+def test_assoc_rules_no_cartesian_no_basket_self_join(spark):
+    """Candidate pairs are generated map-side from packed basket
+    arrays: the plan must contain no CartesianProduct and no join
+    keyed on the basket id (the only joins are broadcast stat
+    attachments)."""
+    p = _plan(spark, "q_assoc_rules")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
