@@ -7435,6 +7435,61 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_interval_union",
+    """
+    WITH iv AS (
+      SELECT event_type AS k, epoch_us(ts) AS s,
+             epoch_us(ts) + 1800000000 AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT k, s, e,
+             max(e) OVER (PARTITION BY k ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM iv
+    ),
+    flagged AS (
+      SELECT k, s, e,
+             CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                  THEN 1 ELSE 0 END AS new_island
+      FROM marked
+    ),
+    islands AS (
+      SELECT k, s, e,
+             sum(new_island) OVER (PARTITION BY k ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    agg AS (
+      SELECT k, island, max(e) - min(s) AS len_us
+      FROM islands GROUP BY k, island
+    )
+    SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(len_us) AS BIGINT) AS covered_us
+    FROM agg GROUP BY k
+    """,
+)
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total covered time per event_type when each event spans 30
+    minutes (operators/timeseries.py:interval_union_length) —
+    union-of-intervals coverage, the statistic a naive duration sum
+    double-counts wherever sessions overlap. Gaps-and-islands on
+    integer microseconds; the exact complement to q_peak_concurrency's
+    sweep-line (how MUCH overlap vs how LONG anything was active)."""
+    from kommunedata_data_pipeline_spark.operators.timeseries import (
+        interval_union_length,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    return interval_union_length(
+        ev, "event_type", us, us + 1_800_000_000
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

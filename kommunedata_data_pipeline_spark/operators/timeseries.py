@@ -421,3 +421,61 @@ def seasonal_residuals(
         )
     )
     return scored.orderBy(F.desc("abs_res"), "pid").limit(top_k)
+
+
+def interval_union_length(
+    df: DataFrame,
+    key_col: str,
+    start_us: Column,
+    end_us: Column,
+) -> DataFrame:
+    """Per-key total length of the UNION of (possibly overlapping)
+    half-open intervals [start_us, end_us) — "how long was at least one
+    session active", the measure that naive sum-of-durations
+    double-counts. Gaps-and-islands on integer microseconds:
+
+    - order each key's intervals by (start, end);
+    - an interval starts a NEW island when its start exceeds the
+      running max of all previous ends (strictly later — touching
+      intervals merge, half-open semantics);
+    - island id = running sum of those new-island flags; per-island
+      coverage = max(end) − min(start); total = sum over islands.
+
+    Two windows over the same per-key sort (one sort pays for both) +
+    one aggregation. All integer microsecond arithmetic — exact on any
+    engine and partitioning. The per-key sort is the scale cost —
+    identical class to any per-key window analytic."""
+    w_prev = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = (
+        df.select(
+            F.col(key_col).alias("k"),
+            start_us.cast("bigint").alias("s"),
+            end_us.cast("bigint").alias("e"),
+        )
+        .withColumn("prev_max_e", F.max("e").over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+    )
+    islands = marked.groupBy("k", "island").agg(
+        (F.max("e") - F.min("s")).alias("len_us")
+    )
+    return islands.groupBy(F.col("k").alias(key_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("len_us").cast("bigint").alias("covered_us"),
+    )

@@ -701,3 +701,25 @@ def test_k_anonymity_report_hand_case(spark):
     assert (out.classes_below_k, out.rows_below_k) == (1, 1)
     assert out.classes_below_l == 2  # (b,2) and (c,3)
     assert out.suppression_rate == round(1 / 6, 6)
+
+
+def test_interval_union_length_hand_case(spark):
+    from kommunedata_data_pipeline_spark.operators.timeseries import (
+        interval_union_length,
+    )
+
+    # key a: [0,10) ∪ [5,12) merge -> 12; [20,25) separate -> 5; and a
+    # TOUCHING interval [12,15): half-open semantics merge it into the
+    # first island -> [0,15) = 15. total = 15 + 5 = 20, 2 islands.
+    # key b: nested [0,100) ⊃ [10,20) -> one island of 100.
+    rows = [
+        ("a", 0, 10), ("a", 5, 12), ("a", 12, 15), ("a", 20, 25),
+        ("b", 0, 100), ("b", 10, 20),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {
+        r.k: r
+        for r in interval_union_length(df, "k", F.col("s"), F.col("e")).collect()
+    }
+    assert (out["a"].n_islands, out["a"].covered_us) == (2, 20)
+    assert (out["b"].n_islands, out["b"].covered_us) == (1, 100)
