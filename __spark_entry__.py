@@ -7490,6 +7490,106 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_sliding_distinct",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM du),
+    contrib AS (
+      SELECT day + CAST(6 - i AS INT) AS win_day, user_id
+      FROM (SELECT day, user_id, unnest(range(0, 7)) AS i FROM du), bounds
+      WHERE day + CAST(6 - i AS INT) BETWEEN d0 AND d1
+    )
+    SELECT CAST(win_day AS VARCHAR) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+    FROM contrib GROUP BY win_day ORDER BY win_day
+    """,
+)
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct active users per day — the exact
+    twin of q_hll_daily's sketch-merge rollup. Sliding DISTINCT cannot
+    merge like sums, so each (day, user) contributes itself to the 7
+    window-days it falls in (bounded 7x explode of the already-deduped
+    daily table — NOT of raw events) and one distinct-count per window
+    day finishes it. Scale shape: daily dedup (combinable) -> 7x
+    day-spine explode -> two-phase distinct count; window length bounds
+    the blow-up, never the data."""
+    ev = _t(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    bounds = du.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    contrib = (
+        du.select(
+            "day", "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.date_add(F.col("day"), F.expr("6 - i")).alias("win_day"),
+            "user_id", "d0", "d1",
+        )
+        .where(F.col("win_day").between(F.col("d0"), F.col("d1")))
+    )
+    from kommunedata_data_pipeline_spark.operators.aggregates import (
+        distinct_count_two_phase,
+    )
+
+    out = distinct_count_two_phase(
+        contrib.select(F.col("win_day").cast("string").alias("day"), "user_id"),
+        "day",
+        "user_id",
+        "active_7d",
+    )
+    return out.orderBy("day")
+
+
+@_q(
+    "q_path_trigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT event_type AS e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3 LIMIT 15
+    """,
+)
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type TRIGRAM paths across per-user ordered streams —
+    sequence mining one order above q_event_transitions' bigram
+    matrix. Two lead() taps on ONE per-user window sort (unique
+    event_id tiebreak pins the order), then a combinable trigram
+    count; path vocabulary is |types|³-bounded, never data-sized."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type").over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(15)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
