@@ -7590,6 +7590,82 @@ def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_record_linkage",
+    """
+    WITH s AS (
+      SELECT c_custkey AS sid, c_name AS str, length(c_name) AS n FROM customer
+    ),
+    vi AS (SELECT sid, str, unnest(range(0, n + 1)) AS i FROM s),
+    v AS (
+      SELECT DISTINCT sid,
+             CASE WHEN i = 0 THEN str
+                  ELSE substr(str, 1, CAST(i AS INT) - 1)
+                       || substr(str, CAST(i AS INT) + 1)
+             END AS var
+      FROM vi
+    ),
+    cand AS (
+      SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+      FROM v a JOIN v b ON a.var = b.var AND a.sid < b.sid
+    ),
+    p AS (
+      SELECT id_a, id_b FROM cand
+      JOIN s sa ON sa.sid = id_a
+      JOIN s sb ON sb.sid = id_b
+      WHERE levenshtein(sa.str, sb.str) <= 1
+    ),
+    nn AS (SELECT count(*) AS n FROM customer),
+    sq1 AS (SELECT sum(c * c) AS sq_seg FROM
+            (SELECT count(*) AS c FROM customer GROUP BY c_mktsegment)),
+    sq2 AS (SELECT sum(c * c) AS sq_nat FROM
+            (SELECT count(*) AS c FROM customer GROUP BY c_nationkey)),
+    j AS (
+      SELECT p.id_a, p.id_b,
+             CAST(ca.c_mktsegment = cb.c_mktsegment AS INT)
+               AS agree_c_mktsegment,
+             CAST(ca.c_nationkey = cb.c_nationkey AS INT)
+               AS agree_c_nationkey,
+             round(
+               (CASE WHEN ca.c_mktsegment = cb.c_mktsegment
+                     THEN ln(0.875 / (sq_seg / (n * n)))
+                     ELSE ln(0.125 / (1 - sq_seg / (n * n))) END)
+               + (CASE WHEN ca.c_nationkey = cb.c_nationkey
+                       THEN ln(0.875 / (sq_nat / (n * n)))
+                       ELSE ln(0.125 / (1 - sq_nat / (n * n))) END),
+               6) AS score
+      FROM p
+      JOIN customer ca ON ca.c_custkey = id_a
+      JOIN customer cb ON cb.c_custkey = id_b
+      CROSS JOIN nn CROSS JOIN sq1 CROSS JOIN sq2
+    )
+    SELECT * FROM j ORDER BY score DESC, id_a, id_b LIMIT 20
+    """,
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage
+    (operators/dedup.py:linkage_scores): deletion-neighborhood name
+    candidates scored by per-field agreement log-likelihood weights,
+    with u-probabilities (random-pair agreement) estimated exactly
+    from value-frequency collision sums. Top-20 by score. m = 0.875 —
+    deliberately a dyadic rational so 1−m is the identical double on
+    both engines (0.9 would make the disagree weight differ in the
+    last ulp between Python float and SQL decimal subtraction)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        deletion_neighborhood_join,
+        linkage_scores,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    pairs = deletion_neighborhood_join(
+        c.select("c_custkey", "c_name"), "c_custkey", "c_name"
+    ).select("id_a", "id_b")
+    scored = linkage_scores(
+        pairs, c, "c_custkey", ["c_mktsegment", "c_nationkey"], 0.875
+    )
+    return scored.orderBy(F.desc("score"), "id_a", "id_b").limit(20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -937,3 +937,66 @@ def deletion_neighborhood_join(
         .where(F.col("edit_dist") >= 0)
         .select("id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist"))
     )
+
+
+def linkage_scores(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    fields: list[str],
+    m_prob: float = 0.9,
+) -> DataFrame:
+    """Fellegi–Sunter record-linkage scoring over candidate pairs: each
+    pair's log-likelihood-ratio score sums one weight per comparison
+    field — ln(m/u) when the field AGREES, ln((1−m)/(1−u)) when it
+    disagrees. ``m`` (P(agree | same entity)) is the supplied prior;
+    ``u`` (P(agree | random pair)) is ESTIMATED FROM THE DATA exactly:
+    u_f = Σ_v n_v² / n² over field f's value frequencies — the
+    collision probability of two random draws, computed as integer
+    sums with one double division.
+
+    This is the probabilistic layer on top of the blocking/similarity
+    joins (deletion-neighborhood, Ed-Join, LSH...): the string join
+    proposes candidates, the comparison VECTOR across independent
+    fields turns them into a calibrated match score. Scale shape: one
+    frequency aggregate per field (map-side combinable, reduces to a
+    ONE-ROW u-statistics frame broadcast onto the pairs), two
+    id-equi-joins to attach both sides' fields, and a narrow
+    whole-stage-codegen score expression. Scores are doubles built
+    from exact integer ratios, rounded on emission."""
+    n = records.agg(F.count(F.lit(1)).alias("n"))
+    u_aggs = []
+    for f in fields:
+        freq = records.groupBy(f).agg(F.count(F.lit(1)).alias("c"))
+        u_aggs.append(
+            freq.agg(F.sum(F.col("c") * F.col("c")).alias(f"sq_{f}"))
+        )
+    ustats = n
+    for ua in u_aggs:
+        ustats = ustats.crossJoin(F.broadcast(ua))
+    a_side = records.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f).alias(f"a_{f}") for f in fields],
+    )
+    b_side = records.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f).alias(f"b_{f}") for f in fields],
+    )
+    scored = (
+        pairs.join(a_side, "id_a")
+        .join(b_side, "id_b")
+        .crossJoin(F.broadcast(ustats))
+    )
+    score = F.lit(0.0)
+    out_cols = []
+    for f in fields:
+        agree = (F.col(f"a_{f}") == F.col(f"b_{f}")).cast("int")
+        u = F.col(f"sq_{f}") / (F.col("n") * F.col("n"))
+        w = F.when(
+            agree == 1, F.log(F.lit(m_prob) / u)
+        ).otherwise(F.log(F.lit(1.0 - m_prob) / (F.lit(1.0) - u)))
+        score = score + w
+        out_cols.append(agree.alias(f"agree_{f}"))
+    return scored.select(
+        "id_a", "id_b", *out_cols, F.round(score, 6).alias("score")
+    )

@@ -723,3 +723,29 @@ def test_interval_union_length_hand_case(spark):
     }
     assert (out["a"].n_islands, out["a"].covered_us) == (2, 20)
     assert (out["b"].n_islands, out["b"].covered_us) == (1, 100)
+
+
+def test_linkage_scores_hand_case(spark):
+    import math
+
+    from kommunedata_data_pipeline_spark.operators.dedup import linkage_scores
+
+    # 4 records; field f1: values x,x,y,y -> u = (4+4)/16 = 0.5;
+    # field f2: all distinct -> u = 4/16 = 0.25
+    recs = [
+        (1, "x", "p"), (2, "x", "q"), (3, "y", "r"), (4, "y", "s"),
+    ]
+    rdf = spark.createDataFrame(recs, "rid long, f1 string, f2 string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {
+        (r.id_a, r.id_b): r
+        for r in linkage_scores(pairs, rdf, "rid", ["f1", "f2"], 0.875).collect()
+    }
+    # (1,2): f1 agrees (w=ln(.875/.5)), f2 disagrees (w=ln(.125/.75))
+    expect_12 = round(math.log(0.875 / 0.5) + math.log(0.125 / 0.75), 6)
+    assert out[(1, 2)].agree_f1 == 1 and out[(1, 2)].agree_f2 == 0
+    assert out[(1, 2)].score == expect_12
+    # (1,3): both disagree
+    expect_13 = round(math.log(0.125 / 0.5) + math.log(0.125 / 0.75), 6)
+    assert out[(1, 3)].score == expect_13
+    assert out[(1, 2)].score > out[(1, 3)].score
