@@ -7666,6 +7666,56 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), "id_a", "id_b").limit(20)
 
 
+@_q(
+    "q_cusum_changepoint",
+    """
+    WITH s AS (
+      SELECT event_type AS k, ts, event_id AS pid,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ),
+    sc AS (
+      SELECT k, pid,
+             sum(v) OVER (PARTITION BY k ORDER BY ts, pid
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run,
+             row_number() OVER (PARTITION BY k ORDER BY ts, pid) AS i,
+             count(*) OVER (PARTITION BY k) AS n,
+             sum(v) OVER (PARTITION BY k) AS all_sum
+      FROM s
+    ),
+    t AS (
+      SELECT k, pid, i, n, abs(n * run - i * all_sum) AS a FROM sc
+    ),
+    r AS (
+      SELECT k, pid, i, n, a,
+             row_number() OVER (PARTITION BY k
+                                ORDER BY a DESC, pid DESC, i DESC) AS rn
+      FROM t
+    )
+    SELECT k AS event_type, CAST(n AS BIGINT) AS n, pid AS peak_id,
+           CAST(i AS BIGINT) AS peak_pos,
+           round(CAST(a AS DOUBLE) / n, 4) AS peak_cusum
+    FROM r WHERE rn = 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point locator per event_type
+    (operators/timeseries.py:cusum_changepoint): the position where
+    the cumulative deviation from the series mean peaks. The running
+    statistic is scaled by n (T_i = n·Σ_{j≤i}v − i·Σv) so the whole
+    walk is DECIMAL-exact with NO division until the one rounded
+    report value — decimal-division scale rules, the usual
+    cross-engine trap, never fire."""
+    from kommunedata_data_pipeline_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    return cusum_changepoint(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "value", "event_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

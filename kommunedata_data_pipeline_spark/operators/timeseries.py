@@ -479,3 +479,73 @@ def interval_union_length(
         F.count(F.lit(1)).cast("bigint").alias("n_islands"),
         F.sum("len_us").cast("bigint").alias("covered_us"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+) -> DataFrame:
+    """CUSUM change-point locator per key: walk the series in time
+    order accumulating (value − series mean); the position where the
+    cumulative deviation attains its maximum |S_i| is the classic
+    change-point estimate (before a level shift the partial sums drift
+    one way, after it they drift back — the elbow is the shift).
+    Emits per key: n, the peak |S|, and the timestamp/id at the peak.
+
+    Exactness: the per-key mean is subtracted as an exact DECIMAL
+    (sum/n in decimal micro-units — see below), the running sum is a
+    DECIMAL window cumsum (order-independent given the (ts, id) total
+    order), and the argmax is a struct max with the unique id as
+    tie-break. To avoid decimal-division scale drift between engines,
+    S_i is scaled by n: T_i = n·Σ_{j≤i} v_j − i·Σ_all v_j (integer
+    multiples of exact decimal sums — NO division anywhere until the
+    rounded report), which has its |max| at the same position as S_i.
+    One window sort per key + one aggregate."""
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "pid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("k")
+    scored = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("pid"),
+            F.col(val_col).cast("decimal(18,6)").alias("v"),
+        )
+        .withColumn("run", F.sum("v").over(w))
+        .withColumn("i", F.row_number().over(Window.partitionBy("k").orderBy("ts", "pid")))
+        .withColumn("n", F.count(F.lit(1)).over(tot))
+        .withColumn("all_sum", F.sum("v").over(tot))
+        .withColumn(
+            "t_scaled",
+            F.col("n") * F.col("run") - F.col("i") * F.col("all_sum"),
+        )
+    )
+    return (
+        scored.groupBy(F.col("k").alias(key_col))
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max(
+                F.struct(
+                    F.abs(F.col("t_scaled")).alias("a"),
+                    F.col("pid").alias("pid"),
+                    F.col("i").alias("i"),
+                )
+            ).alias("peak"),
+        )
+        .select(
+            key_col,
+            "n",
+            F.col("peak.pid").alias("peak_id"),
+            F.col("peak.i").cast("bigint").alias("peak_pos"),
+            # report S at the peak, unscaled: |T|/n — ONE double division
+            F.round(
+                F.col("peak.a").cast("double") / F.col("n"), 4
+            ).alias("peak_cusum"),
+        )
+    )

@@ -749,3 +749,25 @@ def test_linkage_scores_hand_case(spark):
     expect_13 = round(math.log(0.125 / 0.5) + math.log(0.125 / 0.75), 6)
     assert out[(1, 3)].score == expect_13
     assert out[(1, 2)].score > out[(1, 3)].score
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    from kommunedata_data_pipeline_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    # level shift at position 5: [0,0,0,0,0, 10,10,10,10,10]
+    # mean 5 -> partial deviations sum to -5,-10,...,-25 then back up:
+    # |CUSUM| peaks at position 5 (value -25)
+    rows = [
+        (i + 1, "g", f"2024-01-01 00:00:{i:02d}",
+         0.0 if i < 5 else 10.0)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, k string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = cusum_changepoint(df, "k", "ts", "v", "pid").collect()[0]
+    assert out.n == 10
+    assert out.peak_pos == 5 and out.peak_id == 5
+    assert out.peak_cusum == 25.0
