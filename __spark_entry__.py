@@ -5744,8 +5744,8 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), per AS (
       SELECT user_id, sid,
              first(event_type ORDER BY ts, event_id) AS first_type,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS converted
+             max(CASE WHEN event_type = 'purchase' AND value > 200
+                      THEN 1 ELSE 0 END) AS converted
       FROM sessions GROUP BY user_id, sid
     )
     SELECT first_type, count(*) AS n_sessions,
@@ -7714,6 +7714,74 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(
         _t(spark, sf_dir, "events"), "event_type", "ts", "value", "event_id"
     )
+
+
+@_q(
+    "q_ab_ztest",
+    """
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+               AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 200
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN arm = 0 AND converted = 1 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END) AS c1
+      FROM u
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+           CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+           round(c0 / n0, 6) AS rate0,
+           round(c1 / n1, 6) AS rate1,
+           round(c1 / n1 - c0 / n0, 6) AS lift,
+           round(CASE WHEN n0 > 0 AND n1 > 0
+                           AND (c0 + c1) / (n0 + n1) > 0
+                           AND (c0 + c1) / (n0 + n1) < 1
+                      THEN (c1 / n1 - c0 / n0)
+                           / sqrt((c0 + c1) / (n0 + n1)
+                                  * (1 - (c0 + c1) / (n0 + n1))
+                                  * (1 / n0 + 1 / n1)) END, 4) AS z
+    FROM a
+    """,
+)
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout
+    (operators/statistics.py:ab_proportions_ztest): users hash-split
+    into two arms (md5 parity — the deterministic cross-engine
+    assignment every experiment platform uses), conversion = any
+    purchase over 200; per-arm counts, rates, lift, and the
+    pooled-variance z statistic — all double expressions over exact
+    integer counts, computed once on the one-row aggregate."""
+    from kommunedata_data_pipeline_spark.functions.strings import md5_bigint
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        ab_proportions_ztest,
+    )
+
+    units = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 200),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.pmod(md5_bigint(F.col("user_id").cast("string")), F.lit(2)).alias(
+                "arm"
+            ),
+            "converted",
+        )
+    )
+    return ab_proportions_ztest(units)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -490,3 +490,48 @@ def k_anonymity_report(
             6,
         ).alias("suppression_rate"),
     )
+
+
+def ab_proportions_ztest(assignments: DataFrame) -> DataFrame:
+    """Two-sample proportions z-test over
+    ``assignments(unit, arm, converted)`` (arm/converted 0-or-1, one
+    row per experimental unit) — the A/B experiment readout: per-arm
+    counts and conversion rates, the pooled-variance z statistic, and
+    the absolute lift. The decision-support twin of
+    chi_square_independence (same contingency information, but the
+    directional statistic experimenters act on).
+
+    One map-side-combinable aggregate over the unit table (four
+    conditional integer sums); every rate/z is a double expression
+    over those exact integers — identical operands, identical IEEE
+    results on both engines, rounded on emission. sqrt/division happen
+    once on the one-row result, never per row."""
+    agg = assignments.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("converted") == 1), 1)
+              .otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("converted") == 1), 1)
+              .otherwise(0)).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pool = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    # degenerate designs (an empty arm, or 0%/100% pooled conversion)
+    # have no defined z — emit NULL instead of dividing by zero (ANSI
+    # mode rightly refuses the 0/0)
+    z = F.when(
+        (F.col("n0") > 0) & (F.col("n1") > 0) & (pool > 0) & (pool < 1),
+        (p1 - p0)
+        / F.sqrt(pool * (1 - pool) * (1 / F.col("n0") + 1 / F.col("n1"))),
+    )
+    return agg.select(
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("c0").cast("bigint").alias("c0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("c1").cast("bigint").alias("c1"),
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        F.round(p1 - p0, 6).alias("lift"),
+        F.round(z, 4).alias("z"),
+    )

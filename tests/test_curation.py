@@ -771,3 +771,33 @@ def test_cusum_changepoint_finds_level_shift(spark):
     assert out.n == 10
     assert out.peak_pos == 5 and out.peak_id == 5
     assert out.peak_cusum == 25.0
+
+
+def test_ab_proportions_ztest_hand_case(spark):
+    import math
+
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        ab_proportions_ztest,
+    )
+
+    # arm0: 4 units, 1 converted; arm1: 4 units, 3 converted
+    rows = [(0, 1), (0, 0), (0, 0), (0, 0), (1, 1), (1, 1), (1, 1), (1, 0)]
+    df = spark.createDataFrame(rows, "arm int, converted int")
+    out = ab_proportions_ztest(df).collect()[0]
+    assert (out.n0, out.c0, out.n1, out.c1) == (4, 1, 4, 3)
+    assert out.rate0 == 0.25 and out.rate1 == 0.75 and out.lift == 0.5
+    pool = 4 / 8
+    z = (0.75 - 0.25) / math.sqrt(pool * (1 - pool) * (1 / 4 + 1 / 4))
+    assert out.z == round(z, 4)
+
+
+def test_ab_ztest_degenerate_pool_yields_null_z(spark):
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        ab_proportions_ztest,
+    )
+
+    # everyone converts -> pooled variance 0 -> z must be NULL, not an
+    # ANSI division-by-zero error
+    df = spark.createDataFrame([(0, 1), (0, 1), (1, 1)], "arm int, converted int")
+    out = ab_proportions_ztest(df).collect()[0]
+    assert out.z is None and out.rate0 == 1.0 and out.rate1 == 1.0
