@@ -7784,6 +7784,72 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_proportions_ztest(units)
 
 
+@_q(
+    "q_grid_nn",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS pid, (c_custkey * 7919 + 13) % 10000 AS x,
+             (c_custkey * 104729 + 7) % 10000 AS y
+      FROM customer
+    ),
+    hub AS (
+      SELECT s_suppkey AS hid, (s_suppkey * 4409 + 3) % 10000 AS hx,
+             (s_suppkey * 9973 + 11) % 10000 AS hy
+      FROM supplier
+    ),
+    cand AS (
+      SELECT p.pid, h.hid,
+             (x - hx) * (x - hx) + (y - hy) * (y - hy) AS d2
+      FROM pts p JOIN hub h
+        ON abs(x - hx) <= 500 AND abs(y - hy) <= 500
+    ),
+    rk AS (
+      SELECT pid, hid, d2,
+             row_number() OVER (PARTITION BY pid ORDER BY d2, hid) AS rn
+      FROM cand
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count(r.hid) AS BIGINT) AS n_matched,
+           CAST(sum(r.d2) AS BIGINT) AS sum_d2,
+           CAST(max(r.d2) AS BIGINT) AS max_d2,
+           CAST(sum(p.pid * r.hid) AS BIGINT) AS link_checksum
+    FROM pts p LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r USING (pid)
+    """,
+)
+def q_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-indexed bounded-radius nearest neighbor
+    (operators/joins.py:grid_nearest): each customer (synthetic
+    integer plane coordinates) matched to its nearest supplier hub
+    within one 500-unit grid cell, or unmatched. The 9-cell hub
+    replication makes the candidate join a pure EQUI-join on cell keys
+    (the oracle brute-forces the same bounded search as a theta join);
+    integer squared distances + hub-id tie-break are engine-exact.
+    Reported as a coverage fingerprint (counts, distance sums, link
+    checksum)."""
+    from kommunedata_data_pipeline_spark.operators.joins import grid_nearest
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        F.expr("(c_custkey * 7919 + 13) % 10000").alias("x"),
+        F.expr("(c_custkey * 104729 + 7) % 10000").alias("y"),
+    )
+    hubs = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("hid"),
+        F.expr("(s_suppkey * 4409 + 3) % 10000").alias("hx"),
+        F.expr("(s_suppkey * 9973 + 11) % 10000").alias("hy"),
+    )
+    nn = grid_nearest(pts, hubs, 500)
+    return nn.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.count("hub_id").cast("bigint").alias("n_matched"),
+        F.sum("dist2").cast("bigint").alias("sum_d2"),
+        F.max("dist2").cast("bigint").alias("max_d2"),
+        F.sum(F.col("pid") * F.col("hub_id")).cast("bigint").alias(
+            "link_checksum"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -234,3 +234,86 @@ def skew_split_join(
     return hot_facts.join(F.broadcast(hot_dim), on, how).unionByName(
         cold_facts.join(dim, on, how)
     )
+
+
+def grid_nearest(
+    points: DataFrame,
+    hubs: DataFrame,
+    cell: int,
+) -> DataFrame:
+    """Bounded-radius nearest-neighbor join on an integer plane — the
+    grid-index spatial join: for each ``points(pid, x, y)`` row, the
+    nearest ``hubs(hid, hx, hy)`` within Chebyshev radius ``cell``
+    (one grid cell), or NULL when none is that close. The bounded
+    radius is part of the SEMANTICS (ask "which depot serves this
+    address", not "search the whole planet") — it is what makes the
+    grid plan exact: a hub within distance ``cell`` of a point ALWAYS
+    lands in one of the 9 cells around the point's cell, so the 9-cell
+    candidate join provably misses nothing.
+
+    Plan: hubs replicate into their 9 neighboring cells (bounded 9x
+    blow-up of the SMALL side), points join on their single cell key
+    (equi-join — never a distance theta-join), exact integer squared
+    distances filter and rank, and a struct-min picks the nearest with
+    hub id as tie-break. All-integer arithmetic end-to-end: exact on
+    any engine and partitioning. LEFT join keeps uncovered points
+    (NULL hub) — the coverage report is usually the point.
+    """
+    h9 = hubs.select(
+        "hid",
+        "hx",
+        "hy",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+            )
+        ).alias("o"),
+    ).select(
+        "hid",
+        "hx",
+        "hy",
+        (F.expr(f"hx div {cell}") + F.col("o.dx")).alias("cx"),
+        (F.expr(f"hy div {cell}") + F.col("o.dy")).alias("cy"),
+    )
+    p = points.select(
+        "pid",
+        "x",
+        "y",
+        F.expr(f"x div {cell}").alias("cx"),
+        F.expr(f"y div {cell}").alias("cy"),
+    )
+    cand = (
+        p.join(h9, ["cx", "cy"], "left")
+        .withColumn(
+            "d2",
+            (F.col("x") - F.col("hx")) * (F.col("x") - F.col("hx"))
+            + (F.col("y") - F.col("hy")) * (F.col("y") - F.col("hy")),
+        )
+        # Chebyshev-radius bound: |dx|<=cell AND |dy|<=cell
+        .withColumn(
+            "ok",
+            (F.abs(F.col("x") - F.col("hx")) <= cell)
+            & (F.abs(F.col("y") - F.col("hy")) <= cell),
+        )
+    )
+    return (
+        cand.groupBy("pid")
+        .agg(
+            F.first("x").alias("x"),
+            F.first("y").alias("y"),
+            F.min(
+                F.when(
+                    F.col("ok"),
+                    F.struct(F.col("d2").alias("d2"), F.col("hid").alias("hid")),
+                )
+            ).alias("best"),
+        )
+        .select(
+            "pid",
+            "x",
+            "y",
+            F.col("best.hid").alias("hub_id"),
+            F.col("best.d2").alias("dist2"),
+        )
+    )

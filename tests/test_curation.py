@@ -801,3 +801,41 @@ def test_ab_ztest_degenerate_pool_yields_null_z(spark):
     df = spark.createDataFrame([(0, 1), (0, 1), (1, 1)], "arm int, converted int")
     out = ab_proportions_ztest(df).collect()[0]
     assert out.z is None and out.rate0 == 1.0 and out.rate1 == 1.0
+
+
+def test_grid_nearest_matches_bruteforce(spark):
+    """Grid 9-cell candidate join vs brute-force bounded NN, on random
+    integer points incl. cell-boundary cases."""
+    import random
+
+    from kommunedata_data_pipeline_spark.operators.joins import grid_nearest
+
+    rng = random.Random(3)
+    cell = 10
+    pts = [(i, rng.randrange(100), rng.randrange(100)) for i in range(40)]
+    # include exact-boundary hubs (distance exactly = cell on one axis)
+    hubs = [(j, rng.randrange(100), rng.randrange(100)) for j in range(12)]
+    hubs += [(100, pts[0][1] + cell, pts[0][2]), (101, 0, 0)]
+
+    def brute(p):
+        best = None
+        for (hid, hx, hy) in hubs:
+            if abs(p[1] - hx) <= cell and abs(p[2] - hy) <= cell:
+                d2 = (p[1] - hx) ** 2 + (p[2] - hy) ** 2
+                k = (d2, hid)
+                if best is None or k < best:
+                    best = k
+        return best
+
+    pdf = spark.createDataFrame(pts, "pid long, x long, y long")
+    hdf = spark.createDataFrame(hubs, "hid long, hx long, hy long")
+    got = {
+        r.pid: (r.dist2, r.hub_id)
+        for r in grid_nearest(pdf, hdf, cell).collect()
+    }
+    for p in pts:
+        expect = brute(p)
+        if expect is None:
+            assert got[p[0]] == (None, None), p
+        else:
+            assert got[p[0]] == expect, p
