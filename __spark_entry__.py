@@ -7850,6 +7850,57 @@ def q_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DANISH_WORDS = [
+    "Aalborg", "Aarhus", "Ærø", "Ølgod", "Åbenrå", "Odense",
+    "Ikast", "Høje-Taastrup", "Vejle", "Skærbæk", "Østerbro", "Ålborg",
+]
+
+
+@_q(
+    "q_danish_collation",
+    """
+    WITH w AS (
+      SELECT CASE c_custkey % 12
+               WHEN 0 THEN 'Aalborg' WHEN 1 THEN 'Aarhus'
+               WHEN 2 THEN 'Ærø' WHEN 3 THEN 'Ølgod'
+               WHEN 4 THEN 'Åbenrå' WHEN 5 THEN 'Odense'
+               WHEN 6 THEN 'Ikast' WHEN 7 THEN 'Høje-Taastrup'
+               WHEN 8 THEN 'Vejle' WHEN 9 THEN 'Skærbæk'
+               WHEN 10 THEN 'Østerbro' ELSE 'Ålborg' END AS word
+      FROM customer
+    ),
+    g AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+    SELECT CAST(row_number() OVER (ORDER BY word COLLATE da, word) AS INT)
+             AS rnk,
+           word, CAST(n AS BIGINT) AS n
+    FROM g ORDER BY rnk
+    """,
+)
+def q_danish_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Danish-locale ICU collation (the reference's home domain): rank
+    municipality names under ``COLLATE da``, where å sorts LAST and —
+    the classic — 'Aa' in Aalborg collates as å, after Ø, not before
+    Odense. The rank VALUE pins the locale sort order into the
+    comparison (the driver hashes order-insensitively); Spark 4 ICU
+    locale collations vs DuckDB's ICU extension must agree letter for
+    letter. Binary tie-break after the collated key keeps tertiary-
+    equal strings deterministic."""
+    words = _t(spark, sf_dir, "customer").select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in _DANISH_WORDS]),
+            (F.col("c_custkey") % 12 + 1).cast("int"),
+        ).alias("word")
+    )
+    g = words.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return g.select(
+        F.expr(
+            "CAST(row_number() OVER (ORDER BY word COLLATE da, word) AS INT)"
+        ).alias("rnk"),
+        "word",
+        "n",
+    ).orderBy("rnk")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
