@@ -7901,6 +7901,52 @@ def q_danish_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rnk")
 
 
+@_q(
+    "q_random_projection",
+    """
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS d,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    h AS (
+      SELECT vec_id,
+             ('0x' || substr(md5('rp#' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+               AS hv,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      FROM ex
+    )
+    SELECT vec_id,
+           CAST(sum((1 - 2 * (CAST(floor(hv / 1) AS BIGINT) % 2)) * xi)
+                AS BIGINT) AS p0_micro,
+           CAST(sum((1 - 2 * (CAST(floor(hv / 2) AS BIGINT) % 2)) * xi)
+                AS BIGINT) AS p1_micro,
+           CAST(sum((1 - 2 * (CAST(floor(hv / 4) AS BIGINT) % 2)) * xi)
+                AS BIGINT) AS p2_micro,
+           CAST(sum((1 - 2 * (CAST(floor(hv / 8) AS BIGINT) % 2)) * xi)
+                AS BIGINT) AS p3_micro
+    FROM h GROUP BY vec_id
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random-sign projection of the embedding
+    table to 4 components
+    (operators/similarity.py:random_sign_projection) — the index-free
+    dimensionality reducer next to PCA (iterative) and int8
+    quantization (per-vector). md5-derived ±1 matrix over inputs
+    floor-quantized to integer micro-units (FLOAT→DECIMAL casts
+    diverge between engines — DuckDB goes through the shortest
+    round-trip string, Spark through the exact binary expansion — but
+    double multiply + floor never do); components are pure BIGINT
+    sums."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        random_sign_projection,
+    )
+
+    return random_sign_projection(_t(spark, sf_dir, "embeddings"), 4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

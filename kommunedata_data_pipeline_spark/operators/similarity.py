@@ -517,3 +517,48 @@ def pca_top_component(
         )
         .orderBy("pos")
     )
+
+
+def random_sign_projection(
+    embeddings: DataFrame, out_dims: int = 4, vec_col: str = "embedding"
+) -> DataFrame:
+    """Johnson–Lindenstrauss random-SIGN projection (Achlioptas): map
+    each embedding to ``out_dims`` components p_j = Σ_d sign(j,d)·v_d
+    where sign(j,d) = ±1 comes from bit j of an md5 hash of the input
+    dimension index — the sketch-sized, index-free dimensionality
+    reducer next to PCA (data-dependent, iterative) and int8
+    quantization (per-vector): distances are preserved in expectation
+    with no training pass at all.
+
+    Cross-engine exactness discipline: the ±1 matrix is md5-derived
+    (bit j = floor(h_d / 2^j) % 2 — the repo's bit convention), and
+    each input element is first quantized to INTEGER micro-units via
+    floor(x · 1e6) — double multiply + floor are bit-identical on both
+    engines, whereas casting a FLOAT to DECIMAL is NOT (DuckDB routes
+    through the float's shortest round-trip string, Spark through the
+    exact binary expansion — measured 10% of elements differing at
+    scale 9). Components are then pure BIGINT sums:
+    order/partitioning-independent by construction. Scale shape:
+    posexplode to (vec, dim) rows → ONE map-side-combinable groupBy
+    with out_dims conditional sums; dims is a constant factor, never a
+    join."""
+    from ..functions.strings import md5_bigint
+
+    ex = embeddings.select(
+        "vec_id",
+        F.posexplode(vec_col).alias("pos", "x"),
+    ).select(
+        "vec_id",
+        md5_bigint(F.concat(F.lit("rp#"), (F.col("pos") + 1).cast("string")))
+        .alias("h"),
+        F.floor(F.col("x").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("xi"),
+    )
+    aggs = []
+    for j in range(out_dims):
+        sign = 1 - 2 * (F.floor(F.col("h") / (2 ** j)) % 2)
+        aggs.append(
+            F.sum(sign * F.col("xi")).cast("bigint").alias(f"p{j}_micro")
+        )
+    return ex.groupBy("vec_id").agg(*aggs)
