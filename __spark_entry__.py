@@ -5744,8 +5744,8 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), per AS (
       SELECT user_id, sid,
              first(event_type ORDER BY ts, event_id) AS first_type,
-             max(CASE WHEN event_type = 'purchase' AND value > 200
-                      THEN 1 ELSE 0 END) AS converted
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
       FROM sessions GROUP BY user_id, sid
     )
     SELECT first_type, count(*) AS n_sessions,
