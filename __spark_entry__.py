@@ -7947,6 +7947,54 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_sign_projection(_t(spark, sf_dir, "embeddings"), 4)
 
 
+@_q(
+    "q_tree_rollup",
+    """
+    WITH RECURSIVE c AS (SELECT c_custkey AS u FROM customer),
+    up AS (
+      SELECT u AS descn, u AS anc, 0 AS dist FROM c
+      UNION ALL
+      SELECT descn, anc // 3 AS anc, dist + 1 FROM up
+      WHERE anc >= 1 AND dist < 16
+    ),
+    agg AS (
+      SELECT anc, count(*) AS subtree_n, sum(descn % 97) AS subtree_val
+      FROM up GROUP BY anc
+    )
+    SELECT anc, CAST(subtree_n AS BIGINT) AS subtree_n,
+           CAST(subtree_val AS BIGINT) AS subtree_val
+    FROM agg ORDER BY subtree_val DESC, anc LIMIT 20
+    """,
+)
+def q_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup over the ternary tree parent(u) =
+    u div 3 on the customer keyspace: per ancestor, the descendant
+    count and integer value sum, top-20. The Spark side builds the
+    ancestor-descendant closure by POINTER DOUBLING
+    (operators/graph.py:ancestor_pairs_doubling — 4 log-step
+    self-joins instead of 9 frontier rounds; the oracle walks each
+    chain upward with a recursive CTE). Exact integer values; in a
+    tree, paths are unique so the doubling min-dist is THE dist."""
+    from kommunedata_data_pipeline_spark.operators.graph import (
+        ancestor_pairs_doubling,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("u"))
+    parents = c.where(F.col("u") >= 1).select(
+        F.col("u").alias("child"), F.expr("u div 3").alias("parent")
+    )
+    pairs = ancestor_pairs_doubling(parents, 16)
+    return (
+        pairs.groupBy("anc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("subtree_n"),
+            F.sum(F.col("desc") % 97).cast("bigint").alias("subtree_val"),
+        )
+        .orderBy(F.desc("subtree_val"), "anc")
+        .limit(20)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -393,3 +393,71 @@ def _sssp_loop(
             if n_bound == 0:
                 break
     return dist.select("node", "dist")
+
+
+def ancestor_pairs_doubling(
+    parents: DataFrame, max_depth: int
+) -> DataFrame:
+    """All (ancestor, descendant) pairs of a forest ``parents(child,
+    parent)`` up to ``max_depth`` levels, by POINTER DOUBLING: round k
+    holds every pair at distance ≤ 2^k, and composing the relation
+    with itself doubles the reach — ceil(log2(depth)) joins instead of
+    depth frontier rounds. The third traversal shape next to
+    bfs_levels (linear rounds) and recursive CTEs (path enumeration):
+    the right tool when the graph is DEEP but the pair set is small
+    (trees/forests: n·depth pairs), because join count is logarithmic
+    in depth.
+
+    Per round: one self equi-join of the pair set (descendant side of
+    one onto ancestor side of the other), a union with the previous
+    set, and a distinct — eager-checkpointed with the loop-scoped
+    shuffle sizing the other iterative operators use. Self-pairs
+    (node, node, 0) are included so the composition is reflexive;
+    output is (anc, desc, dist) with exact integer distances
+    (min-dist under DAG sharing — in a forest paths are unique)."""
+    spark = parents.sparkSession
+    base = parents.select(
+        F.col("parent").cast("bigint").alias("anc"),
+        F.col("child").cast("bigint").alias("desc"),
+        F.lit(1).alias("dist"),
+    )
+    nodes = (
+        base.select(F.col("anc").alias("n"))
+        .unionAll(base.select(F.col("desc").alias("n")))
+        .distinct()
+    )
+    pairs = (
+        nodes.select(
+            F.col("n").alias("anc"), F.col("n").alias("desc"),
+            F.lit(0).alias("dist"),
+        )
+        .unionAll(base)
+    )
+    n_bound = _node_count_bound(base.select("anc", "desc"))
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(_adaptive_partitions(spark, n_bound * max_depth)))
+    try:
+        pairs = pairs.localCheckpoint(eager=True)
+        reach = 1
+        while reach < max_depth:
+            a = pairs.select(
+                F.col("anc"), F.col("desc").alias("mid"),
+                F.col("dist").alias("d1"),
+            )
+            b = pairs.select(
+                F.col("anc").alias("mid"), F.col("desc"),
+                F.col("dist").alias("d2"),
+            )
+            composed = a.join(b, "mid").select(
+                "anc", "desc", (F.col("d1") + F.col("d2")).alias("dist")
+            )
+            pairs = (
+                composed.groupBy("anc", "desc")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            reach *= 2
+        return pairs.where(F.col("dist") <= max_depth)
+    finally:
+        spark.conf.set(key, prev)

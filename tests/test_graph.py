@@ -215,3 +215,33 @@ def test_bfs_and_sssp_random_dags_match_reference(spark):
         assert got_lvl == lvl, (trial, depth)
         got_dist = {r.node: r.dist for r in sssp_bounded(e, s, depth, 4).collect()}
         assert got_dist == dist, (trial, depth)
+
+
+def test_ancestor_pairs_doubling_matches_reference(spark):
+    from kommunedata_data_pipeline_spark.operators.graph import (
+        ancestor_pairs_doubling,
+    )
+
+    # forest: a chain 1->2->3->4->5 (parent is the LOWER id) + a
+    # star 10->{11,12} + an isolated edge 20->21
+    parents = [(2, 1), (3, 2), (4, 3), (5, 4), (11, 10), (12, 10), (21, 20)]
+
+    def ref(max_depth):
+        par = {c: p for c, p in parents}
+        nodes = {n for e in parents for n in e}
+        out = {}
+        for n in nodes:
+            cur, d = n, 0
+            out[(n, n)] = 0
+            while cur in par and d < max_depth:
+                cur, d = par[cur], d + 1
+                out[(cur, n)] = d
+        return out
+
+    df = spark.createDataFrame(parents, "child long, parent long")
+    for depth in (1, 2, 16):
+        got = {
+            (r.anc, r.desc): r.dist
+            for r in ancestor_pairs_doubling(df, depth).collect()
+        }
+        assert got == ref(depth), depth
