@@ -7995,6 +7995,69 @@ def q_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_dbscan_classify",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS pid, (c_custkey * 7919 + 13) % 10000 AS x,
+             (c_custkey * 104729 + 7) % 10000 AS y
+      FROM customer
+    ),
+    neigh AS (
+      SELECT a.pid, b.pid AS qid
+      FROM pts a JOIN pts b
+        ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           <= 300 * 300
+    ),
+    core AS (
+      SELECT pid, count(*) >= 4 AS is_core FROM neigh GROUP BY pid
+    ),
+    nearc AS (
+      SELECT n.pid, max(CASE WHEN c.is_core THEN 1 ELSE 0 END)
+               AS has_core_nb
+      FROM neigh n JOIN core c ON c.pid = n.qid
+      WHERE n.pid <> n.qid GROUP BY n.pid
+    ),
+    cls AS (
+      SELECT p.pid,
+             CASE WHEN c.is_core THEN 'core'
+                  WHEN coalesce(nc.has_core_nb, 0) = 1 THEN 'border'
+                  ELSE 'noise' END AS cls
+      FROM pts p JOIN core c ON c.pid = p.pid
+      LEFT JOIN nearc nc ON nc.pid = p.pid
+    )
+    SELECT cls, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pid) AS BIGINT) AS pid_checksum
+    FROM cls GROUP BY cls ORDER BY cls
+    """,
+)
+def q_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density classification (core/border/noise at eps=300,
+    minPts=4) over the synthetic customer plane
+    (operators/joins.py:dbscan_classify) — the density step of
+    density-based clustering as grid equi-joins (cell = eps, 9-cell
+    replication: provably complete for the radius), vs the oracle's
+    brute-force theta join. Integer squared distances; class counts +
+    id checksums are engine-exact. (The core-graph components step is
+    dup_clusters' union-find.)"""
+    from kommunedata_data_pipeline_spark.operators.joins import dbscan_classify
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        F.expr("(c_custkey * 7919 + 13) % 10000").alias("x"),
+        F.expr("(c_custkey * 104729 + 7) % 10000").alias("y"),
+    )
+    out = dbscan_classify(pts, 300, 4)
+    return (
+        out.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pid").cast("bigint").alias("pid_checksum"),
+        )
+        .orderBy("cls")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -317,3 +317,79 @@ def grid_nearest(
             F.col("best.d2").alias("dist2"),
         )
     )
+
+
+def dbscan_classify(
+    points: DataFrame, eps: int, min_pts: int
+) -> DataFrame:
+    """DBSCAN point classification over ``points(pid, x, y)`` on an
+    integer plane: CORE (>= min_pts neighbors within Euclidean eps,
+    self included — the standard convention), BORDER (non-core with a
+    core point within eps), NOISE (neither). The density step of
+    DBSCAN as bounded-radius grid joins — the part that dominates cost
+    at scale (the final core-graph connected components is
+    dedup.dup_clusters' job).
+
+    Both joins use the grid-equi-join device of ``grid_nearest`` with
+    cell size = eps: one side replicates into its 9 neighboring cells,
+    so every pair within eps is provably co-keyed and the join is an
+    equi-join on cell ids — never an all-pairs theta join. Exact
+    integer squared distances against eps²; counts are integers, so
+    the classification is engine- and partitioning-exact."""
+    cell = eps
+    p = points.select(
+        "pid", "x", "y",
+        F.expr(f"x div {cell}").alias("cx"),
+        F.expr(f"y div {cell}").alias("cy"),
+    ).cache()
+    rep = p.select(
+        F.col("pid").alias("qid"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+            )
+        ).alias("o"),
+    ).select(
+        "qid", "qx", "qy",
+        (F.expr(f"qx div {cell}") + F.col("o.dx")).alias("cx"),
+        (F.expr(f"qy div {cell}") + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    neigh = (
+        p.join(rep, ["cx", "cy"])
+        .where(d2 <= eps * eps)
+        .select("pid", "qid")
+    )
+    core = (
+        neigh.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_eps"))
+        .select("pid", (F.col("n_eps") >= min_pts).alias("is_core"))
+    )
+    # border: a non-core point with at least one CORE neighbor (the
+    # neighbor pair list is reused — no second distance join)
+    core_q = core.select(
+        F.col("pid").alias("qid"), F.col("is_core").alias("q_core")
+    )
+    near_core = (
+        neigh.where(F.col("pid") != F.col("qid"))
+        .join(core_q, "qid")
+        .groupBy("pid")
+        .agg(F.max(F.col("q_core").cast("int")).alias("has_core_nb"))
+    )
+    return (
+        p.select("pid", "x", "y")
+        .join(core, "pid")
+        .join(near_core, "pid", "left")
+        .select(
+            "pid", "x", "y",
+            F.when(F.col("is_core"), "core")
+            .when(F.coalesce(F.col("has_core_nb"), F.lit(0)) == 1, "border")
+            .otherwise("noise")
+            .alias("cls"),
+        )
+    )

@@ -839,3 +839,37 @@ def test_grid_nearest_matches_bruteforce(spark):
             assert got[p[0]] == (None, None), p
         else:
             assert got[p[0]] == expect, p
+
+
+def test_dbscan_classify_matches_bruteforce(spark):
+    import random
+
+    from kommunedata_data_pipeline_spark.operators.joins import dbscan_classify
+
+    rng = random.Random(11)
+    # a dense cluster, a sparse pair, and isolated points
+    pts = [(i, 50 + rng.randrange(8), 50 + rng.randrange(8)) for i in range(8)]
+    pts += [(100, 200, 200), (101, 205, 203)]   # pair within eps of each other
+    pts += [(200, 400, 0), (201, 0, 400)]       # isolated
+    eps, min_pts = 10, 4
+
+    def brute():
+        out = {}
+        for (p, x, y) in pts:
+            nb = [q for (q, qx, qy) in pts
+                  if (x - qx) ** 2 + (y - qy) ** 2 <= eps * eps]
+            out[p] = ("core", nb) if len(nb) >= min_pts else (None, nb)
+        cls = {}
+        for p, (c, nb) in out.items():
+            if c == "core":
+                cls[p] = "core"
+            elif any(out[q][0] == "core" for q in nb if q != p):
+                cls[p] = "border"
+            else:
+                cls[p] = "noise"
+        return cls
+
+    df = spark.createDataFrame(pts, "pid long, x long, y long")
+    got = {r.pid: r.cls for r in dbscan_classify(df, eps, min_pts).collect()}
+    assert got == brute()
+    assert "core" in got.values() and "noise" in got.values()
