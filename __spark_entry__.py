@@ -8058,6 +8058,100 @@ def q_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_kmeans_step",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS pid, (c_custkey * 7919 + 13) % 10000 AS x,
+             (c_custkey * 104729 + 7) % 10000 AS y
+      FROM customer
+    ),
+    cent AS (
+      SELECT k,
+             ('0x' || substr(md5('kmx#' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS mx,
+             ('0x' || substr(md5('kmy#' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS my
+      FROM (SELECT unnest(range(0, 8)) AS k)
+    ),
+    assign AS (
+      SELECT pid, x, y, k, d2,
+             row_number() OVER (PARTITION BY pid ORDER BY d2, k) AS rn
+      FROM (
+        SELECT p.pid, p.x, p.y, c.k,
+               (p.x - c.mx) * (p.x - c.mx) + (p.y - c.my) * (p.y - c.my)
+                 AS d2
+        FROM pts p CROSS JOIN cent c
+      )
+    )
+    SELECT k, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(d2) AS BIGINT) AS inertia
+    FROM assign WHERE rn = 1 GROUP BY k ORDER BY k
+    """,
+)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd (k-means) step on the synthetic customer plane:
+    assign every point to its nearest of 8 md5-derived centroids
+    (integer squared distance, centroid-id tie-break) and emit each
+    cluster's SUFFICIENT STATISTICS — count, coordinate sums, inertia
+    — as exact integers (the new centroid is sum/n, a division the
+    CALLER does; emitting the sums keeps the oracle exact and is also
+    precisely what a distributed k-means shuffles). Plan: broadcast
+    the k-row centroid table onto the scan, min-struct assignment, one
+    combinable aggregate — the IVF assignment shape
+    (operators/similarity.py) with the update half added."""
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        F.expr("(c_custkey * 7919 + 13) % 10000").alias("x"),
+        F.expr("(c_custkey * 104729 + 7) % 10000").alias("y"),
+    )
+    from kommunedata_data_pipeline_spark.functions.strings import md5_bigint
+
+    cent = (
+        spark.range(8)
+        .select(
+            F.col("id").cast("int").alias("k"),
+            F.pmod(
+                md5_bigint(F.concat(F.lit("kmx#"), F.col("id").cast("string"))),
+                F.lit(10000),
+            ).alias("mx"),
+            F.pmod(
+                md5_bigint(F.concat(F.lit("kmy#"), F.col("id").cast("string"))),
+                F.lit(10000),
+            ).alias("my"),
+        )
+    )
+    d2 = (F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")) + (
+        F.col("y") - F.col("my")
+    ) * (F.col("y") - F.col("my"))
+    best = (
+        pts.crossJoin(F.broadcast(cent))
+        .select(
+            "pid", "x", "y",
+            F.struct(d2.alias("d2"), F.col("k").alias("k")).alias("s"),
+        )
+        .groupBy("pid")
+        .agg(
+            F.first("x").alias("x"),
+            F.first("y").alias("y"),
+            F.min("s").alias("best"),
+        )
+    )
+    return (
+        best.groupBy(F.col("best.k").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sum_x"),
+            F.sum("y").cast("bigint").alias("sum_y"),
+            F.sum("best.d2").cast("bigint").alias("inertia"),
+        )
+        .select(F.col("k").cast("bigint").alias("k"), "n", "sum_x", "sum_y", "inertia")
+        .orderBy("k")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
