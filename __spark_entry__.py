@@ -8152,6 +8152,162 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_naive_bayes",
+    """
+    WITH tr AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    te AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1
+    ),
+    trt AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS t FROM tr
+    ),
+    trtok AS (SELECT lang, t FROM trt WHERE t <> ''),
+    classes AS (SELECT DISTINCT lang AS c FROM tr),
+    vocab AS (SELECT count(DISTINCT t) AS v FROM trtok),
+    ctotal AS (SELECT lang AS c, count(*) AS tok_c FROM trtok GROUP BY lang),
+    prior AS (
+      SELECT lang AS c,
+             CAST(floor(1000000 * ln(
+               count(*) * 1.0 / (SELECT count(*) FROM tr))) AS BIGINT)
+               AS prior_micro
+      FROM tr GROUP BY lang
+    ),
+    tc AS (
+      SELECT t, lang AS c, count(*) AS cnt FROM trtok GROUP BY t, lang
+    ),
+    logp AS (
+      SELECT tc.t, tc.c,
+             CAST(floor(1000000 * ln(
+               (tc.cnt + 1) * 1.0 / (ct.tok_c + vocab.v))) AS BIGINT)
+               AS lp
+      FROM tc JOIN ctotal ct ON ct.c = tc.c CROSS JOIN vocab
+    ),
+    dflt AS (
+      SELECT ct.c,
+             CAST(floor(1000000 * ln(1.0 / (ct.tok_c + vocab.v))) AS BIGINT)
+               AS lp0
+      FROM ctotal ct CROSS JOIN vocab
+    ),
+    tet AS (
+      SELECT doc_id, lang AS true_lang, unnest(string_split(text, ' ')) AS t
+      FROM te
+    ),
+    tetok AS (SELECT doc_id, true_lang, t FROM tet WHERE t <> ''),
+    scored AS (
+      SELECT k.doc_id, k.true_lang, k.c,
+             sum(coalesce(l.lp, d.lp0)) AS tok_score
+      FROM (SELECT doc_id, true_lang, t, c FROM tetok CROSS JOIN classes) k
+      LEFT JOIN logp l ON l.t = k.t AND l.c = k.c
+      JOIN dflt d ON d.c = k.c
+      GROUP BY k.doc_id, k.true_lang, k.c
+    ),
+    total AS (
+      SELECT s.doc_id, s.true_lang, s.c,
+             s.tok_score + p.prior_micro AS score
+      FROM scored s JOIN prior p ON p.c = s.c
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, c AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, c) AS rn
+      FROM total
+    )
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY true_lang, pred_lang ORDER BY true_lang, pred_lang
+    """,
+)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multinomial Naive Bayes, end to end: train
+    Laplace-smoothed token-class statistics on even doc_ids, classify
+    odd doc_ids, emit the confusion matrix. The engine-exactness trick
+    is INTEGER LOG-MICRO scores — every ln() of an exact-integer ratio
+    is floored to micro-units BEFORE summation, so per-document score
+    sums are integer (order/partition-independent) and the argmax
+    (score desc, class asc) is pinned. Scale shape: train stats are
+    map-side-combinable counts reducing to a (vocab × classes) table;
+    classification is one bounded ×|classes| explode + a left join
+    onto the stats + one combinable sum. (Synthetic word-salad langs
+    are not separable — the CLASSIFIER's distributed exactness is
+    what's under test, not accuracy.)"""
+    docs = _t(spark, sf_dir, "documents")
+    tr = docs.where(F.col("doc_id") % 2 == 0)
+    te = docs.where(F.col("doc_id") % 2 == 1)
+    trtok = tr.select(
+        "lang", F.explode(F.split("text", " ")).alias("t")
+    ).where(F.col("t") != "")
+    classes = tr.select(F.col("lang").alias("c")).distinct()
+    vocab = trtok.agg(F.count_distinct("t").alias("v"))
+    ctotal = trtok.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).alias("tok_c")
+    )
+    n_tr = tr.agg(F.count(F.lit(1)).alias("n_docs"))
+    prior = (
+        tr.groupBy(F.col("lang").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_c"))
+        .crossJoin(F.broadcast(n_tr))
+        .select(
+            "c",
+            F.floor(
+                1000000 * F.log(F.col("n_c") * 1.0 / F.col("n_docs"))
+            ).cast("bigint").alias("prior_micro"),
+        )
+    )
+    tc = trtok.groupBy("t", F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    logp = (
+        tc.join(F.broadcast(ctotal), "c")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "t", "c",
+            F.floor(
+                1000000
+                * F.log((F.col("cnt") + 1) * 1.0 / (F.col("tok_c") + F.col("v")))
+            ).cast("bigint").alias("lp"),
+        )
+    )
+    dflt = (
+        ctotal.crossJoin(F.broadcast(vocab))
+        .select(
+            "c",
+            F.floor(
+                1000000 * F.log(1.0 / (F.col("tok_c") + F.col("v")))
+            ).cast("bigint").alias("lp0"),
+        )
+    )
+    tetok = te.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split("text", " ")).alias("t"),
+    ).where(F.col("t") != "")
+    scored = (
+        tetok.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(logp), ["t", "c"], "left")
+        .join(F.broadcast(dflt), "c")
+        .groupBy("doc_id", "true_lang", "c")
+        .agg(F.sum(F.coalesce("lp", "lp0")).alias("tok_score"))
+        .join(F.broadcast(prior), "c")
+        .select(
+            "doc_id", "true_lang", "c",
+            (F.col("tok_score") + F.col("prior_micro")).alias("score"),
+        )
+    )
+    pred = (
+        scored.groupBy("doc_id", "true_lang")
+        .agg(F.min(F.struct((-F.col("score")).alias("neg"), F.col("c").alias("c"))).alias("b"))
+        .select("true_lang", F.col("b.c").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
