@@ -8308,6 +8308,84 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_bootstrap_ci",
+    """
+    WITH reps AS (SELECT unnest(range(0, 32)) AS b),
+    w AS (
+      SELECT r.b, e.value,
+             CASE (('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '#'
+                    || CAST(r.b AS VARCHAR)), 1, 8))::BIGINT) % 8
+               WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0
+               WHEN 3 THEN 1 WHEN 4 THEN 1 WHEN 5 THEN 1
+               WHEN 6 THEN 2 ELSE 3 END AS wt
+      FROM events e CROSS JOIN reps r
+    ),
+    means AS (
+      SELECT b,
+             CAST(sum(CAST(value AS DECIMAL(18,6)) * wt) AS DOUBLE)
+               / sum(wt) AS m
+      FROM w GROUP BY b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           round(min(m), 6) AS lo,
+           round(quantile_cont(m, 0.5), 6) AS mid,
+           round(max(m), 6) AS hi,
+           round(quantile_cont(m, 0.05), 6) AS p05,
+           round(quantile_cont(m, 0.95), 6) AS p95
+    FROM means
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean(value) — the
+    bootstrap that scales (no per-resample pass over the data): each
+    of 32 replicates weights every row by a DETERMINISTIC
+    pseudo-Poisson(1) weight from md5(event_id, replicate)
+    (0/1/2/3 at 3:3:1:1 eighths), so all replicates reduce in ONE
+    combinable aggregate over a bounded ×32 map-side explode.
+    Weighted sums accumulate in DECIMAL (partitioning cannot move
+    them); one double division per replicate; the CI summarizes the
+    32-row means table. Deterministic end to end — the oracle
+    recomputes the identical resamples."""
+    ev = _t(spark, sf_dir, "events")
+    from kommunedata_data_pipeline_spark.functions.strings import md5_bigint
+
+    h = F.pmod(
+        md5_bigint(
+            F.concat(
+                F.col("event_id").cast("string"), F.lit("#"),
+                F.col("b").cast("string"),
+            )
+        ),
+        F.lit(8),
+    )
+    wt = (
+        F.when(h <= 2, 0).when(h <= 5, 1).when(h == 6, 2).otherwise(3)
+    )
+    means = (
+        ev.select("event_id", "value")
+        .crossJoin(F.broadcast(spark.range(32).select(F.col("id").alias("b"))))
+        .select("b", "value", wt.alias("wt"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)") * F.col("wt")).cast(
+                    "double"
+                )
+                / F.sum("wt")
+            ).alias("m")
+        )
+    )
+    return means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.round(F.min("m"), 6).alias("lo"),
+        F.round(F.expr("percentile(m, 0.5D)"), 6).alias("mid"),
+        F.round(F.max("m"), 6).alias("hi"),
+        F.round(F.expr("percentile(m, 0.05D)"), 6).alias("p05"),
+        F.round(F.expr("percentile(m, 0.95D)"), 6).alias("p95"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
