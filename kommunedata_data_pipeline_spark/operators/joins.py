@@ -336,12 +336,18 @@ def dbscan_classify(
     equi-join on cell ids — never an all-pairs theta join. Exact
     integer squared distances against eps²; counts are integers, so
     the classification is engine- and partitioning-exact."""
+    from .dedup import one_slot_cached
+
     cell = eps
-    p = points.select(
-        "pid", "x", "y",
-        F.expr(f"x div {cell}").alias("cx"),
-        F.expr(f"y div {cell}").alias("cy"),
-    ).cache()
+    p = one_slot_cached(
+        f"dbscan:{eps}",
+        points,
+        lambda: points.select(
+            "pid", "x", "y",
+            F.expr(f"x div {cell}").alias("cx"),
+            F.expr(f"y div {cell}").alias("cy"),
+        ),
+    )
     rep = p.select(
         F.col("pid").alias("qid"),
         F.col("x").alias("qx"),
