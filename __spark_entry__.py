@@ -1111,6 +1111,38 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_minhash_index_update",
+    f"""
+    WITH {_LSH_PAIRS_CTES}
+    SELECT doc_a, doc_b, est_jaccard FROM lsh_pairs
+    WHERE doc_a % 10 >= 8 OR doc_b % 10 >= 8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_minhash_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup: the 20% of documents with doc_id%10>=8
+    arrive as a fresh batch and are deduped against the stored band-table
+    index of the other 80% (operators/dedup.py:minhash_index_update) —
+    signatures are computed for the NEW batch only, candidates come from
+    a band-key equi-join against the index plus the batch's self-join
+    (reference precedent: the J2 anti-join against sink state,
+    scraper.py:210-222, lifted to the MinHash level). The oracle is the
+    full-rebuild LSH pair set restricted to pairs with a new member —
+    update-then-query must equal rebuild exactly."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_index_update,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 10 < 8)
+    new = d.where(F.col("doc_id") % 10 >= 8)
+    index = minhash_band_table(old, 3, 16, 4)
+    pairs, _updated = minhash_index_update(new, index, 3, 16, 4, 0.5)
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+@_q(
     "q_dup_clusters",
     f"""
     WITH RECURSIVE {_LSH_PAIRS_CTES},

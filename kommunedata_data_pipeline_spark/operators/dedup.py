@@ -414,16 +414,20 @@ def _cached_signatures(documents: DataFrame, k: int, num_hashes: int) -> DataFra
     return sigs
 
 
-def minhash_candidate_pairs(
+def minhash_band_table(
     documents: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """Banded LSH candidate pairs with both signatures attached
-    (doc_a, doc_b, sig_a, sig_b) — the shared sub-quadratic front end of
-    `minhash_lsh_pairs` (verify-by-signature) and
-    `minhash_accuracy_audit` (verify-by-exact-set)."""
+    """(doc_id, sig, band, bkey) — the banded LSH INDEX representation:
+    one row per (doc, band) keyed by the md5 of that band's signature
+    slots. This is both the self-join front end of the batch dedup
+    queries and the PERSISTED table an incremental pipeline stores
+    between runs (see `minhash_index_update`): band keys depend only on
+    the document's own text and the (k, num_hashes, bands) config, so
+    rows written by one run join correctly against rows written by any
+    later run."""
     r = num_hashes // bands
     sigs = _cached_signatures(documents, k, num_hashes)
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         "sig",
         F.explode(
@@ -440,6 +444,16 @@ def minhash_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
+def minhash_candidate_pairs(
+    documents: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Banded LSH candidate pairs with both signatures attached
+    (doc_a, doc_b, sig_a, sig_b) — the shared sub-quadratic front end of
+    `minhash_lsh_pairs` (verify-by-signature) and
+    `minhash_accuracy_audit` (verify-by-exact-set)."""
+    banded = minhash_band_table(documents, k, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -453,6 +467,87 @@ def minhash_candidate_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def minhash_index_update(
+    new_docs: DataFrame,
+    index_df: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dedup of a NEW document batch against an
+    already-indexed corpus — the operation a production pipeline runs
+    per ingest instead of re-shingling everything it has ever seen
+    (reference precedent: the J2 anti-join of fresh listings against
+    sink state, scraper.py:210-222, lifted from exact URLs to the
+    MinHash level).
+
+    ``index_df`` is a stored `minhash_band_table` ((doc_id, sig, band,
+    bkey) — what the previous runs persisted). Returns ``(pairs,
+    updated_index)``:
+
+    - ``pairs``: verified near-dup pairs (doc_a < doc_b, est_jaccard >=
+      threshold) where AT LEAST ONE side is in ``new_docs`` — both
+      new-vs-index (an equi-join of the new batch's band rows against
+      the stored band table; the index is NEVER re-shingled or
+      self-joined) and new-vs-new (the fresh batch may duplicate
+      itself);
+    - ``updated_index``: ``index_df`` plus the new batch's band rows —
+      the table the caller persists for the next run.
+
+    Update-then-query ≡ full rebuild: band keys are pure functions of
+    each document's text, so the pairs returned here are EXACTLY the
+    full-rebuild `minhash_lsh_pairs` output restricted to pairs with a
+    new member (pinned by pytest and the driver oracle).
+
+    Scale shape: signatures/banding cost O(new batch) only; the join
+    against the index is a band-key equi-join (shuffle sized by the new
+    batch's band rows — AQE can broadcast a small batch against a huge
+    index); verify is slot comparison on candidates. The stored index
+    grows by num_bands rows/doc, the same asymptotics any LSH store
+    pays."""
+    new_bands = minhash_band_table(new_docs, k, num_hashes, bands)
+    ni = (
+        new_bands.alias("a")
+        .join(index_df.alias("b"), ["band", "bkey"])
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.sig"))
+            .otherwise(F.col("b.sig"))
+            .alias("sig_a"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.sig"))
+            .otherwise(F.col("a.sig"))
+            .alias("sig_b"),
+        )
+    )
+    nn = (
+        new_bands.alias("a")
+        .join(new_bands.alias("b"), ["band", "bkey"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(num_hashes)),
+        6,
+    )
+    pairs = (
+        ni.unionByName(nn)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+    return pairs, index_df.unionByName(new_bands)
 
 
 def minhash_accuracy_audit(

@@ -873,3 +873,47 @@ def test_dbscan_classify_matches_bruteforce(spark):
     got = {r.pid: r.cls for r in dbscan_classify(df, eps, min_pts).collect()}
     assert got == brute()
     assert "core" in got.values() and "noise" in got.values()
+
+
+def test_minhash_index_update_equals_full_rebuild(spark):
+    """Incremental dedup invariant: building an index over the old
+    corpus, then updating with a new batch, must yield (a) exactly the
+    full-rebuild LSH pairs that involve a new document and (b) an
+    updated index identical to the band table built from scratch over
+    old + new."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_index_update,
+        minhash_lsh_pairs,
+    )
+    from kommunedata_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 10 < 8)
+    new = docs.where(F.col("doc_id") % 10 >= 8)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    assert new_ids, "split must leave a non-empty new batch"
+
+    index = minhash_band_table(old, 3, 16, 4)
+    pairs, updated = minhash_index_update(new, index, 3, 16, 4, 0.5)
+
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard for r in pairs.collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, 3, 16, 4, 0.5).collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+    assert got == full
+    # every returned pair involves a new document
+    assert all(a in new_ids or b in new_ids for a, b in got)
+
+    rebuilt = minhash_band_table(docs, 3, 16, 4)
+    got_idx = sorted(
+        ((r["doc_id"], r["band"], r["bkey"], tuple(r["sig"])) for r in updated.collect())
+    )
+    want_idx = sorted(
+        ((r["doc_id"], r["band"], r["bkey"], tuple(r["sig"])) for r in rebuilt.collect())
+    )
+    assert got_idx == want_idx
