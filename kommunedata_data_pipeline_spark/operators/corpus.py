@@ -256,9 +256,11 @@ def unigram_surprisal(
     measured 10 parquet scans / 0 reused exchanges in the r5 plan,
     the likely source of the r5 bench regression flagged in VERDICT #2).
     """
-    from .dedup import one_slot_cached
+    from .dedup import _ensure_parallel, one_slot_cached
 
-    tok = documents.select(
+    # the tokenize explode is produced twice map-side (hot and cold
+    # paths) and must not be bound to a narrow input partitioning
+    tok = _ensure_parallel(documents).select(
         "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     )
     vocab = one_slot_cached(

@@ -44,7 +44,9 @@ def bm25_topk(
     # per-(doc, marker) counts carry dl (= sum over markers) AND tf
     # (= the non-null marker rows). Without this, doclen and tf would
     # each re-run the normalize+explode over the corpus.
-    toks = documents.select(
+    from .dedup import _ensure_parallel
+
+    toks = _ensure_parallel(documents).select(
         "doc_id",
         F.explode(F.split(normalized_text(F.col("text")), " ")).alias("w"),
     )
