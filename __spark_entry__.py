@@ -3768,6 +3768,103 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_sql_scripting",
+    """
+    SELECT CAST(r.r_regionkey AS INT) AS rk,
+           CAST(count(c.c_custkey) AS BIGINT) AS cnt
+    FROM region r
+    LEFT JOIN nation n ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY rk ORDER BY rk
+    """,
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4.0 BEGIN/DECLARE/WHILE procedural blocks,
+    SQL:2016 PSM) — the engine-surface sibling of q_pipe_syntax and
+    q_recursive_cte: a WHILE loop over the region count accumulates
+    per-region customer counts into an ARRAY<STRUCT> session variable
+    (one scalar subquery per iteration) and the final SELECT explodes
+    it. The oracle is the declarative one-GROUP-BY equivalent — the
+    scripted control flow must land on exactly the set-oriented answer.
+    Control-flow-per-group is NOT the 100 TB shape (the GROUP BY is);
+    this query exists to pin that the procedural surface works and
+    agrees."""
+    for t in ("region", "nation", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"scr_{t}")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n_reg INT;
+          DECLARE i INT = 0;
+          DECLARE accs ARRAY<STRUCT<rk: INT, cnt: BIGINT>> = array();
+          SET n_reg = (SELECT count(*) FROM scr_region);
+          WHILE i < n_reg DO
+            SET accs = array_append(accs, named_struct(
+              'rk', i,
+              'cnt', (SELECT count(*) FROM scr_customer c
+                      JOIN scr_nation n ON c.c_nationkey = n.n_nationkey
+                      WHERE n.n_regionkey = i)));
+            SET i = i + 1;
+          END WHILE;
+          SELECT s.rk AS rk, s.cnt AS cnt
+          FROM (SELECT explode(accs) AS s) ORDER BY rk;
+        END
+        """
+    )
+
+
+@_q(
+    "q_dup_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, len(toks) AS n_tokens, i AS s, i + 4 AS e,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4] AS gram
+      FROM t, UNNEST(range(1, len(toks) - 3)) AS r(i)
+      WHERE len(toks) >= 5
+    ),
+    hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    d AS (SELECT g.* FROM g JOIN hot USING (gram)),
+    m AS (
+      SELECT doc_id, n_tokens, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM d
+    ),
+    b AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax + 1
+                         THEN 1 ELSE 0 END AS brk FROM m),
+    i2 AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS UNBOUNDED PRECEDING) AS isl FROM b),
+    sp AS (SELECT doc_id, isl, min(n_tokens) AS n_tokens,
+                  min(s) AS ss, max(e) AS ee
+           FROM i2 GROUP BY doc_id, isl)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(ee - ss + 1) AS BIGINT) AS dup_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(ee - ss + 1) AS BIGINT) * 1.0 / min(n_tokens), 6)
+             AS dup_ratio
+    FROM sp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage LOCALIZATION (Lee et al.-style
+    substring dedup): per document, the maximal token spans whose every
+    5-gram occurs >= 2 times in the corpus, merged gaps-and-islands
+    style per doc (operators/corpus.py:duplicated_spans). The span
+    answer ("cut THESE tokens") complements the doc-level near-dup
+    queries ("drop THESE docs"); integer span bounds make it
+    engine-exact."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        duplicated_spans,
+    )
+
+    return duplicated_spans(
+        _t(spark, sf_dir, "documents"), n=5, min_count=2
+    ).orderBy("doc_id")
+
+
+@_q(
     "q_contamination",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -8163,21 +8260,31 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("my"),
         )
     )
-    d2 = (F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")) + (
-        F.col("y") - F.col("my")
-    ) * (F.col("y") - F.col("my"))
-    best = (
-        pts.crossJoin(F.broadcast(cent))
-        .select(
-            "pid", "x", "y",
-            F.struct(d2.alias("d2"), F.col("k").alias("k")).alias("s"),
-        )
-        .groupBy("pid")
-        .agg(
-            F.first("x").alias("x"),
-            F.first("y").alias("y"),
-            F.min("s").alias("best"),
-        )
+    # one-row broadcast centroid ARRAY + map-side array_min assignment
+    # (the exact IVF shape, similarity.py:build_ivf_lists): the r5 form
+    # crossJoined the k-row table and re-grouped by pid — a full N*k-row
+    # shuffle the map-side min makes unnecessary; now the only shuffle
+    # is the k-group sufficient-statistics aggregate.
+    carr = cent.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("k"), F.col("mx"), F.col("my")))
+        ).alias("cents")
+    )
+    best = pts.crossJoin(F.broadcast(carr)).select(
+        "x",
+        "y",
+        F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    (
+                        (F.col("x") - c["mx"]) * (F.col("x") - c["mx"])
+                        + (F.col("y") - c["my"]) * (F.col("y") - c["my"])
+                    ).alias("d2"),
+                    c["k"].alias("k"),
+                ),
+            )
+        ).alias("best"),
     )
     return (
         best.groupBy(F.col("best.k").alias("k"))
@@ -8326,7 +8433,11 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("t") != "")
     scored = (
         tetok.crossJoin(F.broadcast(classes))
-        .join(F.broadcast(logp), ["t", "c"], "left")
+        # no broadcast HINT on logp: it is (vocab x classes) rows —
+        # unbounded in corpus size — so forcing it driver-side is a
+        # scale hazard; AQE broadcasts it when it measures small and
+        # shuffle-joins when the vocabulary is genuinely large
+        .join(logp, ["t", "c"], "left")
         .join(F.broadcast(dflt), "c")
         .groupBy("doc_id", "true_lang", "c")
         .agg(F.sum(F.coalesce("lp", "lp0")).alias("tok_score"))

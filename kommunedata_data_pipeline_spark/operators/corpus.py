@@ -469,3 +469,111 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def duplicated_spans(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-passage LOCALIZATION: per document, the maximal
+    token spans whose every n-gram occurs at least ``min_count`` times
+    in the whole corpus — the distributed core of exact-substring
+    training-data dedup (find the repeated passages, then cut or
+    downweight them), the span-level complement of the doc-level
+    near-dup queries (which docs) and ngram_novelty (how much).
+
+    Output: one row per document owning at least one duplicated span —
+    (doc_id, n_spans, dup_tokens, n_tokens, dup_ratio), with dup_tokens
+    the union size of the spans (each span counts its tokens once even
+    where source n-grams overlap).
+
+    Plan: tokenize once per doc; enumerate (start, gram) pairs map-side
+    (the per-doc n-gram explode — spread first, it multiplies rows by
+    document length); one map-side-combinable gram-frequency aggregate;
+    an equi-join of the gram stream against the >=min_count gram keys
+    (semi-join — only the hot grams' keys travel); then a per-document
+    gaps-and-islands merge (window partitioned BY DOC — never a global
+    sort) folds overlapping/adjacent duplicated n-grams [s, s+n-1] into
+    maximal intervals. Everything shuffles on gram or doc_id keys;
+    counts and span bounds are integers, so the output is engine-exact
+    (the one double, dup_ratio, is a single division rounded on
+    emission)."""
+    from .dedup import _ensure_parallel
+
+    toks = _ensure_parallel(documents).select(
+        "doc_id", tokens(F.col(text_col)).alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.posexplode(word_ngrams_from_tokens(F.col("toks"), n)).alias(
+            "start0", "gram"
+        ),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("start0") + 1).alias("s"),
+        (F.col("start0") + n).alias("e"),
+        "gram",
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("gram")
+    )
+    dup = grams.join(hot, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.select(
+        "doc_id",
+        "n_tokens",
+        "s",
+        "e",
+        F.when(
+            prev_max_end.isNull() | (F.col("s") > prev_max_end + 1), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    islands = marked.withColumn(
+        "isl", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("doc_id", "isl").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.min("s").alias("span_s"),
+        F.max("e").alias("span_e"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.col("span_e") - F.col("span_s") + 1)
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.first("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("dup_tokens") * 1.0 / F.col("n_tokens"), 6),
+        )
+    )
+
+
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """`word_ngrams` over an already-tokenized array column (0-based
+    positions come from the caller's posexplode)."""
+    m = F.size(toks)
+    return F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i, n)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))

@@ -217,3 +217,39 @@ def test_association_rules_hand_case(spark):
     # rules are directional: (b,a) exists with its own confidence
     assert out[("b", "a")].confidence == round(2 / 3, 6)
     assert ("a", "c") in out and out[("a", "c")].n_ab == 2
+
+
+def test_duplicated_spans_exact_bounds(spark):
+    """Constructed corpus: docs 1 and 2 share a 7-token passage (every
+    5-gram of it repeats), doc 3 is unique. Spans must carry exact
+    merged bounds: 7 shared tokens -> three 5-grams -> one island of
+    union size 7 per sharing doc."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        duplicated_spans,
+    )
+
+    shared = "a1 b2 c3 d4 e5 f6 g7"
+    df = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {shared} x3 x4"),
+            (2, f"y1 {shared} y2 y3 y4"),
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in duplicated_spans(df, n=5, min_count=2).collect()}
+    assert set(rows) == {1, 2}
+    for doc_id, r in rows.items():
+        assert r.n_spans == 1
+        assert r.dup_tokens == 7
+    assert rows[1].n_tokens == 11
+    assert rows[2].n_tokens == 11
+    # within-doc repetition also counts toward min_count
+    df2 = spark.createDataFrame(
+        [(9, "p q r s t u p q r s t u")],  # 12 tokens, passage repeats
+        "doc_id long, text string",
+    )
+    r9 = duplicated_spans(df2, n=5, min_count=2).collect()
+    # "p q r s t" and "q r s t u" repeat (positions 1..6 vs 7..12 eh:
+    # 5-grams at starts 1,2,7,8 repeat pairwise) -> islands merge
+    assert len(r9) == 1 and r9[0].dup_tokens > 0
