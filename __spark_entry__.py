@@ -8678,12 +8678,40 @@ _R5_DRIVER_CHECKED = frozenset(
     }
 )
 
+# Queries whose round-6 driver row is green (hash_match) — all 50 of
+# CORRECTNESS_r06.json. With this tier in place the round-7 window
+# leads with q_cms_heavy_hitters (the single remaining r2-latest row,
+# VERDICT r6 #2) followed by the r3-latest cohort, now the oldest.
+_R6_DRIVER_CHECKED = frozenset(
+    {
+        "q_ab_ztest", "q_analytic_ranks", "q_array_ops",
+        "q_bloom_membership", "q_bootstrap_ci", "q_bpe_token_count",
+        "q_chunk_documents", "q_committee_hunt", "q_contamination",
+        "q_corr_regr", "q_cusum_changepoint", "q_danish_collation",
+        "q_dbscan_classify", "q_distinct_two_phase", "q_dup_spans",
+        "q_edit_distance_topk", "q_embedding_near_dup",
+        "q_full_outer_days", "q_funnel_stages", "q_grid_nn",
+        "q_grouping_sets", "q_hll_registers", "q_kmeans_step",
+        "q_media_meta", "q_minhash_index_update", "q_mixture_epochs",
+        "q_naive_bayes", "q_ngram_novelty", "q_pack_sequences",
+        "q_percentiles", "q_pii_scrub", "q_random_projection",
+        "q_repetition_score", "q_retention_cohorts",
+        "q_rolling_fingerprint", "q_salted_agg", "q_sample_bernoulli",
+        "q_sample_stratified", "q_scd2_apply", "q_sketch_distinct",
+        "q_sql_scripting", "q_stats_moments", "q_stream_dedup",
+        "q_stream_enrich", "q_stream_stateful", "q_tfidf_top_terms",
+        "q_token_zipf", "q_tree_rollup", "q_unpivot_metrics",
+        "q_window_frames",
+    }
+)
+
 _ALL_CHECK_ROUNDS = (
     _R1_DRIVER_CHECKED,
     _R2_DRIVER_CHECKED,
     _R3_DRIVER_CHECKED,
     _R4_DRIVER_CHECKED,
     _R5_DRIVER_CHECKED,
+    _R6_DRIVER_CHECKED,
 )
 
 
@@ -8699,17 +8727,16 @@ def _latest_round(name: str) -> int:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's ~50-row check window lands on the queries that most
-    need a fresh row. Round-6 order (per VERDICT r5 #1): (1) the 10
-    queries with NO driver row in ANY round (registered after the r5
-    window: q_cusum_changepoint … q_bootstrap_ci); (2) the restored
-    q_grouping_sets, whose only matching-semantics row is r2-era; (3)
-    everything else by ascending latest-checked round (r2-stale rows
-    before r3, r3 before r4, r4 before r5), registration order within a
-    tier. The tier computation is generic over _ALL_CHECK_ROUNDS so
-    adding a round's frozenset is the ONLY per-round maintenance —
-    the r4/r5 staleness bug (a hand-written union that stopped one
-    round short) cannot recur by omission."""
-    restored = ["q_grouping_sets"]
+    need a fresh row: (1) queries with NO driver row in ANY round
+    (new registrations this round); (2) everything else by ascending
+    latest-checked round, registration order within a tier. Round-7
+    window therefore leads with the r7-new queries, then
+    q_cms_heavy_hitters (sole r2-latest row, VERDICT r6 #2), then the
+    r3-latest cohort. The tier computation is generic over
+    _ALL_CHECK_ROUNDS so adding a round's frozenset is the ONLY
+    per-round maintenance — the r4/r5 staleness bug (a hand-written
+    union that stopped one round short) cannot recur by omission."""
+    restored: list[str] = []
     never = [
         n for n in _SPARK if _latest_round(n) == 0 and n not in restored
     ]
