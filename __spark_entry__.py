@@ -2975,6 +2975,64 @@ def q_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_ivf_index_update",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS c_embedding
+      FROM embeddings WHERE vec_id % 10 < 8
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    asg AS (
+      SELECT e.vec_id, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_ivf_cos_sql('e.embedding', 'c.c_embedding')} DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    )
+    SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
+           min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec
+    FROM asg WHERE rn = 1
+    GROUP BY centroid_id ORDER BY centroid_id
+    """,
+)
+def q_ivf_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF ingest (the inverted-list sibling of
+    q_ann_index_update): centroids are FROZEN from the 80% old corpus
+    (train once, assign forever — the Faiss add() discipline); the 20%
+    new batch is assigned map-side against the broadcast centroid
+    array and spliced into the stored assignment table
+    (operators/similarity.py:ivf_index_update). The oracle is the
+    full-rebuild assignment of ALL vectors under the same frozen
+    centroids, summarized per inverted list — update-then-assign must
+    equal rebuild exactly."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assignment_table,
+        ivf_index_update,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    old = e.where(F.col("vec_id") % 10 < 8)
+    new = e.where(F.col("vec_id") % 10 >= 8)
+    cents = deterministic_centroids(old, 16)
+    index = ivf_assignment_table(old, cents)
+    updated = ivf_index_update(new, index, cents)
+    return (
+        updated.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+@_q(
     "q_rolling_fingerprint",
     f"""
     WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),

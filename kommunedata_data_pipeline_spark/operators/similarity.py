@@ -429,18 +429,7 @@ def ivf_topk(
     exactly the IVF trade-off (Faiss-style) expressed relationally. No
     dedup needed: every vector lives in exactly one list."""
     cents = deterministic_centroids(embeddings, n_centroids)
-    carr = cents.agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("centroid_id"), F.col("c_embedding")))
-        ).alias("cents")
-    )
-    lists = embeddings.crossJoin(F.broadcast(carr)).select(
-        "vec_id",
-        "embedding",
-        nearest_centroid(F.col("embedding"), F.col("cents"))["cid"].alias(
-            "centroid_id"
-        ),
-    )
+    lists = ivf_assignment_table(embeddings, cents)
     probes = (
         queries.crossJoin(F.broadcast(cents))
         .select(
@@ -481,6 +470,51 @@ def ivf_topk(
         .select(query_id, "vec_id", "cosine_sim", "rank")
         .orderBy(query_id, "rank")
     )
+
+
+def ivf_assignment_table(
+    embeddings: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """(vec_id, embedding, centroid_id) — the IVF inverted-lists INDEX
+    representation: every vector assigned to its nearest centroid by
+    the map-side broadcast-array fold (`nearest_centroid` — zero
+    shuffles regardless of corpus size). ``centroids`` is a
+    (centroid_id, c_embedding) table; pass the SAME frozen centroids at
+    build and at every later `ivf_index_update` — IVF trains once and
+    assigns forever (the Faiss add() discipline), so assignment rows
+    written by different runs are directly comparable."""
+    carr = centroids.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("centroid_id"), F.col("c_embedding")))
+        ).alias("cents")
+    )
+    return embeddings.select("vec_id", "embedding").crossJoin(
+        F.broadcast(carr)
+    ).select(
+        "vec_id",
+        "embedding",
+        nearest_centroid(F.col("embedding"), F.col("cents"))["cid"].alias(
+            "centroid_id"
+        ),
+    )
+
+
+def ivf_index_update(
+    new_vecs: DataFrame, index_df: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Incremental IVF ingest — the inverted-list sibling of
+    `ann_index_update`: assign ONLY the new batch to the frozen
+    centroids (map-side, zero shuffles) and splice the rows into the
+    stored assignment table, replacing any re-ingested vec_ids' stale
+    rows (anti-join on vec_id, then union). Returns the updated
+    (vec_id, embedding, centroid_id) table; update-then-assign ≡
+    full rebuild with the same centroids, pinned by pytest and the
+    driver oracle. At 100 TB the ingest batch never touches the stored
+    lists except through the doc-sized anti-join."""
+    base = index_df.join(
+        new_vecs.select("vec_id").distinct(), "vec_id", "left_anti"
+    )
+    return base.unionByName(ivf_assignment_table(new_vecs, centroids))
 
 
 def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:

@@ -1009,3 +1009,30 @@ def test_ann_index_update_equals_full_rebuild(spark):
         (r["vec_id"], r["band"], r["bkey"]) for r in rebuilt.collect()
     )
     assert got_idx == want_idx
+
+
+def test_ivf_index_update_equals_full_rebuild(spark):
+    """Frozen-centroid IVF ingest: assigning only the new batch and
+    splicing it into the stored lists must equal assigning the whole
+    corpus from scratch under the SAME centroids — including when new
+    vec_ids re-ingest ids already indexed with different vectors."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assignment_table,
+        ivf_index_update,
+    )
+    from kommunedata_data_pipeline_spark.sources.readers import load_table
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    old = vecs.where(F.col("vec_id") % 10 < 8)
+    new = vecs.where(F.col("vec_id") % 10 >= 8)
+    cents = deterministic_centroids(old, 16)
+    stale = new.select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    index = ivf_assignment_table(old.unionByName(stale), cents)
+    updated = ivf_index_update(new, index, cents)
+    rebuilt = ivf_assignment_table(vecs, cents)
+    got = sorted((r["vec_id"], r["centroid_id"]) for r in updated.collect())
+    want = sorted((r["vec_id"], r["centroid_id"]) for r in rebuilt.collect())
+    assert got == want
