@@ -4034,6 +4034,102 @@ def q_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_curation_e2e",
+    f"""
+    WITH kept AS (
+      SELECT doc_id, text FROM documents
+      WHERE (CASE WHEN len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+                                       t -> list_contains({_EN_SW}, t))) = 0
+                   AND len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+                                       t -> list_contains({_DA_SW}, t))) = 0
+                  THEN 'unknown'
+                  WHEN len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+                                       t -> list_contains({_EN_SW}, t)))
+                    >= len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+                                       t -> list_contains({_DA_SW}, t)))
+                  THEN 'en' ELSE 'da' END) <> 'unknown'
+        AND {_QUALITY_SQL} >= 0.71
+    ),
+    ded AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                                  ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    ),
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM ded),
+    g AS (
+      SELECT doc_id, i AS s, i + 4 AS e,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4] AS gram
+      FROM t, UNNEST(range(1, len(toks) - 3)) AS r(i)
+      WHERE len(toks) >= 5
+    ),
+    hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    d AS (SELECT g.* FROM g JOIN hot USING (gram)),
+    m AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM d
+    ),
+    b AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax + 1
+                         THEN 1 ELSE 0 END AS brk FROM m),
+    i2 AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS UNBOUNDED PRECEDING) AS isl FROM b),
+    sp AS (SELECT doc_id, isl, min(s) AS ss, max(e) AS ee
+           FROM i2 GROUP BY doc_id, isl),
+    tp AS (SELECT doc_id, i AS p, toks[i] AS tok
+           FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+    keep AS (
+      SELECT tp.doc_id, tp.p, tp.tok FROM tp
+      LEFT JOIN sp ON tp.doc_id = sp.doc_id AND tp.p BETWEEN sp.ss AND sp.ee
+      WHERE sp.doc_id IS NULL
+    ),
+    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                   count(*) AS n_keep
+            FROM keep GROUP BY doc_id)
+    SELECT t2.doc_id,
+           coalesce(agg.clean_text, '') AS clean_text,
+           CAST(len(t2.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t2.toks) - coalesce(agg.n_keep, 0) AS BIGINT)
+             AS n_cut_tokens
+    FROM t AS t2 LEFT JOIN agg ON t2.doc_id = agg.doc_id
+    ORDER BY t2.doc_id
+    """,
+)
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation chain — the pipeline a pretraining-data
+    build actually runs, composed from the registered operators in the
+    production order: language-ID filter (drop 'unknown') → composite
+    quality threshold (>= 0.71) → exact dedup (lowest doc_id per
+    normalized-text fingerprint) → duplicated-span CUT over the
+    surviving corpus (5-gram, min_count 2 — span frequencies counted
+    among survivors, which is the corpus the model would train on).
+    Emits the cleaned corpus (doc_id, clean_text, n_tokens,
+    n_cut_tokens). Every stage is the same operator the standalone
+    queries pin, so this row going red localizes to a composition bug,
+    not an operator bug. Scale shape: two narrow filters (pure
+    map-side), one fingerprint window, then the span-cut's gram
+    aggregate + doc_id join — nothing quadratic anywhere."""
+    from kommunedata_data_pipeline_spark.functions.text import (
+        lang_guess,
+        quality_score,
+    )
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        cut_duplicated_spans,
+    )
+    from kommunedata_data_pipeline_spark.operators.dedup import dedup_exact
+
+    d = _t(spark, sf_dir, "documents")
+    kept = d.where(lang_guess(F.col("text")) != "unknown").where(
+        quality_score(F.col("text")) >= 0.71
+    )
+    ded = dedup_exact(kept).select("doc_id", "text")
+    return cut_duplicated_spans(ded, n=5, min_count=2).orderBy("doc_id")
+
+
+@_q(
     "q_contamination",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
