@@ -3957,9 +3957,11 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-passage LOCALIZATION (Lee et al.-style
-    substring dedup): per document, the maximal token spans whose every
-    5-gram occurs >= 2 times in the corpus, merged gaps-and-islands
-    style per doc (operators/corpus.py:duplicated_spans). The span
+    substring dedup): per document, the maximal token intervals formed
+    as the union of all corpus-duplicated 5-gram occurrences (every
+    token covered by a >=2x gram; overlapping/touching occurrences
+    merge — see the ADVICE-r6 note in operators/corpus.py:
+    duplicated_spans), merged gaps-and-islands style per doc. The span
     answer ("cut THESE tokens") complements the doc-level near-dup
     queries ("drop THESE docs"); integer span bounds make it
     engine-exact."""
