@@ -19,6 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# (path, mtime)-keyed cache of the one-off schema probe below: the
+# probe is a driver-side file listing + parquet footer read (~0.1 s),
+# and every streaming query pays it on EVERY construction — 26 times
+# per bench run over the same immutable file. The mtime key invalidates
+# on testdata regeneration; the cache holds schemas only (no DataFrames,
+# nothing session-pinned).
+_EVENTS_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet.
 
@@ -29,8 +38,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror whatever it reports, then normalize ts to session-zone
     TIMESTAMP exactly like readers.load_table does for the batch path.
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    path = f"{sf_dir}/events.parquet"
+    key = (path, os.path.getmtime(path))
+    probe = _EVENTS_SCHEMA_CACHE.get(key)
+    if probe is None:
+        _EVENTS_SCHEMA_CACHE.clear()
+        probe = spark.read.parquet(path).schema
+        _EVENTS_SCHEMA_CACHE[key] = probe
     raw = (
         spark.readStream.schema(probe)
         .format("parquet")
