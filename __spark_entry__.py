@@ -1143,6 +1143,96 @@ def q_minhash_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_stream_ingest_dedup",
+    f"""
+    WITH {_LSH_PAIRS_CTES}
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM lsh_pairs)
+    ORDER BY doc_id
+    """,
+)
+def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental-ingest dedup, end to end: the documents
+    table arrives as a 3-batch file stream (maxFilesPerTrigger=1);
+    every micro-batch is near-deduped against the PERSISTED band-table
+    index via minhash_index_update (signatures for the batch only, one
+    band-key equi-join against the store), survivors land exactly once
+    (ST2 anti-join vs the landed catalog), and the index is persisted
+    between batches (streaming/ingest.py). The drop rule — duplicate
+    iff near-dup of ANY smaller-id document ever seen — matches pure
+    batch SQL (full-rebuild LSH pairs; landed = docs never appearing
+    as doc_b) because the index stores every ingested doc's band rows
+    AND batches arrive in id order (id terciles, the crawl-sequence
+    analogue: a stream cannot retroactively evict an already-landed
+    doc, so keep-first-by-id requires first-arrived = lowest-id —
+    exactly the reference's append-only sink discipline). The
+    reference shape this composes: per-run NEW filter + sink-state
+    anti-join + idempotent landing (scraper.py:181-267) lifted from
+    exact URLs to MinHash."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from kommunedata_data_pipeline_spark.streaming.ingest import (
+        run_ingest_available_now,
+    )
+
+    base = tempfile.mkdtemp(
+        prefix="kdp-ingest-",
+        dir="/dev/shm" if __import__("os").path.isdir("/dev/shm") else None,
+    )
+    stage = f"{base}/stage"
+    try:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        # stage as 3 id-tercile files with strictly increasing mtimes:
+        # the file source orders batches by modification time, and the
+        # keep-first-by-id contract needs arrival order = id order
+        # (test scaffolding — the ntile window is a one-off staging
+        # sort, not part of the measured operator)
+        terc = d.withColumn(
+            "b", F.ntile(3).over(Window.orderBy("doc_id"))
+        )
+        _os.makedirs(stage)
+        for i in range(1, 4):
+            part_dir = f"{base}/part{i}"
+            terc.where(F.col("b") == i).drop("b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part_dir)
+            src = _glob.glob(f"{part_dir}/part-*.parquet")[0]
+            dst = f"{stage}/batch{i}.parquet"
+            _os.rename(src, dst)
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        run_ingest_available_now(
+            stream,
+            f"{base}/index",
+            f"{base}/landed",
+            f"{base}/ckpt",
+            k=3,
+            num_hashes=16,
+            bands=4,
+            threshold=0.5,
+        )
+        # pin the landed rows into executor storage BEFORE the staging
+        # dirs are removed (the returned frame must not lazily re-read
+        # a deleted path); localCheckpoint is cluster-side, no driver
+        # materialization
+        landed = (
+            spark.read.parquet(f"{base}/landed")
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return landed.orderBy("doc_id")
+
+
+@_q(
     "q_dup_clusters",
     f"""
     WITH RECURSIVE {_LSH_PAIRS_CTES},

@@ -514,3 +514,82 @@ def test_dedup_within_watermark_ttl_reemission(spark, tmp_path):
     assert counts[1] == 2
     emitted_secs = sorted(int(r.ts.timestamp()) for r in rows if r.event_id == 1)
     assert emitted_secs == [100, 4600]
+
+
+def test_ingest_dedup_landed_set_invariant_under_batch_split(spark):
+    """Incremental ingest (streaming/ingest.py): for id-ordered batch
+    splits, the landed set must equal the batch-mode rule (doc never
+    appears as the larger id of a verified near-dup pair) — whether the
+    corpus arrives as ONE batch or THREE. Also pins that the persisted
+    index after the run equals the full band table over every ingested
+    doc (kept and dropped alike)."""
+    import glob
+    import os
+    import shutil
+
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_pairs,
+    )
+    from kommunedata_data_pipeline_spark.streaming.ingest import (
+        run_ingest_available_now,
+    )
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 90)
+    )
+    pairs = minhash_lsh_pairs(docs, 3, 16, 4, 0.5)
+    dup_b = {r.doc_b for r in pairs.select("doc_b").distinct().collect()}
+    want = {r.doc_id for r in docs.select("doc_id").collect()} - dup_b
+
+    def run(split_bounds):
+        base = tempfile.mkdtemp(
+            prefix="kdp-ingest-test-",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        stage = f"{base}/stage"
+        os.makedirs(stage)
+        try:
+            lo = 0
+            for i, hi in enumerate(split_bounds):
+                part = f"{base}/p{i}"
+                docs.where(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ).coalesce(1).write.mode("overwrite").parquet(part)
+                src = glob.glob(f"{part}/part-*.parquet")[0]
+                dst = f"{stage}/b{i}.parquet"
+                os.rename(src, dst)
+                os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+                lo = hi
+            stream = (
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(stage)
+            )
+            run_ingest_available_now(
+                stream, f"{base}/index", f"{base}/landed", f"{base}/ckpt",
+                k=3, num_hashes=16, bands=4, threshold=0.5,
+            )
+            landed = {
+                r.doc_id
+                for r in spark.read.parquet(f"{base}/landed").collect()
+            }
+            idx = sorted(
+                (r["doc_id"], r["band"], r["bkey"])
+                for r in spark.read.parquet(f"{base}/index").collect()
+            )
+            return landed, idx
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    landed_one, idx_one = run([90])
+    landed_three, idx_three = run([30, 60, 90])
+    assert landed_one == want
+    assert landed_three == want
+    full_idx = sorted(
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in minhash_band_table(docs, 3, 16, 4).collect()
+    )
+    assert idx_one == full_idx and idx_three == full_idx
