@@ -61,6 +61,7 @@ from kommunedata_data_pipeline_spark.operators.similarity import (
     embedding_near_dup_pairs_banded,
     ivf_topk,
     lsh_banded_topk,
+    semantic_dedup,
 )
 from kommunedata_data_pipeline_spark.plans.pipeline import flagship_meetings_to_fetch
 
@@ -1465,6 +1466,54 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
     return ivf_topk(e, q, 5, n_centroids=16, nprobe=2)
+
+
+@_q(
+    "q_semantic_dedup",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS c_embedding
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    asg AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_ivf_cos_sql('e.embedding', 'c.c_embedding')} DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    lists AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+    ws AS (
+      SELECT l.vec_id, l.embedding, l.centroid_id,
+             {_ivf_cos_sql('l.embedding', 'c.c_embedding')} AS centroid_sim
+      FROM lists l JOIN cents c USING (centroid_id)
+    ),
+    dom AS (
+      SELECT DISTINCT b.vec_id
+      FROM ws a JOIN ws b ON a.centroid_id = b.centroid_id
+       AND (a.centroid_sim < b.centroid_sim
+            OR (a.centroid_sim = b.centroid_sim AND a.vec_id < b.vec_id))
+      WHERE {_ivf_cos_sql('a.embedding', 'b.embedding')} >= 0.3
+    )
+    SELECT vec_id, centroid_id, centroid_sim FROM ws
+    WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+    ORDER BY vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): pairwise cosine
+    ONLY within IVF clusters (deterministic centroids), drop every vector
+    dominated by a higher-priority near-duplicate (priority = lower
+    centroid similarity — the paper's keep-the-edge-example rule — with
+    vec_id tiebreak). The within-cluster self-join is SemDeDup's own
+    O(sum n_c^2) trade: n_centroids scales with the corpus so lists stay
+    bounded; no cross-cluster pair is ever scored. Completes the dedup
+    family's semantic tier next to exact (N1), MinHash (N3), and
+    sign-LSH near-dup (N7)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, n_centroids=16, threshold=0.3)
 
 
 # --------------------------------------------------------------------------

@@ -517,6 +517,73 @@ def ivf_index_update(
     return base.unionByName(ivf_assignment_table(new_vecs, centroids))
 
 
+def semantic_dedup(
+    embeddings: DataFrame, n_centroids: int = 16, threshold: float = 0.8
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus into ``n_centroids`` inverted
+    lists, compute pairwise cosine similarity ONLY within each cluster,
+    and drop every vector dominated by a higher-priority near-duplicate.
+    Priority follows the paper's keep-the-edge-example rule — lower
+    similarity to the assigned centroid wins (vec_id breaks exact-rounded
+    ties, so the order is total). The drop rule is the deterministic
+    PAIRWISE variant: v is dropped iff ANY higher-priority cluster-mate u
+    has round(cos(u, v), 5) >= threshold — one relational pass, same
+    discipline as the MinHash family's keep-first rule (vs the paper's
+    sequential greedy-vs-kept scan, which is order-dependent and not
+    expressible as a join; on chain clusters the pairwise rule drops a
+    superset).
+
+    Returns the KEPT rows: (vec_id, centroid_id, centroid_sim).
+
+    Scale shape (100 TB): centroids broadcast (assignment is map-side,
+    zero shuffles); the only corpus shuffle is the centroid_id equi-join
+    feeding the within-cluster self-join — O(sum n_c^2) total work, which
+    is SemDeDup's own trade: n_centroids grows with the corpus so each
+    list stays ~N/K bounded (the paper runs K=50k on LAION-440M). No
+    cross-cluster pair is ever considered.
+
+    Reference shape composed: D1 distinct-by-key lifted to embedding
+    space (scraper.py:181-195's seen-set discipline, semantic metric)."""
+    cents = deterministic_centroids(embeddings, n_centroids)
+    lists = ivf_assignment_table(embeddings, cents)
+    ws = lists.join(F.broadcast(cents), "centroid_id").select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        F.round(cosine(F.col("embedding"), F.col("c_embedding")), 5).alias(
+            "centroid_sim"
+        ),
+    )
+    a = ws.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("centroid_sim").alias("a_cs"),
+    )
+    b = ws.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("centroid_sim").alias("b_cs"),
+    )
+    dominated = (
+        a.join(b, "centroid_id")
+        .where(
+            (F.col("a_cs") < F.col("b_cs"))
+            | ((F.col("a_cs") == F.col("b_cs")) & (F.col("a_id") < F.col("b_id")))
+        )
+        .where(F.round(cosine(F.col("a_emb"), F.col("b_emb")), 5) >= threshold)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        ws.join(dominated, "vec_id", "left_anti")
+        .select("vec_id", "centroid_id", "centroid_sim")
+        .orderBy("vec_id")
+    )
+
+
 def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Symmetric int8 quantization of an embedding column with per-vector
     scale (absmax/127) and the round-trip RMS error — the storage-side

@@ -1036,3 +1036,71 @@ def test_ivf_index_update_equals_full_rebuild(spark):
     got = sorted((r["vec_id"], r["centroid_id"]) for r in updated.collect())
     want = sorted((r["vec_id"], r["centroid_id"]) for r in rebuilt.collect())
     assert got == want
+
+
+def test_semantic_dedup_matches_numpy_replica(spark):
+    """semantic_dedup (SemDeDup-style) crosschecked against an
+    independent numpy replica of the exact rule: deterministic md5
+    centroids, nearest-centroid assignment (rounded-cos desc, cid
+    tiebreak), pairwise domination within clusters (priority = lower
+    centroid_sim, then lower vec_id). Also pins two structural
+    invariants: the kept set per cluster is non-empty, and every
+    dropped vector has a higher-priority cluster-mate above threshold."""
+    import hashlib
+
+    import numpy as np
+
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    rows = vecs.collect()
+    ids = [r.vec_id for r in rows]
+    mat = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+
+    def cos5(a, b):
+        return round(
+            float(np.dot(a, b) / (np.sqrt(np.dot(a, a)) * np.sqrt(np.dot(b, b)))),
+            5,
+        )
+
+    n_centroids, threshold = 4, 0.3
+    cids = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[
+        :n_centroids
+    ]
+    # nearest-centroid: rounded cos desc, centroid_id asc on ties
+    assign, csim = {}, {}
+    for i in ids:
+        best = max(cids, key=lambda c: (cos5(mat[i], mat[c]), -c))
+        assign[i] = best
+        csim[i] = cos5(mat[i], mat[best])
+    dominated = set()
+    for i in ids:
+        for j in ids:
+            if i == j or assign[i] != assign[j]:
+                continue
+            if (csim[i], i) < (csim[j], j) and cos5(mat[i], mat[j]) >= threshold:
+                dominated.add(j)
+    want = {
+        i: (assign[i], csim[i]) for i in ids if i not in dominated
+    }
+
+    got = {
+        r.vec_id: (r.centroid_id, r.centroid_sim)
+        for r in semantic_dedup(vecs, n_centroids, threshold).collect()
+    }
+    assert got == want
+    # structural invariants
+    kept_by_cluster = {}
+    for i, (c, _) in got.items():
+        kept_by_cluster.setdefault(c, []).append(i)
+    for c in set(assign.values()):
+        assert kept_by_cluster.get(c), f"cluster {c} lost all members"
+    for j in dominated:
+        assert any(
+            assign[i] == assign[j]
+            and (csim[i], i) < (csim[j], j)
+            and cos5(mat[i], mat[j]) >= threshold
+            for i in ids
+        )
