@@ -1234,6 +1234,97 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_stream_ann_ingest",
+    """
+    WITH keys AS (
+      SELECT vec_id, embedding, CAST(b.b AS INT) AS band,
+             CAST(list_sum(list_transform(range(0, 8), i ->
+               CASE WHEN embedding[b.b*8 + i + 1] > 0 THEN CAST(pow(2, i) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS bkey
+      FROM embeddings, (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    scored AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             round(
+               list_sum(list_transform(range(1, len(x.embedding) + 1),
+                 i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+               5) AS cosine_sim
+      FROM keys x JOIN keys y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+    )
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_b FROM scored WHERE cosine_sim >= 0.3)
+    ORDER BY vec_id
+    """,
+)
+def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side STREAMING incremental ingest — the ANN sibling of
+    `q_stream_ingest_dedup`: the embeddings table arrives as a 3-batch
+    file stream; every micro-batch is near-deduped against the PERSISTED
+    banded sign-LSH store via ann_index_update (banding for the batch
+    only, one (band, bkey) equi-join against the index, exact-cosine
+    verify), survivors land exactly once, the index is persisted between
+    batches (streaming/ingest.py:ann_dedup_ingest). Same batch-invariance
+    contract: id-ordered arrival makes the landed set a pure function of
+    the vector set (drop iff near-dup of ANY smaller-id vector ever
+    seen), so one batch or three equals the batch-mode full-rebuild SQL."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from kommunedata_data_pipeline_spark.streaming.ingest import (
+        ann_dedup_ingest,
+        run_writer_available_now,
+    )
+
+    base = tempfile.mkdtemp(
+        prefix="kdp-anningest-",
+        dir="/dev/shm" if __import__("os").path.isdir("/dev/shm") else None,
+    )
+    stage = f"{base}/stage"
+    try:
+        e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        terc = e.withColumn("b", F.ntile(3).over(Window.orderBy("vec_id")))
+        _os.makedirs(stage)
+        for i in range(1, 4):
+            part_dir = f"{base}/part{i}"
+            terc.where(F.col("b") == i).drop("b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part_dir)
+            src = _glob.glob(f"{part_dir}/part-*.parquet")[0]
+            dst = f"{stage}/batch{i}.parquet"
+            _os.rename(src, dst)
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        run_writer_available_now(
+            ann_dedup_ingest(
+                stream,
+                f"{base}/index",
+                f"{base}/landed",
+                n_bands=4,
+                band_bits=8,
+                threshold=0.3,
+            ),
+            f"{base}/ckpt",
+        )
+        landed = (
+            spark.read.parquet(f"{base}/landed")
+            .select("vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return landed.orderBy("vec_id")
+
+
+@_q(
     "q_dup_clusters",
     f"""
     WITH RECURSIVE {_LSH_PAIRS_CTES},

@@ -43,59 +43,65 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _BAND_SCHEMA = "doc_id bigint, sig array<bigint>, band int, bkey string"
+_ANN_SCHEMA = "vec_id bigint, embedding array<float>, band int, bkey bigint"
 
 
-def _load_index(spark: SparkSession, index_path: str) -> DataFrame:
+def _load_index(
+    spark: SparkSession, index_path: str, schema: str = _BAND_SCHEMA
+) -> DataFrame:
     """Stored band table, or a typed empty frame before the first batch."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.schema(_BAND_SCHEMA).parquet(index_path)
+        return spark.read.schema(schema).parquet(index_path)
     except AnalysisException as exc:
         msg = str(exc)
         cond = (exc.getCondition() or "") if hasattr(exc, "getCondition") else ""
         if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
             "PATH_NOT_FOUND" in msg or "Unable to infer schema" in msg
         ):
-            return spark.createDataFrame([], _BAND_SCHEMA)
+            return spark.createDataFrame([], schema)
         raise
 
 
-def minhash_dedup_ingest(
-    doc_stream: DataFrame,
+def _dedup_ingest(
+    stream: DataFrame,
     index_path: str,
     out_path: str,
-    k: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
-    threshold: float = 0.5,
+    id_col: str,
+    payload_cols: list[str],
+    index_schema: str,
+    update_fn,
 ):
-    """foreachBatch writer: near-dedup each micro-batch against the
-    stored index, land survivors exactly once (anti-join vs the landed
-    catalog), persist the updated index. Returns an un-started
-    writeStream (caller picks trigger/checkpoint and starts it)."""
+    """Shared foreachBatch core: near-dedup each micro-batch against the
+    stored index via ``update_fn(batch, index) -> (pairs, updated)``,
+    land survivors exactly once, persist the updated index. Replay-safe
+    at every crash point: (a) landed-then-crashed → the landed-catalog
+    anti-join drops the whole replay; (b) index-persisted-then-crashed →
+    update_fn's replace-on-reingest anti-join makes the effective index
+    identical to the pre-batch one, so the replay recomputes the same
+    pairs. Returns an un-started writeStream (caller picks
+    trigger/checkpoint and starts it)."""
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..operators.dedup import minhash_index_update
         from ..sources.sinks import load_catalog
 
         spark = batch_df.sparkSession
-        batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+        batch = batch_df.select(id_col, *payload_cols).dropDuplicates([id_col])
         if batch.isEmpty():
             return
-        index = _load_index(spark, index_path)
-        pairs, updated = minhash_index_update(
-            batch, index, k, num_hashes, bands, threshold
-        )
-        # drop rule: a doc is a duplicate iff it is the LARGER id of any
-        # verified pair (keep-first-by-id; doc_a < doc_b by construction)
-        dup_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-        kept = batch.join(dup_ids, "doc_id", "left_anti")
+        index = _load_index(spark, index_path, index_schema)
+        pairs, updated = update_fn(batch, index)
+        # drop rule: a row is a duplicate iff it is the LARGER id of any
+        # verified pair (keep-first-by-id; pairs emit a < b by construction)
+        larger = pairs.columns[1]  # doc_b / vec_b
+        dup_ids = pairs.select(F.col(larger).alias(id_col)).distinct()
+        kept = batch.join(dup_ids, id_col, "left_anti")
         # ST2 exactly-once landing: anti-join against landed keys so a
         # replayed batch (foreachBatch is at-least-once) lands zero rows
-        landed = load_catalog(spark, out_path, ["doc_id"])
+        landed = load_catalog(spark, out_path, [id_col])
         if landed is not None:
-            kept = kept.join(landed, ["doc_id"], "left_anti")
+            kept = kept.join(landed, [id_col], "left_anti")
         kept.write.mode("append").parquet(out_path)
         # persist the updated index: write-new-then-swap (local FS; a
         # real deployment writes a transactional table instead). The
@@ -107,7 +113,76 @@ def minhash_dedup_ingest(
             shutil.rmtree(index_path)
         os.replace(tmp, index_path)
 
-    return doc_stream.writeStream.foreachBatch(process_batch)
+    return stream.writeStream.foreachBatch(process_batch)
+
+
+def minhash_dedup_ingest(
+    doc_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+):
+    """foreachBatch writer: near-dedup each document micro-batch against
+    the stored MinHash band index, land survivors exactly once, persist
+    the updated index (see `_dedup_ingest` for the replay contract)."""
+    from ..operators.dedup import minhash_index_update
+
+    return _dedup_ingest(
+        doc_stream,
+        index_path,
+        out_path,
+        "doc_id",
+        ["text"],
+        _BAND_SCHEMA,
+        lambda batch, index: minhash_index_update(
+            batch, index, k, num_hashes, bands, threshold
+        ),
+    )
+
+
+def ann_dedup_ingest(
+    vec_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    n_bands: int = 4,
+    band_bits: int = 8,
+    threshold: float = 0.95,
+):
+    """Embedding-side sibling of `minhash_dedup_ingest`: each micro-batch
+    of fresh vectors is near-deduped against the PERSISTED banded
+    sign-LSH store via `similarity.ann_index_update` (banding costs the
+    batch only; one (band, bkey) equi-join against the stored index;
+    exact-cosine verify), survivors land exactly once, the index grows
+    by the batch's band rows. Same batch-invariance contract: for
+    id-ordered arrival, the landed set equals the batch-mode rule
+    "drop a vector iff near-dup of ANY smaller-id vector ever seen"."""
+    from ..operators.similarity import ann_index_update
+
+    return _dedup_ingest(
+        vec_stream,
+        index_path,
+        out_path,
+        "vec_id",
+        ["embedding"],
+        _ANN_SCHEMA,
+        lambda batch, index: ann_index_update(
+            batch, index, n_bands, band_bits, threshold
+        ),
+    )
+
+
+def run_writer_available_now(writer, checkpoint: str) -> None:
+    """Drive an un-started ingest writeStream over everything currently
+    staged (the bounded ST4 full-scan shape): availableNow, synchronous."""
+    q = (
+        writer.option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def run_ingest_available_now(
@@ -117,12 +192,8 @@ def run_ingest_available_now(
     checkpoint: str,
     **kwargs,
 ) -> None:
-    """Drive the ingest over everything currently staged (the bounded
-    ST4 full-scan shape): availableNow trigger, synchronous."""
-    q = (
-        minhash_dedup_ingest(doc_stream, index_path, out_path, **kwargs)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    """MinHash ingest over everything currently staged (ST4 shape)."""
+    run_writer_available_now(
+        minhash_dedup_ingest(doc_stream, index_path, out_path, **kwargs),
+        checkpoint,
     )
-    q.awaitTermination()

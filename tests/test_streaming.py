@@ -593,3 +593,84 @@ def test_ingest_dedup_landed_set_invariant_under_batch_split(spark):
         for r in minhash_band_table(docs, 3, 16, 4).collect()
     )
     assert idx_one == full_idx and idx_three == full_idx
+
+
+def test_ann_ingest_landed_set_invariant_under_batch_split(spark):
+    """ANN sibling of the ingest invariant: for id-ordered batch splits
+    the landed vector set equals the batch-mode rule (vec never appears
+    as the larger id of a verified near-dup pair), one batch or three;
+    and the persisted index equals the full band table."""
+    import glob
+    import os
+    import shutil
+
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        ann_band_table,
+        embedding_near_dup_pairs_banded,
+    )
+    from kommunedata_data_pipeline_spark.streaming.ingest import (
+        ann_dedup_ingest,
+        run_writer_available_now,
+    )
+
+    vecs = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < 45)
+    )
+    pairs = embedding_near_dup_pairs_banded(vecs, n_bands=4, band_bits=8, threshold=0.3)
+    dup_b = {r.vec_b for r in pairs.select("vec_b").distinct().collect()}
+    want = {r.vec_id for r in vecs.select("vec_id").collect()} - dup_b
+
+    def run(split_bounds):
+        base = tempfile.mkdtemp(
+            prefix="kdp-anningest-test-",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        stage = f"{base}/stage"
+        os.makedirs(stage)
+        try:
+            lo = 0
+            for i, hi in enumerate(split_bounds):
+                part = f"{base}/p{i}"
+                vecs.where(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ).coalesce(1).write.mode("overwrite").parquet(part)
+                src = glob.glob(f"{part}/part-*.parquet")[0]
+                dst = f"{stage}/b{i}.parquet"
+                os.rename(src, dst)
+                os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+                lo = hi
+            stream = (
+                spark.readStream.schema("vec_id bigint, embedding array<float>")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(stage)
+            )
+            run_writer_available_now(
+                ann_dedup_ingest(
+                    stream, f"{base}/index", f"{base}/landed",
+                    n_bands=4, band_bits=8, threshold=0.3,
+                ),
+                f"{base}/ckpt",
+            )
+            landed = {
+                r.vec_id
+                for r in spark.read.parquet(f"{base}/landed").collect()
+            }
+            idx = sorted(
+                (r["vec_id"], r["band"], r["bkey"])
+                for r in spark.read.parquet(f"{base}/index").collect()
+            )
+            return landed, idx
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    landed_one, idx_one = run([45])
+    landed_three, idx_three = run([15, 30, 45])
+    assert landed_one == want
+    assert landed_three == want
+    full_idx = sorted(
+        (r["vec_id"], r["band"], r["bkey"])
+        for r in ann_band_table(vecs, 4, 8).collect()
+    )
+    assert idx_one == full_idx and idx_three == full_idx
