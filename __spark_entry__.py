@@ -1143,6 +1143,34 @@ def q_minhash_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("doc_a", "doc_b")
 
 
+def _stage_id_batches(df: DataFrame, id_col: str, base: str, n: int = 3) -> str:
+    """Stage ``df`` as ``n`` id-ordered parquet files with strictly
+    increasing mtimes (the file source orders batches by modification
+    time, and the ingest queries' keep-first-by-id contract needs
+    arrival order = id order). ONE write job: ntile the ids, hash-
+    repartition by the tercile column, partitionBy-write — each tercile
+    dir gets exactly one file (test scaffolding; the ntile window is a
+    one-off staging sort, not part of the measured operator)."""
+    import glob as _glob
+    import os as _os
+
+    stage = f"{base}/stage"
+    _os.makedirs(stage)
+    (
+        df.withColumn("__b", F.ntile(n).over(Window.orderBy(id_col)))
+        .repartition(n, "__b")
+        .write.partitionBy("__b")
+        .mode("overwrite")
+        .parquet(f"{base}/parts")
+    )
+    for i in range(1, n + 1):
+        src = _glob.glob(f"{base}/parts/__b={i}/part-*.parquet")[0]
+        dst = f"{stage}/batch{i}.parquet"
+        _os.rename(src, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    return stage
+
+
 @_q(
     "q_stream_ingest_dedup",
     f"""
@@ -1170,8 +1198,6 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference shape this composes: per-run NEW filter + sink-state
     anti-join + idempotent landing (scraper.py:181-267) lifted from
     exact URLs to MinHash."""
-    import glob as _glob
-    import os as _os
     import shutil
     import tempfile
 
@@ -1183,27 +1209,9 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix="kdp-ingest-",
         dir="/dev/shm" if __import__("os").path.isdir("/dev/shm") else None,
     )
-    stage = f"{base}/stage"
     try:
         d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        # stage as 3 id-tercile files with strictly increasing mtimes:
-        # the file source orders batches by modification time, and the
-        # keep-first-by-id contract needs arrival order = id order
-        # (test scaffolding — the ntile window is a one-off staging
-        # sort, not part of the measured operator)
-        terc = d.withColumn(
-            "b", F.ntile(3).over(Window.orderBy("doc_id"))
-        )
-        _os.makedirs(stage)
-        for i in range(1, 4):
-            part_dir = f"{base}/part{i}"
-            terc.where(F.col("b") == i).drop("b").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(part_dir)
-            src = _glob.glob(f"{part_dir}/part-*.parquet")[0]
-            dst = f"{stage}/batch{i}.parquet"
-            _os.rename(src, dst)
-            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        stage = _stage_id_batches(d, "doc_id", base)
         stream = (
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", "1")
@@ -1270,8 +1278,6 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract: id-ordered arrival makes the landed set a pure function of
     the vector set (drop iff near-dup of ANY smaller-id vector ever
     seen), so one batch or three equals the batch-mode full-rebuild SQL."""
-    import glob as _glob
-    import os as _os
     import shutil
     import tempfile
 
@@ -1284,20 +1290,9 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix="kdp-anningest-",
         dir="/dev/shm" if __import__("os").path.isdir("/dev/shm") else None,
     )
-    stage = f"{base}/stage"
     try:
         e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        terc = e.withColumn("b", F.ntile(3).over(Window.orderBy("vec_id")))
-        _os.makedirs(stage)
-        for i in range(1, 4):
-            part_dir = f"{base}/part{i}"
-            terc.where(F.col("b") == i).drop("b").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(part_dir)
-            src = _glob.glob(f"{part_dir}/part-*.parquet")[0]
-            dst = f"{stage}/batch{i}.parquet"
-            _os.rename(src, dst)
-            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        stage = _stage_id_batches(e, "vec_id", base)
         stream = (
             spark.readStream.schema("vec_id bigint, embedding array<float>")
             .option("maxFilesPerTrigger", "1")

@@ -174,15 +174,42 @@ def ann_dedup_ingest(
     )
 
 
-def run_writer_available_now(writer, checkpoint: str) -> None:
+def run_writer_available_now(
+    writer, checkpoint: str, shuffle_partitions: int | None = 8
+) -> None:
     """Drive an un-started ingest writeStream over everything currently
-    staged (the bounded ST4 full-scan shape): availableNow, synchronous."""
-    q = (
-        writer.option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    staged (the bounded ST4 full-scan shape): availableNow, synchronous.
+
+    ``shuffle_partitions`` is scoped to the run (same discipline as
+    `windows.run_to_memory`): the foreachBatch body joins batch-sized
+    frames, and under the driver's 200-partition session every batch
+    join would pay 200 near-empty tasks. foreachBatch holds no
+    watermark state, so the no-data micro-batch is also disabled for
+    the run. None = inherit the session conf."""
+    # the writer has no public session handle; reach the active one
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    part_key = "spark.sql.shuffle.partitions"
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_parts = spark.conf.get(part_key) if spark else None
+    prev_nodata = spark.conf.get(nodata_key, "true") if spark else "true"
+    if spark and shuffle_partitions is not None:
+        spark.conf.set(part_key, str(shuffle_partitions))
+    if spark:
+        spark.conf.set(nodata_key, "false")
+    try:
+        q = (
+            writer.option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if spark and shuffle_partitions is not None:
+            spark.conf.set(part_key, prev_parts)
+        if spark:
+            spark.conf.set(nodata_key, prev_nodata)
 
 
 def run_ingest_available_now(
