@@ -1572,8 +1572,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lists AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
     ws AS (
-      SELECT l.vec_id, l.embedding, l.centroid_id,
-             {_ivf_cos_sql('l.embedding', 'c.c_embedding')} AS centroid_sim
+      SELECT l.vec_id, l.centroid_id,
+             {_ivf_cos_sql('l.embedding', 'c.c_embedding')} AS centroid_sim,
+             list_transform(l.embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(l.embedding,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS nvec
       FROM lists l JOIN cents c USING (centroid_id)
     ),
     dom AS (
@@ -1581,7 +1584,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ws a JOIN ws b ON a.centroid_id = b.centroid_id
        AND (a.centroid_sim < b.centroid_sim
             OR (a.centroid_sim = b.centroid_sim AND a.vec_id < b.vec_id))
-      WHERE {_ivf_cos_sql('a.embedding', 'b.embedding')} >= 0.3
+      WHERE round(list_sum(list_transform(range(1, len(a.nvec) + 1),
+              i -> a.nvec[i] * b.nvec[i])), 5) >= 0.3
     )
     SELECT vec_id, centroid_id, centroid_sim FROM ws
     WHERE vec_id NOT IN (SELECT vec_id FROM dom)

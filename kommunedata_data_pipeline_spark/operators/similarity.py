@@ -545,26 +545,39 @@ def semantic_dedup(
 
     Reference shape composed: D1 distinct-by-key lifted to embedding
     space (scraper.py:181-195's seen-set discipline, semantic metric)."""
+    from .dedup import one_slot_cached
+
     cents = deterministic_centroids(embeddings, n_centroids)
     lists = ivf_assignment_table(embeddings, cents)
-    ws = lists.join(F.broadcast(cents), "centroid_id").select(
-        "vec_id",
-        "embedding",
-        "centroid_id",
-        F.round(cosine(F.col("embedding"), F.col("c_embedding")), 5).alias(
-            "centroid_sim"
+    # ws feeds BOTH legs of the self-join AND the final anti-join; cache
+    # it once (one_slot_cached discipline — no bare per-call .cache()).
+    # nvec pre-normalizes each vector so the pairwise similarity below is
+    # ONE dot fold instead of dot + two norms per pair — the oracle
+    # normalizes identically, so the rounded values stay in lockstep.
+    ws = one_slot_cached(
+        f"semdedup_ws:{n_centroids}",
+        embeddings,
+        lambda: lists.join(F.broadcast(cents), "centroid_id").select(
+            "vec_id",
+            "centroid_id",
+            F.round(cosine(F.col("embedding"), F.col("c_embedding")), 5).alias(
+                "centroid_sim"
+            ),
+            F.transform(
+                "embedding", lambda x: x.cast("double") / _norm(F.col("embedding"))
+            ).alias("nvec"),
         ),
     )
     a = ws.select(
         F.col("centroid_id"),
         F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
+        F.col("nvec").alias("a_nvec"),
         F.col("centroid_sim").alias("a_cs"),
     )
     b = ws.select(
         F.col("centroid_id"),
         F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
+        F.col("nvec").alias("b_nvec"),
         F.col("centroid_sim").alias("b_cs"),
     )
     dominated = (
@@ -573,7 +586,9 @@ def semantic_dedup(
             (F.col("a_cs") < F.col("b_cs"))
             | ((F.col("a_cs") == F.col("b_cs")) & (F.col("a_id") < F.col("b_id")))
         )
-        .where(F.round(cosine(F.col("a_emb"), F.col("b_emb")), 5) >= threshold)
+        .where(
+            F.round(_dot(F.col("a_nvec"), F.col("b_nvec")), 5) >= threshold
+        )
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
     )

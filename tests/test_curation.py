@@ -1065,6 +1065,11 @@ def test_semantic_dedup_matches_numpy_replica(spark):
             5,
         )
 
+    def pair_sim5(a, b):
+        # mirror the operator: pairwise sim is a dot of PRE-NORMALIZED
+        # vectors (one fold per pair), not dot/(norm*norm)
+        return round(float(np.dot(a / np.linalg.norm(a), b / np.linalg.norm(b))), 5)
+
     n_centroids, threshold = 4, 0.3
     cids = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[
         :n_centroids
@@ -1080,7 +1085,7 @@ def test_semantic_dedup_matches_numpy_replica(spark):
         for j in ids:
             if i == j or assign[i] != assign[j]:
                 continue
-            if (csim[i], i) < (csim[j], j) and cos5(mat[i], mat[j]) >= threshold:
+            if (csim[i], i) < (csim[j], j) and pair_sim5(mat[i], mat[j]) >= threshold:
                 dominated.add(j)
     want = {
         i: (assign[i], csim[i]) for i in ids if i not in dominated
@@ -1101,6 +1106,6 @@ def test_semantic_dedup_matches_numpy_replica(spark):
         assert any(
             assign[i] == assign[j]
             and (csim[i], i) < (csim[j], j)
-            and cos5(mat[i], mat[j]) >= threshold
+            and pair_sim5(mat[i], mat[j]) >= threshold
             for i in ids
         )
