@@ -5998,6 +5998,111 @@ def q_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM lsh_pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    cl AS (SELECT node AS doc_id, min(lab) AS cluster_id
+           FROM reach GROUP BY node),
+    m AS (
+      SELECT COALESCE(cl.cluster_id, d.doc_id) AS cluster_id, d.doc_id,
+             {_QUALITY_SQL} AS quality
+      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM m
+    )
+    SELECT cluster_id, doc_id AS rep_doc, quality,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM r WHERE rn = 1
+    ORDER BY cluster_id
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-quality dedup representative: the production variant of
+    q_cluster_weights' keep-first policy — per LSH duplicate cluster,
+    keep the member with the highest composite quality score (doc_id
+    tiebreak pins a total order), not the smallest id. What corpus
+    builds actually do: when near-dups differ in boilerplate/truncation,
+    keeping the best copy beats keeping the first. One window pass
+    yields both the argmax and the cluster size; singletons are their
+    own cluster with size 1."""
+    from kommunedata_data_pipeline_spark.functions.text import quality_score
+    from kommunedata_data_pipeline_spark.operators.dedup import dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = dup_clusters(minhash_lsh_pairs(d, 3, 16, 4, 0.5))
+    m = (
+        d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    w = Window.partitionBy("cluster_id")
+    r = m.withColumn(
+        "rn",
+        F.row_number().over(w.orderBy(F.desc("quality"), F.asc("doc_id"))),
+    ).withColumn("cluster_size", F.count("*").over(w))
+    return (
+        r.where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc"),
+            "quality",
+            "cluster_size",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@_q(
+    "q_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, {_ngrams_sql(8)} AS grams FROM t),
+    tr AS (SELECT doc_id, grams FROM g WHERE doc_id % 2 = 0),
+    te AS (SELECT DISTINCT ngram
+           FROM (SELECT unnest(grams) AS ngram FROM g WHERE doc_id % 2 = 1)),
+    bad AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(grams) AS ngram FROM tr) x
+      WHERE ngram IN (SELECT ngram FROM te)
+    )
+    SELECT doc_id, CAST(len(grams) AS INT) AS n_ngrams
+    FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    ORDER BY doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination APPLIED (the detect→act twin of q_contamination,
+    same discipline as the span cut): drop every train document (even
+    doc_ids) sharing ANY verbatim 8-gram with the eval set (odd
+    doc_ids); emit the kept manifest. The eval gram set is tiny next to
+    the train corpus — detection is an ngram-keyed semi-join, the keep
+    is one doc_id anti-join, and the text column never rejoins
+    (operators/corpus.py:decontaminate)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1), n=8
+    )
+
+
+@_q(
     "q_udtf_lateral",
     """
     WITH base AS (

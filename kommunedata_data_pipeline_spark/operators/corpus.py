@@ -129,6 +129,38 @@ def contamination_check(
     )
 
 
+def decontaminate(train: DataFrame, test: DataFrame, n: int = 8) -> DataFrame:
+    """APPLY the contamination check (the detect→act discipline from the
+    reference's filter→write chains, scraper.py:181-267, and the r6
+    verdict's span-cut precedent): DROP every train document sharing ANY
+    word ``n``-gram with the eval/test corpus and return the kept train
+    rows as (doc_id, n_ngrams) — the decontaminated corpus manifest a
+    pretraining pipeline writes next. Zero-gram (too-short) docs cannot
+    be contaminated and are kept with n_ngrams = 0.
+
+    Scale shape: eval corpora are tiny next to a 100 TB train set — the
+    distinct eval gram set shards by ngram; contamination detection is a
+    semi-join on the ngram key (no payload crosses), and the kept set is
+    ONE doc_id anti-join. Nothing rejoins the text column.
+    """
+    test_grams = test.select(
+        F.explode(word_ngrams(F.col("text"), n)).alias("ngram")
+    ).dropDuplicates(["ngram"])
+    train_grams = train.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("ngram")
+    ).dropDuplicates(["doc_id", "ngram"])
+    contaminated = (
+        train_grams.join(test_grams, "ngram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        train.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", F.size(word_ngrams(F.col("text"), n)).alias("n_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
 def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     """Per-document novelty rate: the fraction of a doc's distinct word
     n-grams that no earlier document (smaller doc_id) already contains.
