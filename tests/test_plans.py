@@ -530,3 +530,29 @@ def test_curation_e2e_filters_reach_scan(spark):
     # the documents scan feeds a Filter before any Exchange: find the
     # scan node id for documents and assert a Filter references text
     assert "Filter" in p
+
+
+def test_semantic_dedup_clustered_pairs_only(spark):
+    """semantic_dedup's pair generation must be a centroid_id EQUI-join
+    (never an all-pairs cartesian of the corpus), its only cartesian
+    contact a broadcast of the one-row centroid array, and the whole
+    pipeline JVM-side (no Python eval)."""
+    p = _plan(spark, "q_semantic_dedup")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the one-row centroid-array crossJoin broadcasts
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # within-cluster pairs come from a hash equi-join on centroid_id
+    assert "centroid_id" in p
+
+
+def test_decontaminate_semi_anti_shape(spark):
+    """decontaminate must detect via an ngram-keyed SEMI join and keep
+    via a doc_id ANTI join — the text column never crosses the gram
+    shuffle, and nothing runs in Python."""
+    p = _plan(spark, "q_decontaminate")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    low = p.lower()
+    assert "leftsemi" in low or "left semi" in low
+    assert "leftanti" in low or "left anti" in low
