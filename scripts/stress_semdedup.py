@@ -26,7 +26,7 @@ Appends a "## Semantic dedup" section to SCALING.md — run AFTER
 scripts/stress.py so the base table and this section describe the same
 code. Best-of-2 timing, same as the base battery.
 
-Usage: python scripts/stress_semdedup.py [multiples...]  (default 1 4 16)
+Usage: python scripts/stress_semdedup.py [multiples...]  (default 1 4 16 64)
 """
 
 from __future__ import annotations
@@ -44,7 +44,7 @@ from kommunedata_data_pipeline_spark.session import get_spark  # noqa: E402
 from kommunedata_data_pipeline_spark.sources.readers import load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-FIXED_K_AT = 4  # the contrast multiple for the fixed-K anti-pattern row
+FIXED_K_AT = 16  # the contrast multiple for the fixed-K anti-pattern row
 
 
 def multiply_embeddings(e: DataFrame, m: int) -> DataFrame:
@@ -96,7 +96,7 @@ def _time_best2(em: DataFrame, k: int) -> float:
 
 
 def main() -> None:
-    multiples = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    multiples = [int(a) for a in sys.argv[1:]] or [1, 4, 16, 64]
     spark = get_spark(app_name="kommunedata-stress-semdedup")
     embs = load_table(spark, SF_DIR, "embeddings")
 
