@@ -128,7 +128,7 @@ def main() -> None:
         "balances both at O(N^1.5) (expected per-unit ~sqrt(m): 4x input",
         "-> ~2x per-unit), K = 16*m makes pairs linear but assignment",
         "~m^2, fixed K = 16 lets pairs explode ~m^2 — the anti-pattern",
-        "row quantifies it on the 4x input. At extreme scale the",
+        f"row quantifies it on the {FIXED_K_AT}x input. At extreme scale the",
         "assignment term moves to a hierarchical quantizer (coarse-then-",
         "refine), which changes the constant, not the within-cluster",
         "pair discipline measured here.",
