@@ -1222,6 +1222,7 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{base}/index",
             f"{base}/landed",
             f"{base}/ckpt",
+            durations_key="q_stream_ingest_dedup_sink",
             k=3,
             num_hashes=16,
             bands=4,
@@ -1308,6 +1309,7 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 threshold=0.3,
             ),
             f"{base}/ckpt",
+            durations_key="q_stream_ann_ingest_sink",
         )
         landed = (
             spark.read.parquet(f"{base}/landed")

@@ -175,7 +175,10 @@ def ann_dedup_ingest(
 
 
 def run_writer_available_now(
-    writer, checkpoint: str, shuffle_partitions: int | None = 8
+    writer,
+    checkpoint: str,
+    shuffle_partitions: int | None = 8,
+    durations_key: str | None = None,
 ) -> None:
     """Drive an un-started ingest writeStream over everything currently
     staged (the bounded ST4 full-scan shape): availableNow, synchronous.
@@ -185,7 +188,13 @@ def run_writer_available_now(
     frames, and under the driver's 200-partition session every batch
     join would pay 200 near-empty tasks. foreachBatch holds no
     watermark state, so the no-data micro-batch is also disabled for
-    the run. None = inherit the session conf."""
+    the run. None = inherit the session conf.
+
+    ``durations_key``: stash the run's summed per-phase durationMs under
+    this key in `windows.LAST_RUN_DURATIONS` (the bench reads
+    ``{query}_sink`` for its exec-vs-wall floor decomposition — the
+    streaming jobs run on the stream thread, invisible to the bench's
+    job-group tagging)."""
     # the writer has no public session handle; reach the active one
     from pyspark.sql import SparkSession
 
@@ -205,6 +214,20 @@ def run_writer_available_now(
             .start()
         )
         q.awaitTermination()
+        if durations_key is not None:
+            try:
+                import json as _json
+
+                from .windows import LAST_RUN_DURATIONS
+
+                phases: dict[str, int] = {}
+                for p in q.recentProgress:
+                    d = _json.loads(p.json) if hasattr(p, "json") else p
+                    for k, v in (d.get("durationMs") or {}).items():
+                        phases[k] = phases.get(k, 0) + int(v)
+                LAST_RUN_DURATIONS[durations_key] = phases
+            except Exception:
+                pass
     finally:
         if spark and shuffle_partitions is not None:
             spark.conf.set(part_key, prev_parts)
@@ -217,10 +240,12 @@ def run_ingest_available_now(
     index_path: str,
     out_path: str,
     checkpoint: str,
+    durations_key: str | None = None,
     **kwargs,
 ) -> None:
     """MinHash ingest over everything currently staged (ST4 shape)."""
     run_writer_available_now(
         minhash_dedup_ingest(doc_stream, index_path, out_path, **kwargs),
         checkpoint,
+        durations_key=durations_key,
     )
