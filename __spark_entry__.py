@@ -1608,6 +1608,89 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, n_centroids=16, threshold=0.3)
 
 
+@_q(
+    "q_semantic_dedup_2level",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS c_embedding
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    coarse AS (
+      SELECT centroid_id AS coarse_id, c_embedding AS co_emb
+      FROM cents ORDER BY md5(CAST(centroid_id AS VARCHAR)), centroid_id LIMIT 4
+    ),
+    f2c AS (
+      SELECT centroid_id, c_embedding, coarse_id FROM (
+        SELECT c.centroid_id, c.c_embedding, co.coarse_id,
+               row_number() OVER (
+                 PARTITION BY c.centroid_id
+                 ORDER BY {_ivf_cos_sql('c.c_embedding', 'co.co_emb')} DESC,
+                          co.coarse_id
+               ) AS rn
+        FROM cents c CROSS JOIN coarse co
+      ) WHERE rn = 1
+    ),
+    vc AS (
+      SELECT vec_id, embedding, coarse_id FROM (
+        SELECT e.vec_id, e.embedding, co.coarse_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_ivf_cos_sql('e.embedding', 'co.co_emb')} DESC,
+                          co.coarse_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN coarse co
+      ) WHERE rn = 1
+    ),
+    lists AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, f.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_ivf_cos_sql('v.embedding', 'f.c_embedding')} DESC,
+                          f.centroid_id
+               ) AS rn
+        FROM vc v JOIN f2c f ON v.coarse_id = f.coarse_id
+      ) WHERE rn = 1
+    ),
+    ws AS (
+      SELECT l.vec_id, l.centroid_id,
+             {_ivf_cos_sql('l.embedding', 'c.c_embedding')} AS centroid_sim,
+             list_transform(l.embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(l.embedding,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS nvec
+      FROM lists l JOIN cents c USING (centroid_id)
+    ),
+    dom AS (
+      SELECT DISTINCT b.vec_id
+      FROM ws a JOIN ws b ON a.centroid_id = b.centroid_id
+       AND (a.centroid_sim < b.centroid_sim
+            OR (a.centroid_sim = b.centroid_sim AND a.vec_id < b.vec_id))
+      WHERE round(list_sum(list_transform(range(1, len(a.nvec) + 1),
+              i -> a.nvec[i] * b.nvec[i])), 5) >= 0.3
+    )
+    SELECT vec_id, centroid_id, centroid_sim FROM ws
+    WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+    ORDER BY vec_id
+    """,
+)
+def q_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with TWO-LEVEL centroid assignment (the hierarchical-
+    quantizer scale path SCALING.md's K-knob battery motivates): flat
+    assignment is O(N*K), which caps how far K can chase the corpus;
+    coarse-then-refine folds over sqrt(K) coarse centroids, then only
+    the matched coarse's fine group — O(N*2*sqrt(K)) with every lookup
+    broadcast, corpus never shuffled for assignment. The oracle replays
+    the identical two-level rule (same rounded-cos/lowest-id
+    tie-breaks), so the approximate-assignment semantics are pinned
+    cross-engine, not just asserted."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_2level,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_2level(e, n_centroids=16, threshold=0.3)
+
+
 # --------------------------------------------------------------------------
 # relational expansion: subquery / outer-join / cube shapes (TPC-H-style,
 # adapted to the trimmed star schema — no partsupp/commitdate/shipmode)

@@ -545,18 +545,32 @@ def semantic_dedup(
 
     Reference shape composed: D1 distinct-by-key lifted to embedding
     space (scraper.py:181-195's seen-set discipline, semantic metric)."""
-    from .dedup import one_slot_cached
-
     cents = deterministic_centroids(embeddings, n_centroids)
     lists = ivf_assignment_table(embeddings, cents)
-    # ws feeds BOTH legs of the self-join AND the final anti-join; cache
-    # it once (one_slot_cached discipline — no bare per-call .cache()).
-    # nvec pre-normalizes each vector so the pairwise similarity below is
-    # ONE dot fold instead of dot + two norms per pair — the oracle
-    # normalizes identically, so the rounded values stay in lockstep.
+    return _semdedup_dominate(
+        lists, cents, threshold, f"semdedup_ws:{n_centroids}", embeddings
+    )
+
+
+def _semdedup_dominate(
+    lists: DataFrame,
+    cents: DataFrame,
+    threshold: float,
+    cache_slot: str,
+    cache_source: DataFrame,
+) -> DataFrame:
+    """Shared SemDeDup tail: per-cluster pairwise domination over a
+    (vec_id, embedding, centroid_id) assignment table. ws feeds BOTH
+    legs of the self-join AND the final anti-join; cache it once
+    (one_slot_cached discipline — no bare per-call .cache()). nvec
+    pre-normalizes each vector so the pairwise similarity below is ONE
+    dot fold instead of dot + two norms per pair — the oracle
+    normalizes identically, so the rounded values stay in lockstep."""
+    from .dedup import one_slot_cached
+
     ws = one_slot_cached(
-        f"semdedup_ws:{n_centroids}",
-        embeddings,
+        cache_slot,
+        cache_source,
         lambda: lists.join(F.broadcast(cents), "centroid_id").select(
             "vec_id",
             "centroid_id",
@@ -596,6 +610,71 @@ def semantic_dedup(
         ws.join(dominated, "vec_id", "left_anti")
         .select("vec_id", "centroid_id", "centroid_sim")
         .orderBy("vec_id")
+    )
+
+
+def semantic_dedup_2level(
+    embeddings: DataFrame, n_centroids: int = 16, threshold: float = 0.8
+) -> DataFrame:
+    """`semantic_dedup` with a TWO-LEVEL (coarse-then-refine) centroid
+    assignment — the hierarchical-quantizer shape that tames the flat
+    variant's O(N*K) assignment term to O(N*2*sqrt(K)), so K can grow
+    with the corpus (the measured requirement in SCALING.md's K-knob
+    battery) without assignment becoming the new quadratic. Coarse
+    centroids are the sqrt(K) fine centroids with the smallest
+    md5(vec_id) (a prefix of the same deterministic ordering that picked
+    the fine K); each fine centroid joins its nearest coarse's group;
+    a vector folds over the sqrt(K) coarse array, then over its coarse's
+    fine group only. Assignment is approximate in exactly the IVF-HNSW/
+    two-level-Faiss sense — a vector may land in a different (still
+    near) list than flat argmax — which changes cluster SHAPES, not the
+    domination semantics; the oracle replays the identical two-level
+    rule. Everything corpus-sized stays map-side: coarse array, fine
+    groups, and the group lookup are all broadcast."""
+    cents = deterministic_centroids(embeddings, n_centroids)
+    n_coarse = max(1, int(n_centroids**0.5))
+    coarse = (
+        cents.orderBy(
+            F.md5(F.col("centroid_id").cast("string")), F.col("centroid_id")
+        )
+        .limit(n_coarse)
+        .select("centroid_id", "c_embedding")
+    )
+    carr = coarse.agg(
+        F.sort_array(
+            F.collect_list(F.struct("centroid_id", "c_embedding"))
+        ).alias("cents")
+    )
+    f2c = cents.crossJoin(F.broadcast(carr)).select(
+        "centroid_id",
+        "c_embedding",
+        nearest_centroid(F.col("c_embedding"), F.col("cents"))["cid"].alias(
+            "coarse_id"
+        ),
+    )
+    groups = f2c.groupBy("coarse_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("centroid_id", "c_embedding"))
+        ).alias("fines")
+    )
+    vc = embeddings.select("vec_id", "embedding").crossJoin(
+        F.broadcast(carr)
+    ).select(
+        "vec_id",
+        "embedding",
+        nearest_centroid(F.col("embedding"), F.col("cents"))["cid"].alias(
+            "coarse_id"
+        ),
+    )
+    lists = vc.join(F.broadcast(groups), "coarse_id").select(
+        "vec_id",
+        "embedding",
+        nearest_centroid(F.col("embedding"), F.col("fines"))["cid"].alias(
+            "centroid_id"
+        ),
+    )
+    return _semdedup_dominate(
+        lists, cents, threshold, f"semdedup2_ws:{n_centroids}", embeddings
     )
 
 

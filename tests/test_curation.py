@@ -1109,3 +1109,60 @@ def test_semantic_dedup_matches_numpy_replica(spark):
             and pair_sim5(mat[i], mat[j]) >= threshold
             for i in ids
         )
+
+
+def test_semantic_dedup_2level_matches_numpy_replica(spark):
+    """2-level semantic dedup: independent numpy replica of the full
+    coarse->refine->dominate rule (coarse = md5-prefix of the fine
+    centroids; fine group = nearest coarse per fine centroid; vector
+    folds coarse then its group; domination as in the flat variant)."""
+    import hashlib
+
+    import numpy as np
+
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_2level,
+    )
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    rows = vecs.collect()
+    ids = [r.vec_id for r in rows]
+    mat = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+
+    def cos5(a, b):
+        return round(
+            float(np.dot(a, b) / (np.sqrt(np.dot(a, a)) * np.sqrt(np.dot(b, b)))),
+            5,
+        )
+
+    def pair_sim5(a, b):
+        return round(float(np.dot(a / np.linalg.norm(a), b / np.linalg.norm(b))), 5)
+
+    def nearest(v, cand_ids):
+        return max(cand_ids, key=lambda c: (cos5(v, mat[c]), -c))
+
+    n_centroids, threshold = 4, 0.3
+    md5key = lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)  # noqa: E731
+    fine = sorted(ids, key=md5key)[:n_centroids]
+    coarse = sorted(fine, key=md5key)[: max(1, int(n_centroids**0.5))]
+    f2c = {f: nearest(mat[f], coarse) for f in fine}
+    assign, csim = {}, {}
+    for i in ids:
+        co = nearest(mat[i], coarse)
+        group = [f for f in fine if f2c[f] == co]
+        assign[i] = nearest(mat[i], group)
+        csim[i] = cos5(mat[i], mat[assign[i]])
+    dominated = set()
+    for i in ids:
+        for j in ids:
+            if i == j or assign[i] != assign[j]:
+                continue
+            if (csim[i], i) < (csim[j], j) and pair_sim5(mat[i], mat[j]) >= threshold:
+                dominated.add(j)
+    want = {i: (assign[i], csim[i]) for i in ids if i not in dominated}
+
+    got = {
+        r.vec_id: (r.centroid_id, r.centroid_sim)
+        for r in semantic_dedup_2level(vecs, n_centroids, threshold).collect()
+    }
+    assert got == want

@@ -537,13 +537,14 @@ def test_semantic_dedup_clustered_pairs_only(spark):
     (never an all-pairs cartesian of the corpus), its only cartesian
     contact a broadcast of the one-row centroid array, and the whole
     pipeline JVM-side (no Python eval)."""
-    p = _plan(spark, "q_semantic_dedup")
-    assert "CartesianProduct" not in p
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    # the one-row centroid-array crossJoin broadcasts
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
-    # within-cluster pairs come from a hash equi-join on centroid_id
-    assert "centroid_id" in p
+    for name in ("q_semantic_dedup", "q_semantic_dedup_2level"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        # the one-row centroid-array crossJoin broadcasts
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+        # within-cluster pairs come from a hash equi-join on centroid_id
+        assert "centroid_id" in p
 
 
 def test_decontaminate_semi_anti_shape(spark):
