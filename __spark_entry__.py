@@ -6188,6 +6188,126 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_chunk_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    c AS (SELECT doc_id,
+            list_transform(range(1, (len(toks) + 7) // 8 + 1),
+              i -> array_to_string(list_slice(toks, (i-1)*8 + 1, i*8), ' '))
+            AS chunks
+          FROM t),
+    e AS (SELECT doc_id, i - 1 AS ci, chunks[i] AS chunk
+          FROM c, UNNEST(range(1, len(chunks) + 1)) AS r(i)),
+    f AS (SELECT doc_id, ci, chunk,
+            min(doc_id * 1000000 + ci) OVER (PARTITION BY chunk) AS fk
+          FROM e),
+    rm AS (SELECT doc_id, count(*) AS n_rm FROM f
+           WHERE doc_id * 1000000 + ci <> fk GROUP BY doc_id),
+    kp AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS clean_text
+           FROM f WHERE doc_id * 1000000 + ci = fk GROUP BY doc_id)
+    SELECT c.doc_id,
+           coalesce(kp.clean_text, '') AS clean_text,
+           CAST(len(c.chunks) AS BIGINT) AS n_chunks,
+           CAST(coalesce(rm.n_rm, 0) AS BIGINT) AS n_removed_chunks
+    FROM c LEFT JOIN kp ON c.doc_id = kp.doc_id
+    LEFT JOIN rm ON c.doc_id = rm.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style chunk-aligned exact dedup APPLIED with keep-first
+    semantics (Raffel et al. 2020 §2.2's three-sentence rule at
+    8-token granularity): the globally first occurrence of every
+    distinct 8-token chunk survives, later verbatim repeats are cut,
+    and the cleaned corpus is emitted — the keep-one complement of
+    q_cut_dup_spans (which removes ALL occurrences). One content-keyed
+    shuffle (first-occurrence window per chunk); the verdict rejoins
+    as a per-doc removed-index array, so text never shuffles
+    (operators/corpus.py:chunk_dedup_keep_first)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        chunk_dedup_keep_first,
+    )
+
+    return chunk_dedup_keep_first(
+        _t(spark, sf_dir, "documents"), chunk=8
+    ).orderBy("doc_id")
+
+
+@_q(
+    "q_bpe_merge_step",
+    f"""
+    WITH w AS (SELECT lower(unnest({_TOKS_SQL})) AS word FROM documents),
+    v AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+    p AS (SELECT word, freq, word[i] AS l, word[i+1] AS r
+          FROM v, UNNEST(range(1, length(word))) AS t(i)
+          WHERE length(word) >= 2),
+    a AS (SELECT l, r, sum(freq) AS pair_cnt,
+                 count(DISTINCT word) AS n_words
+          FROM p GROUP BY l, r),
+    rk AS (SELECT row_number() OVER (ORDER BY pair_cnt DESC, l, r) AS rank,
+                  l, r, pair_cnt, n_words
+           FROM a)
+    SELECT CAST(rank AS INT) AS rank, l AS left_sym, r AS right_sym,
+           CAST(pair_cnt AS BIGINT) AS pair_cnt,
+           CAST(n_words AS BIGINT) AS n_words
+    FROM rk WHERE rank <= 20 ORDER BY rank
+    """,
+)
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE learning step (Sennrich et al. 2016): the ranked
+    merge-candidate table — corpus-weighted adjacent character-pair
+    counts whose argmax IS the tokenizer trainer's next merge. The
+    token explode collapses to the word-frequency vocab FIRST (vocab
+    ≪ corpus), pairs enumerate over the vocab only, and both
+    aggregates are map-side combinable; the top-20 window runs over an
+    alphabet²-bounded table (operators/corpus.py:
+    bpe_merge_candidates). Rank is totally ordered (count desc, pair
+    asc) so ties cannot flip between engines."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        bpe_merge_candidates,
+    )
+
+    return bpe_merge_candidates(_t(spark, sf_dir, "documents"), k=20)
+
+
+@_q(
+    "q_logreg_step",
+    """
+    WITH s AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS sy,
+             sum(n_chars) AS sx,
+             sum(n_chars * n_chars) AS sxx,
+             sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS sxy
+      FROM documents)
+    SELECT CAST(n AS BIGINT) AS n, CAST(sy AS BIGINT) AS n_pos,
+           round(2.0 * (sxx * (2*sy - n) - sx * (2*sxy - sx))
+                 / (n * sxx - sx * sx), 6) AS b0,
+           round(2.0 * (n * (2*sxy - sx) - sx * (2*sy - n))
+                 / (n * sxx - sx * sx), 6) AS b1
+    FROM s
+    """,
+)
+def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Newton step of 2-parameter logistic regression
+    (is-English vs document length) from beta = 0, where p = 1/2 makes
+    the step closed-form: beta = 4 (X^T X)^{-1} X^T (y - 1/2) over
+    FIVE combinable integer sums — the quality-classifier trainer next
+    to q_naive_bayes and q_kmeans_step. Halves are cleared
+    symbolically so every operand before the final division is a
+    BIGINT both engines compute bit-identically
+    (operators/statistics.py:logreg_newton_step)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        logreg_newton_step,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return logreg_newton_step(
+        d, F.col("n_chars"), (F.col("lang") == "en").cast("int")
+    )
+
+
+@_q(
     "q_udtf_lateral",
     """
     WITH base AS (

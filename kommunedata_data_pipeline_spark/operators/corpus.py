@@ -685,6 +685,154 @@ def cut_duplicated_spans(
     )
 
 
+def chunk_dedup_keep_first(
+    documents: DataFrame,
+    text_col: str = "text",
+    chunk: int = 8,
+) -> DataFrame:
+    """C4-style chunk-aligned exact dedup with KEEP-FIRST semantics:
+    split each document's token stream into aligned ``chunk``-token
+    windows (the trailing partial chunk included), keep the globally
+    FIRST occurrence of every distinct chunk (first = smallest
+    (doc_id, chunk_idx)), and remove every later verbatim repeat —
+    the rule C4 applies at three-sentence granularity (Raffel et al.
+    2020 §2.2). This is the keep-one complement of
+    ``cut_duplicated_spans``, which removes ALL occurrences of a
+    duplicated passage: keep-first preserves exactly one copy of
+    boilerplate the corpus should still contain once.
+
+    Output: one row per input document — (doc_id, clean_text,
+    n_chunks, n_removed_chunks); untouched docs pass through with
+    n_removed_chunks = 0, a doc whose every chunk appeared earlier
+    emits clean_text = ''.
+
+    Plan: chunking is a pure array expression per row (slice over the
+    token array — no token-stream explode); the chunk stream explodes
+    one row per chunk (rows multiply by ~len/chunk, so the input is
+    spread first), and the ONE content-keyed shuffle is the
+    first-occurrence window partitioned by the chunk string. The
+    keep/remove verdict travels back as a per-doc removed-index array
+    over a doc_id equi-join; masking is array expressions, so the
+    text column itself never shuffles. Occurrence order is encoded as
+    doc_id * 1_000_000 + chunk_idx (exact while docs stay under 1e6
+    chunks; BIGINT-safe to 9e12 docs) so both engines compare one
+    integer instead of a struct. At 100 TB the chunk key would be a
+    128-bit content hash so only (hash, key) pairs shuffle — kept as
+    the raw string here for engine-exact grouping.
+    """
+    toks = _span_tokens(documents, text_col)
+    m = F.size("toks")
+    n_chunks = F.floor((m + F.lit(chunk - 1)) / F.lit(chunk)).cast("int")
+    chunk_arr = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.concat_ws(
+                " ", F.slice("toks", (i - 1) * chunk + 1, chunk)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    base = toks.select("doc_id", chunk_arr.alias("chunks"))
+    occ = base.select(
+        "doc_id", F.posexplode("chunks").alias("ci", "chunk")
+    ).withColumn("k", F.col("doc_id") * 1_000_000 + F.col("ci"))
+    first_k = F.min("k").over(Window.partitionBy("chunk"))
+    removed = (
+        occ.withColumn("fk", first_k)
+        .where(F.col("k") != F.col("fk"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("ci").alias("rm"))
+    )
+    joined = base.join(removed, "doc_id", "left")
+    kept = F.when(F.col("rm").isNull(), F.col("chunks")).otherwise(
+        F.transform(
+            F.filter(
+                F.transform(
+                    F.col("chunks"),
+                    lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+                ),
+                lambda x: ~F.array_contains(F.col("rm"), x["i"]),
+            ),
+            lambda x: x["c"],
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("chunks").cast("bigint").alias("n_chunks"),
+        F.coalesce(F.size("rm"), F.lit(0))
+        .cast("bigint")
+        .alias("n_removed_chunks"),
+    )
+
+
+def bpe_merge_candidates(
+    documents: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """One distributed BPE learning step (Sennrich et al. 2016): the
+    ranked table of byte-pair merge candidates — corpus-weighted
+    adjacent character-pair counts over the word vocabulary, the
+    argmax of which IS the next merge a BPE tokenizer trainer applies.
+    Output: top-``k`` rows (rank, left_sym, right_sym, pair_cnt,
+    n_words), rank totally ordered (count desc, then pair asc) so
+    ties cannot flip between engines; pair_cnt counts every adjacent
+    position (overlapping repeats like "aaa" contribute twice, the
+    standard convention), n_words = distinct vocab words containing
+    the pair.
+
+    Scale shape: the expensive part of BPE training is exactly this
+    aggregate, and it distributes the right way — the token explode
+    collapses to a word-frequency vocab FIRST (map-side combinable;
+    vocab ≪ corpus), pairs then enumerate over the vocab only (rows ~
+    vocab size × word length), and the pair aggregate is combinable
+    again. The top-k is a window over the pair table, whose size is
+    bounded by the alphabet squared — never corpus-sized. Applying
+    the chosen merge is a per-word array rewrite (map-only); the
+    iteration loop re-runs this aggregate per merge with the standard
+    frequency-delta optimization at production scale.
+    """
+    vocab = (
+        _span_tokens(documents, text_col)
+        .select(F.explode("toks").alias("w"))
+        .select(F.lower("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        vocab.where(F.length("word") >= 2)
+        .select(
+            "word",
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.struct(
+                        F.col("word").substr(i, F.lit(1)).alias("l"),
+                        F.col("word").substr(i + 1, F.lit(1)).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("word", "freq", "p.l", "p.r")
+    )
+    agg = pairs.groupBy("l", "r").agg(
+        F.sum("freq").cast("bigint").alias("pair_cnt"),
+        F.countDistinct("word").cast("bigint").alias("n_words"),
+    )
+    w = Window.orderBy(F.desc("pair_cnt"), F.asc("l"), F.asc("r"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "rank",
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            "pair_cnt",
+            "n_words",
+        )
+    )
+
+
 def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
     """`word_ngrams` over an already-tokenized array column (0-based
     positions come from the caller's posexplode)."""

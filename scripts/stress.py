@@ -109,6 +109,12 @@ def main() -> None:
         from kommunedata_data_pipeline_spark.operators.retrieval import bm25_topk
         return bm25_topk(d, ["spark", "vector", "merge"])
 
+    def chunk_dedup(d):
+        from kommunedata_data_pipeline_spark.operators.corpus import (
+            chunk_dedup_keep_first,
+        )
+        return chunk_dedup_keep_first(d, chunk=8)
+
     def rollup(e):
         from kommunedata_data_pipeline_spark.operators.aggregates import time_rollup
         return time_rollup(e)
@@ -128,6 +134,7 @@ def main() -> None:
         "prefix_filter_jaccard": prefix_jaccard,
         "bm25_topk": bm25,
         "unigram_surprisal": surprisal,
+        "chunk_dedup_keepfirst": chunk_dedup,
     }
     event_ops = {
         "time_rollup": rollup,

@@ -290,3 +290,82 @@ def test_cut_duplicated_spans_exact_text(spark):
     rows2 = {r.doc_id: r for r in cut_duplicated_spans(df2, n=5, min_count=2).collect()}
     assert rows2[7].clean_text == "" and rows2[7].n_cut_tokens == 7
     assert rows2[8].clean_text == "" and rows2[8].n_cut_tokens == 7
+
+
+def test_chunk_dedup_keep_first_exact(spark):
+    """Keep-first chunk dedup on a constructed corpus, pinned to exact
+    cleaned strings: the globally first (doc_id, chunk_idx) occurrence
+    of each chunk survives, later repeats are cut, within-doc repeats
+    count, and an all-duplicate doc empties out."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        chunk_dedup_keep_first,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d a b"),   # chunks(2): [a b][c d][a b] -> within-doc repeat
+            (2, "c d x"),          # [c d][x] -> 'c d' first seen in doc 1
+            (3, "q r s"),          # unique, untouched (incl. partial chunk 's')
+            (4, "a b"),            # entirely duplicate -> empties
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in chunk_dedup_keep_first(df, chunk=2).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].clean_text == "a b c d"
+    assert rows[1].n_chunks == 3 and rows[1].n_removed_chunks == 1
+    assert rows[2].clean_text == "x"
+    assert rows[2].n_chunks == 2 and rows[2].n_removed_chunks == 1
+    assert rows[3].clean_text == "q r s"
+    assert rows[3].n_removed_chunks == 0
+    assert rows[4].clean_text == "" and rows[4].n_removed_chunks == 1
+
+
+def test_bpe_merge_candidates_exact_counts(spark):
+    """BPE pair counts on a constructed vocab: overlapping repeats
+    count per adjacent position, counts weight by word frequency, and
+    the rank is totally ordered (count desc, pair asc)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        bpe_merge_candidates,
+    )
+
+    # vocab: 'aaa' freq 2 (pair (a,a) twice per occurrence -> cnt 4),
+    # 'bb' freq 1 -> (b,b) cnt 1; 'ab' freq 1 -> (a,b) cnt 1; single
+    # chars contribute nothing
+    df = spark.createDataFrame(
+        [(1, "aaa bb AAA ab"), (2, "c")], "doc_id long, text string"
+    )
+    rows = [tuple(r) for r in bpe_merge_candidates(df, k=10).collect()]
+    assert rows[0] == (1, "a", "a", 4, 1)
+    # tie between (a,b) and (b,b) at cnt 1 breaks on pair asc
+    assert rows[1] == (2, "a", "b", 1, 1)
+    assert rows[2] == (3, "b", "b", 1, 1)
+    assert len(rows) == 3
+
+
+def test_logreg_newton_step_matches_numpy(spark):
+    """The closed-form 2x2 Newton step must equal an independent numpy
+    solve of beta = 4 (X^T X)^{-1} X^T (y - 1/2); a constant feature
+    (det = 0) yields NULL betas instead of an error."""
+    import numpy as np
+
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        logreg_newton_step,
+    )
+
+    data = [(1, 1), (2, 0), (3, 1), (4, 0), (10, 1), (7, 0), (7, 1)]
+    df = spark.createDataFrame(data, "x long, y long")
+    r = logreg_newton_step(df, F.col("x"), F.col("y")).collect()[0]
+    xs = np.array([d[0] for d in data], dtype=float)
+    ys = np.array([d[1] for d in data], dtype=float)
+    X = np.stack([np.ones_like(xs), xs], axis=1)
+    beta = 4.0 * np.linalg.solve(X.T @ X, X.T @ (ys - 0.5))
+    assert r.n == len(data) and r.n_pos == int(ys.sum())
+    assert abs(r.b0 - beta[0]) < 1e-6
+    assert abs(r.b1 - beta[1]) < 1e-6
+
+    const = spark.createDataFrame([(5, 1), (5, 0)], "x long, y long")
+    r2 = logreg_newton_step(const, F.col("x"), F.col("y")).collect()[0]
+    assert r2.b0 is None and r2.b1 is None

@@ -557,3 +557,30 @@ def test_decontaminate_semi_anti_shape(spark):
     low = p.lower()
     assert "leftsemi" in low or "left semi" in low
     assert "leftanti" in low or "left anti" in low
+
+
+def test_chunk_dedup_one_content_shuffle_no_udf(spark):
+    """chunk_dedup_keep_first: chunking is an array expression (the
+    only Generate is the chunk-stream posexplode), the verdict rejoins
+    as arrays on doc_id, and nothing runs in Python — the text column
+    itself never re-explodes."""
+    p = _plan(spark, "q_chunk_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # one chunk-stream posexplode (formatted explain prints tree +
+    # detail, so one Generate node = 2 occurrences)
+    assert p.count("Generate") <= 2
+
+
+def test_bpe_logreg_combinable_aggregates(spark):
+    """The BPE pair count collapses tokens to the vocab before pair
+    enumeration (partial aggregation present; no join at all), and the
+    logreg step is ONE map-side-combinable aggregate with no shuffle
+    beyond the final single-row exchange — both pure JVM."""
+    for name in ("q_bpe_merge_step", "q_logreg_step"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "HashAggregate" in p, name
+    assert "Join" not in _plan(spark, "q_logreg_step")
