@@ -6270,6 +6270,64 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_candidates(_t(spark, sf_dir, "documents"), k=20)
 
 
+def _bpe_oracle_sql(merges: int, k_words: int) -> str:
+    """Chained-CTE DuckDB twin of operators.corpus.bpe_learn_apply: one
+    (pairs → argmax → replace) block per merge round, each recounting
+    on the PREVIOUS round's segmentation — the same greedy sequential
+    semantics, relying on both engines' identical left-to-right
+    non-overlapping replace()."""
+    blocks = [
+        f"WITH w AS (SELECT lower(unnest({_TOKS_SQL})) AS word FROM documents),",
+        "v0 AS (SELECT word, count(*) AS freq,"
+        " '|' || array_to_string(list_transform(range(1, length(word) + 1),"
+        " i -> word[i]), '||') || '|' AS repr"
+        " FROM w WHERE word NOT LIKE '%|%' GROUP BY word)",
+    ]
+    for j in range(1, merges + 1):
+        blocks.append(
+            f", s{j} AS (SELECT freq,"
+            f" string_split(substr(repr, 2, length(repr) - 2), '||') AS s"
+            f" FROM v{j - 1})"
+            f", p{j} AS (SELECT s[i] AS l, s[i+1] AS r, sum(freq) AS cnt"
+            f" FROM s{j}, UNNEST(range(1, len(s))) AS t(i) GROUP BY l, r)"
+            f", m{j} AS (SELECT l, r FROM p{j} ORDER BY cnt DESC, l, r LIMIT 1)"
+            f", v{j} AS (SELECT word, freq,"
+            f" replace(repr, '|' || m{j}.l || '||' || m{j}.r || '|',"
+            f" '|' || m{j}.l || m{j}.r || '|') AS repr"
+            f" FROM v{j - 1}, m{j})"
+        )
+    blocks.append(
+        f" SELECT word, CAST(freq AS BIGINT) AS freq,"
+        f" replace(replace(repr, '||', ' '), '|', '') AS segmented"
+        f" FROM v{merges} ORDER BY freq DESC, word LIMIT {k_words}"
+    )
+    return "\n".join(blocks)
+
+
+@_q("q_bpe_apply", _bpe_oracle_sql(3, 15))
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BPE trained AND applied (the full loop q_bpe_merge_step
+    takes one step of): 3 sequential merge rounds, each recounting
+    pair frequencies on the current segmentation (true BPE — round 2
+    sees round 1's merged symbols), then the final segmentation of the
+    15 most frequent words. Each round is one combinable pair
+    aggregate over the cached vocab plus a 1-row argmax broadcast back
+    via crossJoin (the kmeans_step no-collect pattern); the merge
+    itself is a literal string replace over a doubled-separator
+    sentinel encoding ('|l||r|' -> '|lr|') whose left-to-right
+    non-overlapping scan IS BPE's greedy within-word merge order in
+    both engines — single separators would share merge boundaries and
+    skip every second merge in a run
+    (operators/corpus.py:bpe_learn_apply)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        bpe_learn_apply,
+    )
+
+    return bpe_learn_apply(
+        _t(spark, sf_dir, "documents"), merges=3, k_words=15
+    )
+
+
 @_q(
     "q_logreg_step",
     """

@@ -833,6 +833,121 @@ def bpe_merge_candidates(
     )
 
 
+def bpe_learn_apply(
+    documents: DataFrame,
+    text_col: str = "text",
+    merges: int = 3,
+    k_words: int = 15,
+) -> DataFrame:
+    """Greedy BPE trained AND applied (Sennrich et al. 2016, the full
+    loop ``bpe_merge_candidates`` takes one step of): ``merges``
+    sequential merge rounds, each recounting adjacent symbol-pair
+    frequencies on the CURRENT segmentation (true BPE — the 2nd merge
+    sees the 1st merge's output symbols), then the final segmentation
+    of the ``k_words`` most frequent words. Output: (word, freq,
+    segmented) with symbols space-joined, ordered (freq desc, word).
+
+    The word representation is ``'|s1||s2||...||sk|'`` — DOUBLE
+    separators between symbols, single at the ends — and applying a
+    merge (l, r) is ONE literal string replace of ``'|l||r|'`` with
+    ``'|lr|'``. The doubling matters: with single separators,
+    back-to-back merges share their boundary character, so the
+    non-overlapping replace scan skips every second merge in a run
+    (``a a a a`` → ``aa a a``, not BPE's greedy ``aa aa``). With
+    doubled separators each pair owns a full boundary on both sides:
+    a match consumes at most the second '|' of a double (leaving the
+    first with the preceding symbol) and at most the first '|' of the
+    following double — the separator structure reconstitutes exactly,
+    and both engines' left-to-right non-overlapping replace IS BPE's
+    greedy within-word merge order (a merged symbol can never equal
+    l or r of the same round, so one pass per round is complete).
+    Words containing the '|' sentinel are excluded from the vocab
+    (documented data contract; none exist in whitespace-tokenized
+    text here).
+
+    Scale shape: everything runs over the word-frequency VOCAB (≪
+    corpus — the token explode collapses first and the vocab is
+    cached once), each round is one combinable pair aggregate plus a
+    1-row argmax broadcast back via crossJoin (the kmeans_step
+    pattern — no driver collect), and the merge application is a
+    map-side string expression. ``merges`` is a small constant (real
+    trainers run tens of thousands of rounds with frequency-delta
+    updates; the per-round DATA PASS is what distributes, and it is
+    this one)."""
+    from .dedup import one_slot_cached
+
+    base = (
+        _span_tokens(documents, text_col)
+        .select(F.explode("toks").alias("w"))
+        .select(F.lower("w").alias("word"))
+        .where(~F.col("word").contains("|"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = one_slot_cached(f"bpe_vocab:{text_col}", documents, lambda: base)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    v = vocab.select(
+        "word",
+        "freq",
+        F.concat(F.lit("|"), F.concat_ws("||", chars), F.lit("|")).alias(
+            "repr"
+        ),
+    )
+    for _ in range(merges):
+        syms = F.split(
+            F.col("repr").substr(F.lit(2), F.length("repr") - 2), r"\|\|"
+        )
+
+        def _pairs(s: Column) -> Column:
+            return F.when(
+                F.size(s) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(s) - 1),
+                    lambda i: F.struct(
+                        F.element_at(s, i).alias("l"),
+                        F.element_at(s, i + 1).alias("r"),
+                    ),
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<struct<l:string,r:string>>)"))
+
+        best = (
+            v.select("freq", F.explode(let(syms, _pairs)).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .select(F.col("l").alias("ml"), F.col("r").alias("mr"))
+        )
+        v = v.crossJoin(F.broadcast(best)).select(
+            "word",
+            "freq",
+            F.replace(
+                F.col("repr"),
+                F.concat(F.lit("|"), "ml", F.lit("||"), "mr", F.lit("|")),
+                F.concat(F.lit("|"), "ml", "mr", F.lit("|")),
+            ).alias("repr"),
+        )
+    # '||' -> ' ' empties every interior separator; the two remaining
+    # single '|' are the word ends
+    segmented = F.replace(
+        F.replace(F.col("repr"), F.lit("||"), F.lit(" ")),
+        F.lit("|"),
+        F.lit(""),
+    )
+    return (
+        v.orderBy(F.desc("freq"), F.asc("word"))
+        .limit(k_words)
+        .select(
+            "word",
+            F.col("freq").cast("bigint").alias("freq"),
+            segmented.alias("segmented"),
+        )
+    )
+
+
 def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
     """`word_ngrams` over an already-tokenized array column (0-based
     positions come from the caller's posexplode)."""

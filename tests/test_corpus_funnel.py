@@ -369,3 +369,43 @@ def test_logreg_newton_step_matches_numpy(spark):
     const = spark.createDataFrame([(5, 1), (5, 0)], "x long, y long")
     r2 = logreg_newton_step(const, F.col("x"), F.col("y")).collect()[0]
     assert r2.b0 is None and r2.b1 is None
+
+
+def test_bpe_learn_apply_textbook_merges(spark):
+    """Full greedy BPE on the Sennrich-style toy vocab, pinned to exact
+    segmentations: merges must be learned SEQUENTIALLY (round 2 counts
+    round 1's merged symbols) with ties broken (count desc, pair asc),
+    and within-word application is left-to-right non-overlapping."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        bpe_learn_apply,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low newer new"),
+            (2, "low newer wider new new"),
+        ],
+        "doc_id long, text string",
+    )
+    # by hand: r1 (l,o)=6 ties (o,w)=6 -> 'l'<'o' merges lo; r2 (lo,w)=6;
+    # r3 (e,w)=5 ties (n,e)=5 -> 'e'<'n' merges ew
+    rows = [tuple(r) for r in bpe_learn_apply(df, merges=3, k_words=10).collect()]
+    assert rows == [
+        ("low", 4, "low"),
+        ("new", 3, "n ew"),
+        ("newer", 2, "n ew e r"),
+        ("lower", 1, "low e r"),
+        ("lowest", 1, "low e s t"),
+        ("wider", 1, "w i d e r"),
+    ]
+
+    # overlapping repeats merge left-to-right: 'aaaa' with merge (a,a)
+    # becomes 'aa aa', 'aaa' becomes 'aa a' — never 'a aa'
+    df2 = spark.createDataFrame(
+        [(1, "aaaa aaa aa")], "doc_id long, text string"
+    )
+    rows2 = {
+        r.word: r.segmented
+        for r in bpe_learn_apply(df2, merges=1, k_words=10).collect()
+    }
+    assert rows2 == {"aaaa": "aa aa", "aaa": "aa a", "aa": "aa"}

@@ -578,7 +578,7 @@ def test_bpe_logreg_combinable_aggregates(spark):
     enumeration (partial aggregation present; no join at all), and the
     logreg step is ONE map-side-combinable aggregate with no shuffle
     beyond the final single-row exchange — both pure JVM."""
-    for name in ("q_bpe_merge_step", "q_logreg_step"):
+    for name in ("q_bpe_merge_step", "q_bpe_apply", "q_logreg_step"):
         p = _plan(spark, name)
         assert "CartesianProduct" not in p, name
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
