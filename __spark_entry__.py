@@ -1557,6 +1557,84 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_ann_recall",
+    f"""
+    WITH qs AS (SELECT vec_id AS query_id, embedding AS q_embedding
+                FROM embeddings WHERE vec_id < 8),
+    ex AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_DOT_SQL} / ({_NORM_E_SQL} * {_NORM_Q_SQL}), 5)
+                          DESC, e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN qs q
+        WHERE e.vec_id <> q.query_id)
+      WHERE rank <= 5),
+    cents AS (
+      SELECT vec_id AS centroid_id, embedding AS c_embedding
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    asg AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_ivf_cos_sql('e.embedding', 'c.c_embedding')} DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    lists AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+    pr AS (
+      SELECT q.query_id, q.q_embedding, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {_ivf_cos_sql('q.q_embedding', 'c.c_embedding')} DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM qs q CROSS JOIN cents c
+    ),
+    ap AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {_ivf_cos_sql('e.embedding', 'p.q_embedding')}
+                          DESC, e.vec_id) AS rank
+        FROM lists e
+        JOIN (SELECT query_id, q_embedding, centroid_id FROM pr WHERE rn <= 2) p
+          ON e.centroid_id = p.centroid_id
+        WHERE e.vec_id <> p.query_id)
+      WHERE rank <= 5),
+    h AS (SELECT ex.query_id, count(*) AS n_hits
+          FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+          GROUP BY ex.query_id),
+    en AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id)
+    SELECT en.query_id, CAST(en.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) * 1.0 / en.n_exact, 6) AS recall
+    FROM en LEFT JOIN h ON en.query_id = h.query_id
+    ORDER BY en.query_id
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 audit of the IVF approximate path (16 lists, nprobe=2)
+    against the exact brute-force baseline — the measurement that
+    justifies shipping an ANN index at an operating point, the
+    embedding-side sibling of q_minhash_est_err. Both sides rank by
+    round-5 cosine with vec_id tiebreak, so the top-k SETS and their
+    intersection are engine-exact
+    (operators/similarity.py:ann_recall_audit)."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        ann_recall_audit,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ann_recall_audit(e, q, 5, n_centroids=16, nprobe=2)
+
+
+@_q(
     "q_semantic_dedup",
     f"""
     WITH cents AS (

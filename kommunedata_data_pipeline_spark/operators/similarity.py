@@ -472,6 +472,59 @@ def ivf_topk(
     )
 
 
+def ann_recall_audit(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Recall@k audit of the IVF approximate path against the exact
+    brute-force baseline — the measurement that justifies (or vetoes)
+    shipping an ANN index at a given (n_centroids, nprobe) operating
+    point, the embedding-side sibling of the MinHash accuracy audit.
+    Output: one row per query — (query_id, n_exact, n_hits, recall)
+    with n_hits = |IVF top-k ∩ exact top-k|, ordered by query_id.
+
+    Both sides rank by round-5 cosine desc with vec_id tiebreak, so
+    each top-k SET is fully deterministic and the intersection is
+    engine-exact. Scale shape: the exact side is the expensive one
+    (query_set × corpus broadcast scan) — which is fine, because a
+    recall audit runs over a SAMPLED query set by construction; the
+    intersection is a (query_id, vec_id) semi-join of two k-row-per-
+    query frames, i.e. nothing. At 100 TB the audit's cost is one
+    broadcast scan of the corpus per query batch, the same bill
+    q_cosine_topk already pays."""
+    exact = brute_force_topk(embeddings, queries, k, query_id)
+    approx = ivf_topk(embeddings, queries, k, n_centroids, nprobe, query_id)
+    hits = exact.select(query_id, "vec_id").join(
+        approx.select(query_id, "vec_id"), [query_id, "vec_id"], "left_semi"
+    )
+    ex_n = exact.groupBy(query_id).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    hit_n = hits.groupBy(query_id).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        ex_n.join(hit_n, query_id, "left")
+        .select(
+            query_id,
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0
+                / F.col("n_exact"),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy(query_id)
+    )
+
+
 def ivf_assignment_table(
     embeddings: DataFrame, centroids: DataFrame
 ) -> DataFrame:

@@ -1166,3 +1166,29 @@ def test_semantic_dedup_2level_matches_numpy_replica(spark):
         for r in semantic_dedup_2level(vecs, n_centroids, threshold).collect()
     }
     assert got == want
+
+
+def test_ann_recall_audit_bounds_and_exhaustive_probe(spark):
+    """ann_recall_audit invariants on real sf0.001 embeddings: every
+    query has exactly k exact neighbors and recall in [0, 1]; probing
+    ALL lists makes IVF exhaustive, so recall must be exactly 1."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        ann_recall_audit,
+    )
+    from kommunedata_data_pipeline_spark.sources.readers import load_table
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    part = ann_recall_audit(vecs, q, k=4, n_centroids=8, nprobe=1).collect()
+    assert len(part) == 5
+    for r in part:
+        assert r.n_exact == 4
+        assert 0 <= r.n_hits <= r.n_exact
+        assert 0.0 <= r.recall <= 1.0
+    full = ann_recall_audit(vecs, q, k=4, n_centroids=8, nprobe=8).collect()
+    assert all(r.recall == 1.0 and r.n_hits == 4 for r in full)
