@@ -9479,6 +9479,138 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_logreg_apply",
+    """
+    WITH s AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS sy,
+             sum(n_chars) AS sx,
+             sum(n_chars * n_chars) AS sxx,
+             sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS sxy
+      FROM documents),
+    b AS (
+      SELECT round(2.0 * (sxx * (2*sy - n) - sx * (2*sxy - sx))
+                   / (n * sxx - sx * sx), 6) AS b0,
+             round(2.0 * (n * (2*sxy - sx) - sx * (2*sy - n))
+                   / (n * sxx - sx * sx), 6) AS b1
+      FROM s)
+    SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS x,
+           CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS INT) AS label,
+           round(b.b0 + b.b1 * d.n_chars, 6) AS logit
+    FROM documents d CROSS JOIN b
+    WHERE b.b0 + b.b1 * d.n_chars > 0
+    ORDER BY d.doc_id
+    """,
+)
+def q_logreg_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality classifier trained AND applied (the detect→act twin of
+    q_logreg_step, same discipline as the span cut and decontaminate):
+    the one-step Newton betas score every document with the linear
+    logit b0 + b1·n_chars and the accepted rows (logit > 0) come back
+    as the kept manifest. The betas frame is one row broadcast onto
+    the corpus scan — the apply pass is pure map-side filter+project;
+    determinism holds because both engines score with the SAME
+    round6 betas and exact integer features
+    (operators/statistics.py:logreg_apply)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        logreg_apply,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return logreg_apply(
+        d, F.col("n_chars"), (F.col("lang") == "en").cast("int")
+    )
+
+
+@_q(
+    "q_oov_rate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS_SQL} AS toks,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS h
+      FROM documents),
+    tr AS (SELECT unnest(toks) AS token FROM t WHERE h >= 20),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS cnt FROM tr GROUP BY token)
+      ORDER BY cnt DESC, token ASC LIMIT 500),
+    held AS (SELECT lang, unnest(toks) AS token FROM t WHERE h < 20)
+    SELECT h.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM held h LEFT JOIN vocab v USING (token)
+    GROUP BY h.lang ORDER BY h.lang
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: top-500 word vocab learned on the
+    deterministic md5 train split (hash >= 20), out-of-vocab rate per
+    language measured on the held-out 20% — the measurement that sizes
+    a vocab before tokenizing a 100 TB corpus. Vocab is a combinable
+    count aggregate cut at (count DESC, token ASC) and broadcast back
+    onto the held-out token stream, so membership probing never
+    shuffles the corpus (operators/corpus.py:vocab_oov_audit)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        vocab_oov_audit,
+    )
+
+    return vocab_oov_audit(
+        _t(spark, sf_dir, "documents"), vocab_size=500, holdout_pct=20
+    )
+
+
+@_q(
+    "q_dsir_select",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+             unnest({_TOKS_SQL}) AS token
+      FROM documents),
+    b AS (SELECT doc_id, tgt,
+                 ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket
+          FROM t),
+    c AS (SELECT bucket, sum(tgt) AS c_t, sum(1 - tgt) AS c_s
+          FROM b GROUP BY bucket),
+    tot AS (SELECT sum(c_t) AS tot_t, sum(c_s) AS tot_s FROM c),
+    w AS (SELECT bucket,
+                 CAST(floor(1000000.0 * ln(
+                   CAST((c_t + 1) * (tot_s + 64) AS DOUBLE)
+                   / CAST((c_s + 1) * (tot_t + 64) AS DOUBLE)))
+                 AS BIGINT) AS w_micro
+          FROM c CROSS JOIN tot),
+    s AS (SELECT b.doc_id, sum(w.w_micro) AS score_micro,
+                 count(*) AS n_tokens
+          FROM b JOIN w USING (bucket) WHERE b.tgt = 0
+          GROUP BY b.doc_id)
+    SELECT doc_id, CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM s ORDER BY score_micro DESC, doc_id ASC LIMIT 100
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    bag models for the TARGET slice (lang='en') and the raw pool, per-
+    bucket importance weights floor(1e6·ln(p_t/p_s)) as BIGINTs (the
+    q_naive_bayes integer-log-micro discipline — floored BEFORE
+    summation so per-doc scores are partition-order-independent), and
+    the top-100 raw docs by integer score. One token-explode pass
+    feeds both 64-bucket models; the weight table broadcasts back, so
+    the only corpus-sized shuffle is the per-doc combinable sum
+    (operators/corpus.py:dsir_select)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import dsir_select
+
+    return dsir_select(
+        _t(spark, sf_dir, "documents"),
+        target_pred=(F.col("lang") == "en"),
+        n_buckets=64,
+        top_n=100,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -961,3 +961,159 @@ def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def vocab_oov_audit(
+    documents: DataFrame,
+    vocab_size: int = 500,
+    holdout_pct: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-coverage audit: learn a top-``vocab_size`` word vocab
+    from the deterministic train split and measure the out-of-vocab
+    rate per language on the held-out split — the readout that decides
+    whether a vocab is big enough BEFORE committing to a tokenization
+    of a 100 TB corpus (the measurement sibling of `bpe_learn_apply`:
+    that op builds subword units; this op says how far whole-word
+    units get).
+
+    Split: md5-hash split on doc_id (`sampling.sample_hash`), hash <
+    ``holdout_pct`` → held-out, rest → train, so both engines cut the
+    identical corpus. Vocab: top-``vocab_size`` train tokens by
+    (count DESC, token ASC) — boundary ties pinned by the token
+    tiebreak. OOV: held-out token stream left-joined to the vocab on
+    the token key; per-lang totals are combinable counts.
+
+    Scale shape: the vocab aggregate is map-side-combinable and its
+    result is ``vocab_size`` rows — broadcast back onto the held-out
+    token stream, so the membership probe is shuffle-free (at real
+    scale the same broadcast carries a bloom filter first; the exact
+    join here IS the semantics). Output: one row per held-out lang,
+    (lang, n_tokens, n_oov, oov_rate).
+    """
+    from .sampling import sample_hash
+
+    toks = tokens(F.col(text_col))
+    split = documents.withColumn(
+        "__h", sample_hash(F.col("doc_id").cast("string"))
+    )
+    train_toks = (
+        split.where(F.col("__h") >= holdout_pct)
+        .select(F.explode(toks).alias("token"))
+    )
+    vocab = (
+        train_toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token")
+    )
+    held = (
+        split.where(F.col("__h") < holdout_pct)
+        .select("lang", F.explode(toks).alias("token"))
+    )
+    return (
+        held.join(
+            F.broadcast(vocab.withColumn("__in", F.lit(1))), "token", "left"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def dsir_select(
+    documents: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 64,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    DSIR) over hashed unigram buckets: fit two bag-of-hashed-ngrams
+    unigram models — one on the TARGET slice (the distribution you
+    want more of, e.g. a high-quality domain), one on the remaining
+    RAW pool — and rank every raw document by its log importance
+    weight  sum_t [ log p_target(bucket(t)) - log p_raw(bucket(t)) ],
+    keeping the ``top_n``. This is the published scale recipe for
+    "find me more documents like THESE" selection: the feature space
+    is a fixed ``n_buckets``-bucket hash, so both models are one
+    combinable count aggregate each, regardless of corpus size.
+
+    Exactness discipline (the `q_naive_bayes` integer-log-micro
+    pattern): per-bucket weights are floor(1e6 · ln(ratio)) BIGINTs
+    computed ONCE on the ``n_buckets``-row model table from exact
+    integer counts (Laplace-smoothed), then per-doc scores are plain
+    integer sums — order/partition-independent, so the top-``top_n``
+    cut is pinned by (score DESC, doc_id ASC) in both engines.
+
+    Scale shape: one token-explode pass feeds both model counts (a
+    conditional aggregate over ``n_buckets`` keys); the weight table
+    is ``n_buckets`` rows — broadcast back onto the raw token stream;
+    the per-doc sum is map-side-combinable on doc_id. No all-pairs
+    anything; the only corpus-sized shuffle is the per-doc groupBy.
+    Output: (doc_id, score_micro, n_tokens) for the selected docs.
+    """
+    from ..functions.strings import md5_bigint
+
+    toks = documents.select(
+        "doc_id",
+        target_pred.cast("int").alias("__tgt"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).withColumn(
+        "bucket", F.pmod(md5_bigint(F.col("token")), F.lit(n_buckets))
+    )
+    counts = toks.groupBy("bucket").agg(
+        F.sum(F.col("__tgt")).alias("c_t"),
+        F.sum(1 - F.col("__tgt")).alias("c_s"),
+    )
+    totals = counts.agg(
+        F.sum("c_t").alias("tot_t"), F.sum("c_s").alias("tot_s")
+    )
+    b = F.lit(n_buckets)
+    weights = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    ((F.col("c_t") + 1) * (F.col("tot_s") + b)).cast("double")
+                    / ((F.col("c_s") + 1) * (F.col("tot_t") + b)).cast(
+                        "double"
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("w_micro"),
+        )
+    )
+    raw_scores = (
+        toks.where(F.col("__tgt") == 0)
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_micro").alias("score_micro"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return (
+        raw_scores.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(top_n)
+        .select(
+            "doc_id",
+            F.col("score_micro").cast("bigint").alias("score_micro"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

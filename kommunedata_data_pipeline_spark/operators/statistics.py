@@ -542,6 +542,41 @@ def logreg_newton_step(
     )
 
 
+def logreg_apply(
+    df: DataFrame, x: Column, y: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Train the one-step classifier AND apply it — the detect→act twin
+    of `logreg_newton_step` (the span-cut / decontaminate discipline:
+    a trainer that never scores anything curates nothing). The learned
+    betas score every row with the linear logit b0 + b1·x, and the
+    rows the classifier accepts (logit > 0, i.e. p > 1/2) come back as
+    the kept manifest ``(id, x, label, logit)`` — what a quality-gate
+    stage writes before tokenization.
+
+    Determinism: b0/b1 are emitted by the trainer already rounded to 6
+    decimals, so both engines score with bit-identical doubles; the
+    logit is one multiply-add over those and an exact integer x, and
+    the keep decision compares the identical double against 0. The
+    betas frame is one row — broadcast onto the corpus scan, the apply
+    pass is entirely map-side (filter + project, no shuffle beyond the
+    emission sort).
+    """
+    betas = logreg_newton_step(df, x, y).select("b0", "b1")
+    xi = x.cast("bigint")
+    logit = F.col("b0") + F.col("b1") * xi
+    return (
+        df.crossJoin(F.broadcast(betas))
+        .where(logit > 0)
+        .select(
+            F.col(id_col),
+            xi.alias("x"),
+            y.cast("int").alias("label"),
+            F.round(logit, 6).alias("logit"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def ab_proportions_ztest(assignments: DataFrame) -> DataFrame:
     """Two-sample proportions z-test over
     ``assignments(unit, arm, converted)`` (arm/converted 0-or-1, one

@@ -409,3 +409,109 @@ def test_bpe_learn_apply_textbook_merges(spark):
         for r in bpe_learn_apply(df2, merges=1, k_words=10).collect()
     }
     assert rows2 == {"aaaa": "aa aa", "aaa": "aa a", "aa": "aa"}
+
+
+def test_logreg_apply_matches_scored_betas(spark):
+    """The kept manifest must be exactly the rows whose logit (under the
+    trainer's own round6 betas) is positive, with the logit reported."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        logreg_apply,
+        logreg_newton_step,
+    )
+
+    data = [(0, 1, 1), (1, 2, 0), (2, 3, 1), (3, 4, 0), (4, 10, 1),
+            (5, 7, 0), (6, 7, 1)]
+    df = spark.createDataFrame(data, "doc_id long, x long, y long")
+    b = logreg_newton_step(df, F.col("x"), F.col("y")).collect()[0]
+    kept = {
+        r.doc_id: r
+        for r in logreg_apply(
+            df, F.col("x"), F.col("y"), id_col="doc_id"
+        ).collect()
+    }
+    for doc_id, x, y in data:
+        logit = b.b0 + b.b1 * x
+        assert (doc_id in kept) == (logit > 0)
+        if doc_id in kept:
+            assert kept[doc_id].x == x and kept[doc_id].label == y
+            assert abs(kept[doc_id].logit - logit) < 1e-6
+
+
+def _md5_mod(s: str, mod: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
+
+
+def test_vocab_oov_audit_hand_case(spark):
+    """Constructed split: train docs say only 'alpha beta'; one held-out
+    doc adds the unseen token 'zzz' — the audit must count exactly the
+    unseen tokens as OOV on the held-out side."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        vocab_oov_audit,
+    )
+
+    held_ids = [i for i in range(200) if _md5_mod(str(i), 100) < 20]
+    train_ids = [i for i in range(200) if _md5_mod(str(i), 100) >= 20]
+    assert held_ids and train_ids
+    rows = [(i, "alpha beta", "en") for i in train_ids]
+    # held-out docs: two known tokens + one unseen
+    rows += [(held_ids[0], "alpha zzz", "en")]
+    rows += [(i, "alpha beta", "da") for i in held_ids[1:]]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.lang: r for r in vocab_oov_audit(df, vocab_size=10).collect()}
+    assert out["en"].n_tokens == 2 and out["en"].n_oov == 1
+    assert abs(out["en"].oov_rate - 0.5) < 1e-9
+    assert out["da"].n_oov == 0
+    assert out["da"].n_tokens == 2 * len(held_ids[1:])
+
+
+def test_dsir_select_matches_python_replica(spark):
+    """DSIR integer scores must equal an exact Python replica (hashed
+    buckets, Laplace-smoothed ln ratios, floor-to-micro, per-doc sums),
+    and docs wording like the target must outrank ones that don't."""
+    import math
+
+    from kommunedata_data_pipeline_spark.operators.corpus import dsir_select
+
+    rows = [
+        (0, "gold gold silver", "en"),       # target
+        (1, "gold silver gold gold", "en"),  # target
+        (2, "gold gold silver", "xx"),       # raw, target-like
+        (3, "mud mud rock", "xx"),           # raw, unlike target
+        (4, "gold mud", "xx"),               # raw, mixed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dsir_select(
+        df, target_pred=(F.col("lang") == "en"), n_buckets=8, top_n=10
+    ).collect()
+    got = {r.doc_id: r.score_micro for r in out}
+
+    # python replica
+    c_t: dict[int, int] = {}
+    c_s: dict[int, int] = {}
+    doc_buckets: dict[int, list[int]] = {}
+    for doc_id, text, lang in rows:
+        for tok in text.split():
+            b = _md5_mod(tok, 8)
+            if lang == "en":
+                c_t[b] = c_t.get(b, 0) + 1
+            else:
+                c_s[b] = c_s.get(b, 0) + 1
+                doc_buckets.setdefault(doc_id, []).append(b)
+    tot_t, tot_s = sum(c_t.values()), sum(c_s.values())
+    w = {
+        b: math.floor(
+            1e6
+            * math.log(
+                (c_t.get(b, 0) + 1) * (tot_s + 8)
+                / ((c_s.get(b, 0) + 1) * (tot_t + 8))
+            )
+        )
+        for b in set(c_t) | set(c_s)
+    }
+    expect = {
+        d: sum(w[b] for b in bl) for d, bl in doc_buckets.items()
+    }
+    assert got == expect
+    assert got[2] > got[3]  # target-like raw doc outranks the unlike one
