@@ -9611,6 +9611,83 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_d2u_sql(a: str, b: str, d: int = 16) -> str:
+    """DuckDB twin of similarity._d2_micro over two length-``d`` list
+    exprs: squared L2 in doubles, integerized to BIGINT 1e-5 units."""
+    t = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"CAST(floor(list_sum(list_transform(range(1, {d + 1}), "
+        f"i -> {t} * {t})) * 100000.0 + 0.5) AS BIGINT)"
+    )
+
+
+@_q(
+    "q_pq_topk",
+    f"""
+    WITH seeds AS (
+      SELECT embedding,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+    books AS (
+      SELECT s.s AS subspace, code,
+             list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS c_sub
+      FROM seeds, (SELECT unnest(range(0, 4)) AS s) s),
+    sv AS (
+      SELECT e.vec_id, s.s AS subspace,
+             list_slice(e.embedding, s.s*16 + 1, s.s*16 + 16) AS sub
+      FROM embeddings e, (SELECT unnest(range(0, 4)) AS s) s),
+    enc AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT sv.vec_id, sv.subspace, b.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.subspace
+                 ORDER BY {_pq_d2u_sql('sv.sub', 'b.c_sub')}, b.code) AS rn
+        FROM sv JOIN books b USING (subspace))
+      WHERE rn = 1),
+    qsv AS (
+      SELECT vec_id AS query_id, s.s AS subspace,
+             list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS sub
+      FROM embeddings, (SELECT unnest(range(0, 4)) AS s) s
+      WHERE vec_id < 8),
+    lut AS (
+      SELECT q.query_id, q.subspace, b.code,
+             {_pq_d2u_sql('q.sub', 'b.c_sub')} AS du
+      FROM qsv q JOIN books b USING (subspace)),
+    adc AS (
+      SELECT l.query_id, e.vec_id, CAST(sum(l.du) AS BIGINT) AS dist_u
+      FROM enc e JOIN lut l ON e.subspace = l.subspace AND e.code = l.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY l.query_id, e.vec_id)
+    SELECT query_id, vec_id, round(dist_u / 100000.0, 5) AS adc_d2,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY dist_u, vec_id) AS rank
+          FROM adc)
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou et al. 2011 — the IVF-PQ
+    search shape): 4 subspaces × 16 deterministic codes; the corpus
+    encodes map-side to 4 codes/vector, each query precomputes its
+    4×16 integer-micro distance LUT (broadcast), and scoring is 4
+    array lookups per (vector, query) over the CODES table — the raw
+    embeddings never rejoin the scan. Distances stay BIGINT 1e-5
+    units end to end, so ranks are exact in both engines
+    (operators/similarity.py:pq_codebooks/pq_encode/pq_adc_topk)."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return pq_adc_topk(e, qs, m=4, k_codes=16, d_sub=16, k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

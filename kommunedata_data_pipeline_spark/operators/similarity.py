@@ -910,3 +910,200 @@ def random_sign_projection(
             F.sum(sign * F.col("xi")).cast("bigint").alias(f"p{j}_micro")
         )
     return ex.groupBy("vec_id").agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# product quantization (IVF-PQ's other half): codebooks, encoding, ADC top-k
+
+
+def _d2_micro(a: Column, b: Column) -> Column:
+    """Squared L2 between two float arrays as BIGINT 1e-5 units:
+    the zip_with/aggregate fold is sequential (bit-identical to the
+    DuckDB list fold over the same doubles), and the floor(x·1e5 + .5)
+    integerization makes every downstream comparison and SUM exact and
+    order-independent — the same reason the LUT sums below can run in
+    any partition order on both engines."""
+    d2 = F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.floor(d2 * 100000.0 + F.lit(0.5)).cast("bigint")
+
+
+def pq_codebooks(
+    embeddings: DataFrame, m: int = 4, k: int = 16, d_sub: int = 16
+) -> DataFrame:
+    """Deterministic PQ "training": one ``k``-entry codebook per
+    subspace, rows (subspace, code, c_sub). The ``k`` corpus vectors
+    with the smallest md5(vec_id) seed the codes (codes 0..k-1 in that
+    order — `deterministic_centroids`' replayable stand-in for the
+    per-subspace k-means a production PQ trains; the ENCODE/ADC
+    machinery is identical either way, which is what's under test).
+    Each seed contributes its slice to every subspace's book."""
+    w = Window.orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    seeds = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k)
+        .withColumn("code", F.row_number().over(w) - 1)
+    )
+    return seeds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
+        "code",
+        "embedding",
+    ).select(
+        "subspace",
+        "code",
+        F.slice(
+            F.col("embedding"), F.col("subspace") * d_sub + 1, F.lit(d_sub)
+        ).alias("c_sub"),
+    )
+
+
+def _books_array(codebooks: DataFrame) -> DataFrame:
+    """One-row frame: ``books`` = array over subspace of (subspace,
+    entries: array of (code, c_sub) sorted by code) — the broadcastable
+    shape every map-side PQ pass reads (m·k sub-vectors ≈ KBs)."""
+    return (
+        codebooks.groupBy("subspace")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("code", "c_sub"))
+            ).alias("entries")
+        )
+        .groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("subspace", "entries"))
+            ).alias("books")
+        )
+    )
+
+
+def _argmin_code(sub: Column, entries: Column) -> Column:
+    """Code of the nearest codebook entry to ``sub`` (integer-micro
+    squared L2, strict < over code-ascending entries keeps the lowest
+    code on ties — same order as ORDER BY d2, code)."""
+    from ..functions.expr import let
+
+    return F.aggregate(
+        entries,
+        F.struct(
+            F.lit(1 << 62).cast("bigint").alias("d"),
+            F.lit(-1).cast("int").alias("code"),
+        ),
+        lambda acc, e: let(
+            _d2_micro(sub, e["c_sub"]),
+            lambda d: F.when(
+                d < acc["d"],
+                F.struct(d.alias("d"), e["code"].cast("int").alias("code")),
+            ).otherwise(acc),
+        ),
+        lambda acc: acc["code"],
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    d_sub: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-encode the corpus: (vec_id, codes array<int> of length ``m``)
+    — 64 floats compress to ``m`` byte-sized codes, the representation
+    a 100 TB vector store actually keeps hot. Entirely map-side: the
+    codebooks collapse to a one-row broadcast array and every vector's
+    per-subspace argmin runs inside codegen; the encode pass costs zero
+    shuffles at any corpus size."""
+    cb = _books_array(codebooks)
+    emb = F.col("embedding")
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _argmin_code(
+            F.slice(emb, s * d_sub + 1, F.lit(d_sub)),
+            F.element_at(F.col("books"), s + 1)["entries"],
+        ),
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(cb))
+        .select(F.col(id_col), codes.alias("codes"))
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    d_sub: int = 16,
+    k: int = 5,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-encoded corpus — the
+    Jégou et al. 2011 search shape Faiss's IVF-PQ uses: per query,
+    precompute the m×k lookup table of exact squared distances from the
+    query's sub-vectors to every codebook entry, then score each
+    encoded vector with ``m`` table lookups instead of ``d`` float ops.
+
+    Scale shape (100 TB): the LUT frame is (queries × m·k ints) —
+    broadcast; the corpus side touches only the CODES table (the
+    ~16-byte-per-vector index, not the raw embeddings), and scoring is
+    a map-side fold of m array lookups per (vector, query). The only
+    shuffle is the final per-query top-k window. Distances stay BIGINT
+    micro-units end to end, so sums/ranks are exact in both engines;
+    ties break by vec_id. Output: (query_id, vec_id, adc_d2, rank).
+    """
+    books = pq_codebooks(embeddings, m, k_codes, d_sub)
+    cb = _books_array(books)
+    enc = pq_encode(embeddings, books, m, d_sub)
+    q_emb = F.col("q_embedding")
+    lut = F.transform(
+        F.col("books"),
+        lambda b: F.transform(
+            b["entries"],
+            lambda e: _d2_micro(
+                F.slice(q_emb, b["subspace"] * d_sub + 1, F.lit(d_sub)),
+                e["c_sub"],
+            ),
+        ),
+    )
+    luts = queries.crossJoin(F.broadcast(cb)).select(
+        query_id, lut.alias("lut")
+    )
+    dist_u = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(luts))
+        .where(F.col("vec_id") != F.col(query_id))
+        .select(query_id, "vec_id", dist_u.alias("dist_u"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("dist_u").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id,
+            "vec_id",
+            F.round(F.col("dist_u") / 100000.0, 5).alias("adc_d2"),
+            "rank",
+        )
+        .orderBy(query_id, "rank")
+    )

@@ -1192,3 +1192,80 @@ def test_ann_recall_audit_bounds_and_exhaustive_probe(spark):
         assert 0.0 <= r.recall <= 1.0
     full = ann_recall_audit(vecs, q, k=4, n_centroids=8, nprobe=8).collect()
     assert all(r.recall == 1.0 and r.n_hits == 4 for r in full)
+
+
+def test_pq_adc_topk_matches_numpy_replica(spark):
+    """PQ encode + ADC must equal an exact numpy replica: same md5-seed
+    codebooks, same integer-micro distances, same (dist, vec_id)
+    ranking — and encoding an exact codebook seed must cost 0."""
+    import hashlib
+
+    import numpy as np
+
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim, m, d_sub, kc = 20, 8, 2, 4, 4
+    vecs = rng.randn(n, dim).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    out = pq_adc_topk(df, qs, m=m, k_codes=kc, d_sub=d_sub, k=4).collect()
+
+    # numpy replica ----------------------------------------------------
+    def md5key(i):
+        return (hashlib.md5(str(i).encode()).hexdigest(), i)
+
+    seed_ids = sorted(range(n), key=md5key)[:kc]
+
+    def d2u(a, b):
+        d = a.astype(np.float64) - b.astype(np.float64)
+        return int(np.floor(float((d * d).sum()) * 100000.0 + 0.5))
+
+    def sub(v, s):
+        return v[s * d_sub : (s + 1) * d_sub]
+
+    def encode(v):
+        return [
+            min(
+                range(kc),
+                key=lambda c: (d2u(sub(v, s), sub(vecs[seed_ids[c]], s)), c),
+            )
+            for s in range(m)
+        ]
+
+    codes = {i: encode(vecs[i]) for i in range(n)}
+    expect = []
+    for q in range(3):
+        lut = [
+            [d2u(sub(vecs[q], s), sub(vecs[seed_ids[c]], s)) for c in range(kc)]
+            for s in range(m)
+        ]
+        scored = sorted(
+            (
+                (sum(lut[s][codes[i][s]] for s in range(m)), i)
+                for i in range(n)
+                if i != q
+            ),
+        )
+        for r, (du, i) in enumerate(scored[:4], 1):
+            expect.append((q, i, round(du / 100000.0, 5), r))
+    got = [(r.query_id, r.vec_id, r.adc_d2, r.rank) for r in out]
+    assert sorted(got) == sorted(expect)
+
+    # a codebook seed encodes to itself with distance 0 in its own slot
+    books = pq_codebooks(df, m=m, k=kc, d_sub=d_sub)
+    enc = {
+        r.vec_id: r.codes for r in pq_encode(df, books, m=m, d_sub=d_sub).collect()
+    }
+    for c, sid in enumerate(seed_ids):
+        assert enc[sid] == [c] * m
