@@ -9611,6 +9611,70 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_stream_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, {_ngrams_sql(8)} AS grams FROM t),
+    tr AS (SELECT doc_id, grams FROM g WHERE doc_id % 2 = 0),
+    te AS (SELECT DISTINCT ngram
+           FROM (SELECT unnest(grams) AS ngram FROM g WHERE doc_id % 2 = 1)),
+    bad AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(grams) AS ngram FROM tr) x
+      WHERE ngram IN (SELECT ngram FROM te)
+    )
+    SELECT doc_id, CAST(len(grams) AS INT) AS n_ngrams
+    FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    ORDER BY doc_id
+    """,
+)
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING decontamination: the train corpus (even doc_ids)
+    arrives as a 3-batch file stream; each micro-batch drops documents
+    sharing any verbatim 8-gram with the frozen eval set (odd doc_ids)
+    and survivors land exactly once. The stateless member of the
+    ingest family — the eval gram set is materialized once at builder
+    time, so batching provably cannot change the landed set (unlike
+    the index-carrying MinHash/ANN ingests, no arrival-order contract
+    is even needed); landed ≡ q_decontaminate's batch answer
+    (streaming/ingest.py:decontaminate_ingest)."""
+    import shutil
+    import tempfile
+
+    from kommunedata_data_pipeline_spark.streaming.ingest import (
+        decontaminate_ingest,
+        run_writer_available_now,
+    )
+
+    base = tempfile.mkdtemp(
+        prefix="kdp-decon-",
+        dir="/dev/shm" if __import__("os").path.isdir("/dev/shm") else None,
+    )
+    try:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        train = d.where(F.col("doc_id") % 2 == 0)
+        eval_df = d.where(F.col("doc_id") % 2 == 1)
+        stage = _stage_id_batches(train, "doc_id", base)
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        run_writer_available_now(
+            decontaminate_ingest(stream, eval_df, f"{base}/landed", n=8),
+            f"{base}/ckpt",
+            durations_key="q_stream_decontaminate_sink",
+        )
+        landed = (
+            spark.read.parquet(f"{base}/landed")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return landed.orderBy("doc_id")
+
+
 def _pq_d2u_sql(a: str, b: str, d: int = 16) -> str:
     """DuckDB twin of similarity._d2_micro over two length-``d`` list
     exprs: squared L2 in doubles, integerized to BIGINT 1e-5 units."""

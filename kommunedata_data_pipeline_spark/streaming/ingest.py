@@ -249,3 +249,63 @@ def run_ingest_available_now(
         checkpoint,
         durations_key=durations_key,
     )
+
+
+def decontaminate_ingest(
+    doc_stream: DataFrame,
+    eval_df: DataFrame,
+    out_path: str,
+    n: int = 8,
+):
+    """Streaming decontamination — the STATELESS member of the ingest
+    family (`minhash_dedup_ingest`/`ann_dedup_ingest` carry an evolving
+    index; here the eval n-gram set is FROZEN, so batching cannot change
+    the answer at all): every micro-batch of train documents drops the
+    ones sharing ANY verbatim word ``n``-gram with the eval corpus
+    (`operators.corpus.decontaminate` semantics) and the survivors land
+    exactly once (ST2 anti-join vs the landed catalog). Replay-safe
+    trivially — the filter is a pure function of (batch, eval set) and
+    a replayed batch lands zero rows.
+
+    The distinct eval gram set is materialized ONCE at builder time
+    (localCheckpoint — executor-side, no driver collect) instead of
+    re-exploding the eval corpus inside every micro-batch; at 100 TB
+    the same frame is a written gram table the batches semi-join
+    (optionally fronted by a bloom filter — the exact join IS the
+    semantics)."""
+    from ..operators.corpus import word_ngrams
+
+    eval_grams = (
+        eval_df.select(F.explode(word_ngrams(F.col("text"), n)).alias("ngram"))
+        .dropDuplicates(["ngram"])
+        .localCheckpoint(eager=True)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..sources.sinks import load_catalog
+
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+        if batch.isEmpty():
+            return
+        grams = batch.select(
+            "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("ngram")
+        ).dropDuplicates(["doc_id", "ngram"])
+        contaminated = (
+            grams.join(eval_grams, "ngram", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        kept = (
+            batch.join(contaminated, "doc_id", "left_anti")
+            .select(
+                "doc_id",
+                F.size(word_ngrams(F.col("text"), n)).alias("n_ngrams"),
+            )
+        )
+        landed = load_catalog(spark, out_path, ["doc_id"])
+        if landed is not None:
+            kept = kept.join(landed, ["doc_id"], "left_anti")
+        kept.write.mode("append").parquet(out_path)
+
+    return doc_stream.writeStream.foreachBatch(process_batch)

@@ -674,3 +674,88 @@ def test_ann_ingest_landed_set_invariant_under_batch_split(spark):
         for r in ann_band_table(vecs, 4, 8).collect()
     )
     assert idx_one == full_idx and idx_three == full_idx
+
+
+def test_decontaminate_ingest_landed_equals_batch_and_split_invariant(spark):
+    """Stateless streaming decontamination: the landed set must equal
+    the batch-mode `decontaminate` answer under BOTH a 1-batch and a
+    3-batch split (no arrival-order contract — the eval gram set is
+    frozen), and a replayed-looking duplicate batch must land nothing
+    new (exactly-once landing)."""
+    import glob
+    import os
+    import shutil
+
+    from kommunedata_data_pipeline_spark.operators.corpus import decontaminate
+    from kommunedata_data_pipeline_spark.streaming.ingest import (
+        decontaminate_ingest,
+        run_writer_available_now,
+    )
+
+    d = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 90)
+    )
+    train = d.where(F.col("doc_id") % 2 == 0)
+    eval_df = d.where(F.col("doc_id") % 2 == 1)
+    want = {
+        (r.doc_id, r.n_ngrams)
+        for r in decontaminate(train, eval_df, n=8).collect()
+    }
+    assert want  # the slice must actually keep something
+
+    def run(split_bounds):
+        base = tempfile.mkdtemp(
+            prefix="kdp-decon-test-",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        stage = f"{base}/stage"
+        os.makedirs(stage)
+        try:
+            lo = 0
+            for i, hi in enumerate(split_bounds):
+                part = f"{base}/p{i}"
+                train.where(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ).coalesce(1).write.mode("overwrite").parquet(part)
+                src = glob.glob(f"{part}/part-*.parquet")[0]
+                dst = f"{stage}/b{i}.parquet"
+                os.rename(src, dst)
+                os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+                lo = hi
+            stream = (
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(stage)
+            )
+            run_writer_available_now(
+                decontaminate_ingest(stream, eval_df, f"{base}/landed", n=8),
+                f"{base}/ckpt",
+            )
+            landed = {
+                (r.doc_id, r.n_ngrams)
+                for r in spark.read.parquet(f"{base}/landed").collect()
+            }
+            # replay the whole corpus once more through a FRESH stream
+            # (at-least-once delivery): exactly-once landing must hold
+            stream2 = (
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(stage)
+            )
+            run_writer_available_now(
+                decontaminate_ingest(stream2, eval_df, f"{base}/landed", n=8),
+                f"{base}/ckpt2",
+            )
+            relanded = [
+                r.doc_id
+                for r in spark.read.parquet(f"{base}/landed").collect()
+            ]
+            assert len(relanded) == len(set(relanded)) == len(landed)
+            return landed
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    assert run([90]) == want
+    assert run([30, 60, 90]) == want
