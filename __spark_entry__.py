@@ -9752,6 +9752,172 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(e, qs, m=4, k_codes=16, d_sub=16, k=5)
 
 
+@_q(
+    "q_pq_rerank",
+    f"""
+    WITH seeds AS (
+      SELECT embedding,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+    books AS (
+      SELECT s.s AS subspace, code,
+             list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS c_sub
+      FROM seeds, (SELECT unnest(range(0, 4)) AS s) s),
+    sv AS (
+      SELECT e.vec_id, s.s AS subspace,
+             list_slice(e.embedding, s.s*16 + 1, s.s*16 + 16) AS sub
+      FROM embeddings e, (SELECT unnest(range(0, 4)) AS s) s),
+    enc AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT sv.vec_id, sv.subspace, b.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.subspace
+                 ORDER BY {_pq_d2u_sql('sv.sub', 'b.c_sub')}, b.code) AS rn
+        FROM sv JOIN books b USING (subspace))
+      WHERE rn = 1),
+    qsv AS (
+      SELECT vec_id AS query_id, s.s AS subspace,
+             list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS sub
+      FROM embeddings, (SELECT unnest(range(0, 4)) AS s) s
+      WHERE vec_id < 8),
+    lut AS (
+      SELECT q.query_id, q.subspace, b.code,
+             {_pq_d2u_sql('q.sub', 'b.c_sub')} AS du
+      FROM qsv q JOIN books b USING (subspace)),
+    adc AS (
+      SELECT l.query_id, e.vec_id, CAST(sum(l.du) AS BIGINT) AS dist_u
+      FROM enc e JOIN lut l ON e.subspace = l.subspace AND e.code = l.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY l.query_id, e.vec_id),
+    cand AS (
+      SELECT query_id, vec_id
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY dist_u, vec_id) AS rn
+            FROM adc)
+      WHERE rn <= 20),
+    qs AS (SELECT vec_id AS query_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < 8),
+    ex AS (
+      SELECT c.query_id, c.vec_id,
+             {_pq_d2u_sql('e.embedding', 'q.q_emb', 64)} AS d2u
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN qs q ON q.query_id = c.query_id)
+    SELECT query_id, vec_id, round(d2u / 100000.0, 5) AS exact_d2,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY d2u, vec_id) AS rank
+          FROM ex)
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-stage IVF-PQ retrieval shape: ADC over the encoded
+    corpus shortlists 20 candidates per query (codes table only — m
+    integer lookups per vector), then ONLY the shortlist rejoins the
+    raw embeddings for an exact integer-micro squared-L2 re-rank to
+    the final top-5. Stage 2 touches shortlist·|Q| full-width vectors
+    instead of N·|Q| — the bound that makes PQ retrieval work at
+    100 TB (operators/similarity.py:pq_rerank_topk)."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        pq_rerank_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return pq_rerank_topk(e, qs, m=4, k_codes=16, d_sub=16, shortlist=20, k=5)
+
+
+@_q(
+    "q_hard_negatives",
+    f"""
+    WITH qs AS (SELECT vec_id AS query_id, embedding AS q_embedding,
+                       label AS q_label
+                FROM embeddings WHERE vec_id < 8)
+    SELECT query_id, vec_id, neg_label, sim AS cosine_sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT q.query_id, e.vec_id, CAST(e.label AS INT) AS neg_label,
+             {_ivf_cos_sql('e.embedding', 'q.q_embedding')} AS sim,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_ivf_cos_sql('e.embedding', 'q.q_embedding')} DESC,
+                        e.vec_id) AS rank
+      FROM embeddings e CROSS JOIN qs q
+      WHERE e.vec_id <> q.query_id AND e.label <> q.q_label)
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the 5 most cosine-similar corpus vectors with a DIFFERENT label —
+    the negatives an embedding trainer actually needs. Broadcast scan
+    with a map-side label filter; (round5 sim, vec_id) determinism as
+    the whole cosine family (operators/similarity.py:hard_negatives)."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("label").alias("q_label"),
+    )
+    return hard_negatives(e, qs, k=5)
+
+
+@_q(
+    "q_prototype_classify",
+    """
+    WITH ds AS (
+      SELECT label, i.i - 1 AS pos,
+             CAST(sum(CAST(floor(CAST(embedding[i.i] AS DOUBLE)
+                                 * 1000000.0) AS BIGINT)) AS BIGINT) AS s_u,
+             count(*) AS n
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+      GROUP BY label, i.i),
+    pv AS (
+      SELECT label AS p_label,
+             list((s_u / n) / 1000000.0 ORDER BY pos) AS p_vec
+      FROM ds GROUP BY label),
+    asg AS (
+      SELECT e.vec_id, CAST(e.label AS INT) AS label,
+             CAST(p.p_label AS INT) AS p_label,
+             round(list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * p.p_vec[i]))
+                   / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(p.p_vec,
+                        x -> x * x)))), 5) AS sim
+      FROM embeddings e CROSS JOIN pv p),
+    best AS (
+      SELECT label, p_label AS predicted FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, p_label) AS rn
+        FROM asg)
+      WHERE rn = 1)
+    SELECT label, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM best GROUP BY label, predicted ORDER BY label, predicted
+    """,
+)
+def q_prototype_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-prototype confusion table — the quick linear-probe
+    stand-in that scores embedding quality without a trainer: per-label
+    mean vectors from integer-micro per-dimension sums (exact,
+    partition-order-independent), one-row broadcast prototype array,
+    map-side argmax-cosine assignment, combinable confusion counts
+    (operators/similarity.py:prototype_classify)."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        prototype_classify,
+    )
+
+    return prototype_classify(_t(spark, sf_dir, "embeddings"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

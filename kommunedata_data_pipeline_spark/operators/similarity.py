@@ -1107,3 +1107,192 @@ def pq_adc_topk(
         )
         .orderBy(query_id, "rank")
     )
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    d_sub: int = 16,
+    shortlist: int = 20,
+    k: int = 5,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """The full two-stage IVF-PQ retrieval shape: ADC over the encoded
+    corpus produces a ``shortlist`` of candidates per query (cheap — m
+    integer lookups per vector, codes table only), then ONLY those
+    candidates rejoin the raw embeddings for an exact squared-L2
+    re-rank to the final ``k``. This is how a production PQ store
+    answers queries: the approximate stage bounds how many full-width
+    vectors are ever touched (shortlist·|Q| rows, not N·|Q|).
+
+    Scale shape: stage 1 is `pq_adc_topk` (broadcast LUTs over the
+    codes table); stage 2's equi-join on vec_id pulls ``shortlist``
+    embeddings per query — with AQE that's a broadcast of the tiny
+    candidate set against the corpus scan, and the exact distances are
+    integer-micro units (`_d2_micro`), so the final ranking is
+    engine-exact with (d2, vec_id) tie-breaks. Output:
+    (query_id, vec_id, exact_d2, rank)."""
+    cand = pq_adc_topk(
+        embeddings, queries, m, k_codes, d_sub, shortlist, query_id
+    ).select(query_id, "vec_id")
+    exact = (
+        cand.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .join(
+            F.broadcast(queries.select(query_id, "q_embedding")), query_id
+        )
+        .select(
+            query_id,
+            "vec_id",
+            _d2_micro(F.col("embedding"), F.col("q_embedding")).alias(
+                "d2u"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("d2u").asc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id,
+            "vec_id",
+            F.round(F.col("d2u") / 100000.0, 5).alias("exact_d2"),
+            "rank",
+        )
+        .orderBy(query_id, "rank")
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    ``k`` most cosine-similar corpus vectors whose label DIFFERS from
+    the query's — the examples a retrieval/embedding trainer most
+    needs in its negative pool (easy negatives are free; hard ones
+    require exactly this search). Same broadcast-scan cost and
+    (round5 sim, vec_id) determinism as `brute_force_topk`; the label
+    inequality is a map-side filter, and at scale the scan is replaced
+    by any ANN stage above without changing the contract. queries:
+    (query_id, q_embedding, q_label). Output:
+    (query_id, vec_id, neg_label, cosine_sim, rank)."""
+    joined = embeddings.crossJoin(
+        F.broadcast(queries.select(query_id, "q_embedding", "q_label"))
+    ).where(
+        (F.col("vec_id") != F.col(query_id))
+        & (F.col(label_col) != F.col("q_label"))
+    )
+    scored = joined.select(
+        F.col(query_id),
+        F.col("vec_id"),
+        F.col(label_col).cast("int").alias("neg_label"),
+        F.round(
+            cosine(F.col("embedding"), F.col("q_embedding")), 5
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "vec_id", "neg_label", "cosine_sim", "rank")
+        .orderBy(query_id, "rank")
+    )
+
+
+def prototype_classify(
+    embeddings: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Nearest-class-prototype evaluation: per-label mean vectors
+    (prototypes) from integer-micro per-dimension sums — exact and
+    partition-order-independent, the float-accumulation discipline the
+    cosine family already uses — then every vector is assigned to its
+    nearest prototype by cosine and the per-(label, predicted) counts
+    come back as the confusion table. The standard quick probe of
+    embedding quality (a linear-probe stand-in that needs no trainer).
+
+    Scale shape: prototype sums are ONE map-side-combinable aggregate
+    over (dim, label) keyed by posexplode — |labels|·d rows out; the
+    prototype table collapses to a one-row broadcast array and the
+    assignment fold is pure codegen (zero shuffles); the confusion
+    aggregate is combinable. Output:
+    (label, predicted, n) ordered by (label, predicted)."""
+    dim_sums = (
+        embeddings.select(
+            F.col(label_col).alias("label"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * 1000000.0).cast("bigint")
+            ).alias("s_u"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    protos = (
+        dim_sums.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        ((F.col("s_u") / F.col("n")) / 1000000.0).alias("v"),
+                    )
+                )
+            ).alias("pv")
+        )
+        .select(
+            F.col("label").alias("p_label"),
+            F.transform(F.col("pv"), lambda e: e["v"]).alias("p_vec"),
+        )
+    )
+    parr = protos.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("p_label"), F.col("p_vec")))
+        ).alias("ps")
+    )
+
+    def _nearest(vec: Column, ps: Column) -> Column:
+        from ..functions.expr import let
+
+        def _fold(nv: Column) -> Column:
+            return F.aggregate(
+                ps,
+                F.struct(
+                    F.lit(-2.0).alias("sim"),
+                    F.lit(-1).cast("int").alias("lab"),
+                ),
+                lambda acc, p: let(
+                    F.round(
+                        _dot(vec, p["p_vec"]) / (nv * _norm(p["p_vec"])), 5
+                    ),
+                    lambda s: F.when(
+                        s > acc["sim"],
+                        F.struct(
+                            s.alias("sim"),
+                            p["p_label"].cast("int").alias("lab"),
+                        ),
+                    ).otherwise(acc),
+                ),
+            )["lab"]
+
+        return let(_norm(vec), _fold)
+
+    assigned = embeddings.crossJoin(F.broadcast(parr)).select(
+        F.col(label_col).cast("int").alias("label"),
+        _nearest(F.col("embedding"), F.col("ps")).alias("predicted"),
+    )
+    return (
+        assigned.groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("label", "predicted")
+    )

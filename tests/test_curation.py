@@ -1269,3 +1269,129 @@ def test_pq_adc_topk_matches_numpy_replica(spark):
     }
     for c, sid in enumerate(seed_ids):
         assert enc[sid] == [c] * m
+
+
+def test_pq_rerank_full_shortlist_equals_exact_bruteforce(spark):
+    """With shortlist = corpus size the ADC stage cannot lose anyone, so
+    the re-rank must equal exact squared-L2 brute force; with a small
+    shortlist every result must come from the ADC candidate set."""
+    import numpy as np
+
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_rerank_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    n, dim, m, d_sub, kc = 24, 8, 2, 4, 4
+    vecs = rng.randn(n, dim).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    out = pq_rerank_topk(
+        df, qs, m=m, k_codes=kc, d_sub=d_sub, shortlist=n, k=3
+    ).collect()
+
+    def d2u(a, b):
+        d = a.astype(np.float64) - b.astype(np.float64)
+        return int(np.floor(float((d * d).sum()) * 100000.0 + 0.5))
+
+    for q in range(2):
+        exact = sorted(
+            ((d2u(vecs[q], vecs[i]), i) for i in range(n) if i != q)
+        )[:3]
+        got = [
+            (round(r.exact_d2 * 100000), r.vec_id, r.rank)
+            for r in out
+            if r.query_id == q
+        ]
+        assert got == [
+            (du, i, r) for r, (du, i) in enumerate(exact, 1)
+        ]
+
+    # small shortlist: results ⊆ ADC candidates
+    cand = {
+        (r.query_id, r.vec_id)
+        for r in pq_adc_topk(
+            df, qs, m=m, k_codes=kc, d_sub=d_sub, k=5
+        ).collect()
+    }
+    small = pq_rerank_topk(
+        df, qs, m=m, k_codes=kc, d_sub=d_sub, shortlist=5, k=3
+    ).collect()
+    assert all((r.query_id, r.vec_id) in cand for r in small)
+
+
+def test_hard_negatives_label_filter_and_ranking(spark):
+    """Every mined negative must carry a label different from the
+    query's, and the ranking must equal the label-filtered exact
+    top-k (numpy replica with round5/vec_id tie-breaks)."""
+    import numpy as np
+
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rng = np.random.RandomState(3)
+    n, dim = 30, 6
+    vecs = rng.randn(n, dim).astype(np.float32)
+    labels = [i % 3 for i in range(n)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], labels[i]) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    qs = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("label").alias("q_label"),
+    )
+    out = hard_negatives(df, qs, k=4).collect()
+    for q in range(3):
+        mine = [r for r in out if r.query_id == q]
+        assert all(r.neg_label != labels[q] for r in mine)
+        sims = sorted(
+            (
+                (
+                    -round(
+                        float(
+                            np.dot(vecs[q], vecs[i])
+                            / (
+                                np.linalg.norm(vecs[q])
+                                * np.linalg.norm(vecs[i])
+                            )
+                        ),
+                        5,
+                    ),
+                    i,
+                )
+                for i in range(n)
+                if i != q and labels[i] != labels[q]
+            )
+        )[:4]
+        assert [r.vec_id for r in sorted(mine, key=lambda r: r.rank)] == [
+            i for _, i in sims
+        ]
+
+
+def test_prototype_classify_separable_clusters(spark):
+    """Two well-separated clusters must classify perfectly; the
+    confusion table must partition the corpus."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        prototype_classify,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + (i % 3) * 0.1, 0.1, 0.0, 0.0], 0))
+    for i in range(10, 20):
+        rows.append((i, [0.1, 10.0 + (i % 3) * 0.1, 0.0, 0.0], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {(r.label, r.predicted): r.n for r in prototype_classify(df).collect()}
+    assert out == {(0, 0): 10, (1, 1): 10}
