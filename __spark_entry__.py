@@ -9918,6 +9918,71 @@ def q_prototype_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prototype_classify(_t(spark, sf_dir, "embeddings"))
 
 
+@_q(
+    "q_calibration_bins",
+    """
+    WITH s AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS sy,
+             sum(n_chars) AS sx,
+             sum(n_chars * n_chars) AS sxx,
+             sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS sxy
+      FROM documents),
+    b AS (
+      SELECT round(2.0 * (sxx * (2*sy - n) - sx * (2*sxy - sx))
+                   / (n * sxx - sx * sx), 6) AS b0,
+             round(2.0 * (n * (2*sxy - sx) - sx * (2*sy - n))
+                   / (n * sxx - sx * sx), 6) AS b1
+      FROM s),
+    scored AS (
+      SELECT d.doc_id,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label,
+             CAST(floor((b.b0 + b.b1 * d.n_chars) * 1000000.0) AS BIGINT)
+               AS score_u
+      FROM documents d CROSS JOIN b),
+    binned AS (
+      SELECT *, ntile(10) OVER (ORDER BY score_u, doc_id) AS bin
+      FROM scored)
+    SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS pos_rate,
+           round((CAST(sum(score_u) AS BIGINT) / count(*)) / 1000000.0, 6)
+             AS avg_score
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the one-step logreg scorer: logits in
+    integer micro-units, 10 equal-frequency ntile bins over the total
+    (score, doc_id) order, per-bin count / positive rate / exact mean
+    score — the calibration readout that justifies (or vetoes) the
+    q_logreg_apply gate threshold. Bin means are exact integer sums;
+    the global ntile sort is the audit-scale shape (at 100 TB the bin
+    boundaries come from approx_percentile, per-bin aggregate
+    unchanged) (operators/statistics.py:calibration_bins)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        calibration_bins,
+        logreg_newton_step,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    betas = logreg_newton_step(
+        d, F.col("n_chars"), (F.col("lang") == "en").cast("int")
+    ).select("b0", "b1")
+    scored = d.crossJoin(F.broadcast(betas)).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("label"),
+        F.floor(
+            (F.col("b0") + F.col("b1") * F.col("n_chars")) * 1000000.0
+        )
+        .cast("bigint")
+        .alias("score_u"),
+    )
+    return calibration_bins(
+        scored, score_col="score_u", label_col="label", id_col="doc_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

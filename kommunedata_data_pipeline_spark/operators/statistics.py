@@ -620,3 +620,50 @@ def ab_proportions_ztest(assignments: DataFrame) -> DataFrame:
         F.round(p1 - p0, 6).alias("lift"),
         F.round(z, 4).alias("z"),
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score_u",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a scored corpus — the calibration readout
+    every classifier-driven curation gate needs next to its trainer
+    (`logreg_newton_step`) and its apply step (`logreg_apply`): cut the
+    corpus into ``n_bins`` equal-frequency score bins and report per
+    bin the count, positive count, positive rate, and mean score. A
+    well-calibrated scorer shows pos_rate tracking the score; a flat
+    table says the gate threshold is arbitrary.
+
+    ``score_col`` must be an INTEGER score (micro-units — the
+    integer-log/micro discipline used across the stats family), so bin
+    mean scores are exact integer sums and the ntile order
+    (score, id) is a total order both engines replay identically.
+
+    Scale note: equal-frequency binning via an unpartitioned ntile is
+    a global sort — correct here and at audit-sized inputs; at 100 TB
+    the same table runs on approx_percentile bin BOUNDARIES (map-side
+    combinable) with the per-bin aggregate unchanged.
+    Output: (bin 1..n_bins, n, n_pos, pos_rate, avg_score)."""
+    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("bin", F.ntile(n_bins).over(w))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col(label_col).cast("bigint")).alias("n_pos"),
+            F.sum(F.col(score_col)).alias("s_u"),
+        )
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n",
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+            F.round((F.col("s_u") / F.col("n")) / 1000000.0, 6).alias(
+                "avg_score"
+            ),
+        )
+        .orderBy("bin")
+    )

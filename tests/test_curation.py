@@ -1395,3 +1395,32 @@ def test_prototype_classify_separable_clusters(spark):
     )
     out = {(r.label, r.predicted): r.n for r in prototype_classify(df).collect()}
     assert out == {(0, 0): 10, (1, 1): 10}
+
+
+def test_calibration_bins_partitions_and_exact_means(spark):
+    """Equal-frequency bins must partition the corpus, per-bin counts
+    and positive rates must match a Python replica of the same
+    (score, id)-ordered ntile, and mean scores must be exact."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        calibration_bins,
+    )
+
+    rows = [(i, (i * 37) % 100 - 50, 1 if i % 3 == 0 else 0) for i in range(47)]
+    df = spark.createDataFrame(rows, "doc_id long, score_u long, label int")
+    out = sorted(
+        calibration_bins(df, n_bins=5).collect(), key=lambda r: r.bin
+    )
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    # ntile: first (47 % 5) bins get ceil(47/5) rows
+    sizes = [10, 10, 9, 9, 9]
+    start, expect = 0, []
+    for b, sz in enumerate(sizes, 1):
+        chunk = ordered[start : start + sz]
+        start += sz
+        n_pos = sum(r[2] for r in chunk)
+        s = sum(r[1] for r in chunk)
+        expect.append(
+            (b, sz, n_pos, round(n_pos / sz, 6), round(s / sz / 1e6, 6))
+        )
+    got = [(r.bin, r.n, r.n_pos, r.pos_rate, r.avg_score) for r in out]
+    assert got == expect
