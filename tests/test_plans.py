@@ -584,3 +584,48 @@ def test_bpe_logreg_combinable_aggregates(spark):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
         assert "HashAggregate" in p, name
     assert "Join" not in _plan(spark, "q_logreg_step")
+
+
+def test_pq_family_codes_only_scoring_no_python(spark):
+    """PQ ADC scoring must stay JVM-side (no Python eval), never build
+    a corpus×corpus cartesian (the only nested-loop contact is the
+    broadcast of the one-row books array / per-query LUTs), and the
+    re-rank's candidate join must be a vec_id equi-join."""
+    for name in ("q_pq_topk", "q_pq_rerank"):
+        p = _plan(spark, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    # rerank stage 2: equi-join back to raw embeddings on vec_id
+    p = _plan(spark, "q_pq_rerank")
+    assert "vec_id" in p
+
+
+def test_dsir_weights_broadcast_back_no_python(spark):
+    """DSIR: the 64-row weight table must broadcast onto the token
+    stream (no shuffle of the exploded corpus for the weight join) and
+    the whole scoring pipeline stays JVM-side."""
+    p = _plan(spark, "q_dsir_select")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+
+
+def test_oov_vocab_broadcast_membership(spark):
+    """OOV audit: vocab membership must be a broadcast join against the
+    held-out token stream; per-lang totals are a combinable aggregate
+    (partial_count in the plan)."""
+    p = _plan(spark, "q_oov_rate")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastExchange" in p
+    assert "partial_count" in p.lower() or "partial" in p.lower()
+
+
+def test_prototype_classify_map_side_assignment(spark):
+    """Prototype classification: assignment must be the broadcast-array
+    fold (one-row prototypes frame — BroadcastNestedLoopJoin against
+    the corpus is the only nested-loop contact), with no per-row
+    Python and no corpus cartesian."""
+    p = _plan(spark, "q_prototype_classify")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
