@@ -9983,6 +9983,97 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_domain_temperature",
+    """
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+               GROUP BY source),
+    t AS (SELECT sum(n_docs) AS n_total FROM c),
+    m AS (SELECT source, n_docs, n_total,
+                 CAST(floor(1000000000.0
+                   * pow(CAST(n_docs AS DOUBLE) / n_total, 0.3))
+                 AS BIGINT) AS s_u
+          FROM c CROSS JOIN t),
+    d AS (SELECT sum(s_u) AS sum_u FROM m)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           round(CAST(n_docs AS DOUBLE) / n_total, 6) AS share,
+           round(CAST(s_u AS DOUBLE) / sum_u, 6) AS temp_share,
+           CAST(floor(CAST(s_u AS DOUBLE) / sum_u * 10000 + 0.5)
+                AS BIGINT) AS quota
+    FROM m CROSS JOIN d ORDER BY source
+    """,
+)
+def q_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (the XLM-R multilingual
+    recipe): per-source shares flattened to p^0.3 and turned into
+    document quotas at a 10k budget — the derivation step that
+    PRODUCES the weights q_mixture_epochs consumes. Flattened masses
+    are integerized per SOURCE (floor(1e9·p^α) BIGINTs) so the
+    normalizing sum is exact and order-independent; pow runs once per
+    source, never per row (operators/sampling.py:temperature_mixture)."""
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    return temperature_mixture(
+        _t(spark, sf_dir, "documents"), alpha=0.3, quota_docs=10000
+    )
+
+
+@_q(
+    "q_quality_rules",
+    r"""
+    WITH t AS (
+      SELECT text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    f AS (
+      SELECT
+        CASE WHEN len(w) < 5 THEN 1 ELSE 0 END AS f1,
+        CASE WHEN length(text) < 20 THEN 1 ELSE 0 END AS f2,
+        CASE WHEN COALESCE(list_max(list_transform(w, x -> length(x))), 0)
+                  > 20 THEN 1 ELSE 0 END AS f3,
+        CASE WHEN 5 * len(list_distinct(w)) < 2 * len(w)
+             THEN 1 ELSE 0 END AS f4,
+        CASE WHEN len(list_filter(w, x -> list_contains(
+               ['the','and','of','to','a','in','is','it','that','for',
+                'og','i','det','at','en','til','er','som','på','af'], x)))
+               = 0 THEN 1 ELSE 0 END AS f5
+      FROM t),
+    g AS (SELECT f1, f2, f3, f4, f5,
+                 greatest(f1, f2, f3, f4, f5) AS f6 FROM f),
+    a AS (SELECT count(*) AS n, sum(f1) AS s1, sum(f2) AS s2,
+                 sum(f3) AS s3, sum(f4) AS s4, sum(f5) AS s5,
+                 sum(f6) AS s6
+          FROM g),
+    u AS (
+      SELECT 'min_tokens' AS rule, s1 AS n_fail, n FROM a
+      UNION ALL SELECT 'min_chars', s2, n FROM a
+      UNION ALL SELECT 'long_word', s3, n FROM a
+      UNION ALL SELECT 'repetition', s4, n FROM a
+      UNION ALL SELECT 'no_stopword', s5, n FROM a
+      UNION ALL SELECT 'any_fail', s6, n FROM a)
+    SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+           round(CAST(n_fail AS DOUBLE) / n, 6) AS fail_rate
+    FROM u ORDER BY rule
+    """,
+)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality-rule battery with per-rule drop
+    accounting: five integer/boolean rules (min tokens, min chars,
+    over-long word, duplicate-token fraction, no-stopword gibberish
+    guard) plus the OR row a gate would actually drop on — computed in
+    ONE corpus pass (one combinable aggregate, then a 6-row unpivot);
+    zero float-parity exposure because every test is integer
+    arithmetic (operators/corpus.py:quality_rules_report)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        quality_rules_report,
+    )
+
+    return quality_rules_report(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -1117,3 +1117,80 @@ def dsir_select(
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def quality_rules_report(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/Gopher-style quality RULE battery with per-rule drop
+    accounting — the audit a rule-based curation gate publishes before
+    anyone trusts its kept corpus (the reference's filter→count
+    discipline, scraper.py:181-267, applied to text-quality rules
+    instead of URL predicates). Rules (all integer/boolean arithmetic —
+    zero float-parity exposure):
+
+    - ``min_tokens``   fail if fewer than 5 tokens
+    - ``min_chars``    fail if fewer than 20 characters
+    - ``long_word``    fail if any token longer than 20 chars (Gopher's
+                       mean-word-length guard, in max form)
+    - ``repetition``   fail if duplicate-token fraction > 0.6, i.e.
+                       5·n_distinct < 2·n_tokens (exact integer test)
+    - ``no_stopword``  fail if no EN/DA stopword at all (gibberish
+                       guard)
+    - ``any_fail``     fail count under OR of all rules (what a gate
+                       keyed on this battery would actually drop)
+
+    One pass computes every flag as an array/int expression, one
+    combinable aggregate sums them, and the one-row result unpivots to
+    (rule, n_fail, fail_rate) — corpus scanned exactly once.
+    """
+    from ..functions.text import DA_STOPWORDS, EN_STOPWORDS
+
+    toks = tokens(F.lower(F.col(text_col)))
+    sw = EN_STOPWORDS + DA_STOPWORDS
+
+    def _flags(w: Column) -> Column:
+        n = F.size(w)
+        nd = F.size(F.array_distinct(w))
+        maxlen = F.aggregate(
+            w, F.lit(0), lambda acc, t: F.greatest(acc, F.length(t))
+        )
+        nstop = F.size(F.filter(w, lambda t: t.isin(*sw)))
+        f_min_tokens = (n < 5).cast("int")
+        f_min_chars = (F.length(F.col(text_col)) < 20).cast("int")
+        f_long_word = (maxlen > 20).cast("int")
+        f_rep = (5 * nd < 2 * n).cast("int")
+        f_no_stop = (nstop == 0).cast("int")
+        return F.struct(
+            f_min_tokens.alias("f1"),
+            f_min_chars.alias("f2"),
+            f_long_word.alias("f3"),
+            f_rep.alias("f4"),
+            f_no_stop.alias("f5"),
+            F.greatest(
+                f_min_tokens, f_min_chars, f_long_word, f_rep, f_no_stop
+            ).alias("f6"),
+        )
+
+    flagged = documents.select(let(toks, _flags).alias("f"))
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("f")[f"f{i}"]).alias(f"s{i}") for i in range(1, 7)],
+    )
+    names = [
+        "min_tokens", "min_chars", "long_word",
+        "repetition", "no_stopword", "any_fail",
+    ]
+    stack = ", ".join(
+        f"'{nm}', s{i}" for i, nm in enumerate(names, 1)
+    )
+    return (
+        agg.select(
+            F.expr(f"stack({len(names)}, {stack}) AS (rule, n_fail)"),
+            F.col("n"),
+        )
+        .select(
+            "rule",
+            F.col("n_fail").cast("bigint").alias("n_fail"),
+            F.round(F.col("n_fail") / F.col("n"), 6).alias("fail_rate"),
+        )
+        .orderBy("rule")
+    )

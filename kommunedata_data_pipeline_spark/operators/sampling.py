@@ -232,3 +232,52 @@ def priority_sample_per_group(
             ).alias("est_weight"),
         )
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.3,
+    quota_docs: int = 10000,
+) -> DataFrame:
+    """Temperature-scaled domain mixture derivation (the XLM-R /
+    multilingual-pretraining recipe): per-source corpus shares p_s are
+    flattened to q_s ∝ p_s^α (α < 1 upsamples the tail, α = 1 keeps the
+    natural mix) and turned into document quotas at a sampling budget —
+    the step that PRODUCES the weights `mixture_weights` consumes.
+
+    Exactness discipline: p_s = n_s/N is a division of exact counts;
+    the flattened masses are integerized per source as
+    floor(1e9·p_s^α) BIGINTs so the normalizing sum is exact and
+    order-independent (the ln/pow-parity precedent from the
+    integer-log-micro family — pow is evaluated once per SOURCE, never
+    per row); shares and quotas derive from those integers with one
+    deterministic division each. Scale shape: one combinable
+    per-source count over the pruned column, then everything happens
+    on the |sources|-row table. Output:
+    (source, n_docs, share, temp_share, quota)."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n_total"))
+    massed = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "s_u",
+        F.floor(
+            F.lit(1e9)
+            * F.pow(F.col("n_docs") / F.col("n_total"), F.lit(alpha))
+        ).cast("bigint"),
+    )
+    denom = massed.agg(F.sum("s_u").alias("sum_u"))
+    return (
+        massed.crossJoin(F.broadcast(denom))
+        .select(
+            F.col(source_col).alias("source"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
+            F.round(F.col("s_u") / F.col("sum_u"), 6).alias("temp_share"),
+            F.floor(
+                F.col("s_u") / F.col("sum_u") * F.lit(quota_docs) + 0.5
+            )
+            .cast("bigint")
+            .alias("quota"),
+        )
+        .orderBy("source")
+    )

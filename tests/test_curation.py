@@ -1424,3 +1424,67 @@ def test_calibration_bins_partitions_and_exact_means(spark):
         )
     got = [(r.bin, r.n, r.n_pos, r.pos_rate, r.avg_score) for r in out]
     assert got == expect
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark):
+    """α = 1 must reproduce the natural shares exactly; α < 1 must
+    strictly shrink the head's share and grow the tail's; quotas must
+    sum to ~the budget; python replica pins the integerized masses."""
+    import math
+
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    rows = (
+        [(i, "big") for i in range(80)]
+        + [(i + 100, "mid") for i in range(15)]
+        + [(i + 200, "small") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    nat = {
+        r.source: r
+        for r in temperature_mixture(df, alpha=1.0, quota_docs=1000).collect()
+    }
+    assert abs(nat["big"].temp_share - 0.8) < 1e-6
+    flat = {
+        r.source: r
+        for r in temperature_mixture(df, alpha=0.3, quota_docs=1000).collect()
+    }
+    assert flat["big"].temp_share < nat["big"].temp_share
+    assert flat["small"].temp_share > nat["small"].temp_share
+    assert abs(sum(r.quota for r in flat.values()) - 1000) <= 3
+
+    # exact replica of the integerized pipeline
+    n = {"big": 80, "mid": 15, "small": 5}
+    s_u = {
+        k: math.floor(1e9 * math.pow(v / 100, 0.3)) for k, v in n.items()
+    }
+    tot = sum(s_u.values())
+    for k in n:
+        assert abs(flat[k].temp_share - round(s_u[k] / tot, 6)) < 1e-9
+        assert flat[k].quota == math.floor(s_u[k] / tot * 1000 + 0.5)
+
+
+def test_quality_rules_hand_case(spark):
+    """Each rule must fire on exactly its constructed offender."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        quality_rules_report,
+    )
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog today"),  # clean
+        (1, "a b"),                              # min_tokens + min_chars
+        (2, "the " + "x" * 30 + " word here now extra"),  # long_word
+        (3, "the the the the the dog dog dog dog dog"),   # repetition
+        (4, "zebra quagga wombat numbat dingo lorikeet"),  # no_stopword
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.rule: r for r in quality_rules_report(df).collect()}
+    assert out["min_tokens"].n_fail == 1
+    assert out["min_chars"].n_fail == 1
+    assert out["long_word"].n_fail == 1
+    assert out["repetition"].n_fail == 1
+    assert out["no_stopword"].n_fail == 1
+    assert out["any_fail"].n_fail == 4  # doc 1 fails two rules at once
+    assert abs(out["any_fail"].fail_rate - 0.8) < 1e-9
