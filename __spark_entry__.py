@@ -10074,6 +10074,66 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_rules_report(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "q_bigram_surprisal",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    pr AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(w)),
+                         i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+           FROM tk WHERE len(w) >= 2),
+    prs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pr),
+    uni AS (SELECT unnest(w) AS token FROM tk WHERE doc_id % 2 = 0),
+    u AS (SELECT token, count(*) AS cu FROM uni GROUP BY token),
+    tot AS (SELECT CAST(round(ln(sum(cu)) * 1000000.0) AS BIGINT) AS ln_n
+            FROM u),
+    bg AS (
+      SELECT tp.w1, tp.w2,
+             CAST(round(ln(u.cu) * 1000000.0) AS BIGINT)
+           - CAST(round(ln(tp.c2) * 1000000.0) AS BIGINT) AS bg_micro
+      FROM (SELECT w1, w2, count(*) AS c2 FROM prs
+            WHERE doc_id % 2 = 0 GROUP BY w1, w2) tp
+      JOIN u ON u.token = tp.w1),
+    sc AS (
+      SELECT s.doc_id,
+             COALESCE(b.bg_micro,
+                      t.ln_n - CAST(round(ln(u2.cu) * 1000000.0) AS BIGINT)
+                        + 916291,
+                      t.ln_n + 916291) AS s_micro,
+             CASE WHEN b.bg_micro IS NULL THEN 1 ELSE 0 END AS is_back
+      FROM prs s
+      LEFT JOIN bg b ON b.w1 = s.w1 AND b.w2 = s.w2
+      LEFT JOIN u u2 ON u2.token = s.w2
+      CROSS JOIN tot t
+      WHERE s.doc_id % 2 = 1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(is_back) AS BIGINT) AS n_backoff,
+           CAST(sum(s_micro) AS BIGINT) AS surprisal_micro,
+           round(CAST(sum(s_micro) AS BIGINT) / count(*) / 1000000.0, 4)
+             AS avg_neg_logp
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram-LM surprisal with stupid backoff (Brants et al.
+    2007) — the CCNet-style reference-LM quality proxy one step up
+    from q_unigram_surprisal: bigram/unigram counts trained on even
+    doc_ids, odd docs scored; backoff to λ·p_uni on unseen bigrams
+    with -ln λ as a shared integer literal. ln(count) integerized once
+    on the MODEL tables (vocab-sized joins), the corpus pair stream
+    does one flat (w1,w2) equi-join, per-doc sums exact BIGINTs
+    (operators/corpus.py:bigram_surprisal)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        bigram_surprisal,
+    )
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -1194,3 +1194,108 @@ def quality_rules_report(documents: DataFrame, text_col: str = "text") -> DataFr
         )
         .orderBy("rule")
     )
+
+
+# round(-ln(0.4)·1e6): the stupid-backoff penalty as an integer literal
+# shared verbatim with the SQL oracle — zero float-parity exposure on λ
+_BACKOFF_MICRO = 916291
+
+
+def bigram_surprisal(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Held-out bigram-LM surprisal with stupid backoff (Brants et al.
+    2007 — the published web-scale LM smoothing) — the step up from
+    `unigram_surprisal` toward the CCNet-style "perplexity under a
+    reference LM" quality filter: train bigram/unigram counts on the
+    EVEN doc_ids, score every ODD doc's adjacent token pairs with
+
+        -ln p(w2|w1) = ln c1(w1) - ln c2(w1,w2)        seen bigram
+                       ln N - ln c(w2) - ln 0.4        backoff to unigram
+                       ln N - ln 0.4                   w2 unseen (c→1/N·λ)
+
+    The train/score split is what makes backoff REAL (a same-corpus LM
+    never backs off — every observed bigram has count ≥ 1).
+
+    Engine-exact: every ln(count) is integerized to micro-nats ONCE on
+    the model tables; -ln 0.4 is the shared integer literal
+    ``_BACKOFF_MICRO``; per-doc accumulation is an exact BIGINT sum.
+    Scale shape: pair enumeration is a map-side array transform (no
+    positional self-join); ln-scores attach to the MODEL tables
+    (bigram-vocab-sized joins), so the corpus-sized pair stream does
+    ONE (w1,w2) equi-join — bigram keys are far flatter than unigram
+    keys by Zipf — and only the (rare) miss stream joins the w2
+    backoff table (the unigram hot-split valve applies there if a
+    corpus makes misses hot). Docs with < 2 tokens have no bigrams and
+    are absent by definition. Output: (doc_id, n_bigrams, n_backoff,
+    surprisal_micro, avg_neg_logp)."""
+    from .dedup import _ensure_parallel
+
+    toks_arr = _ensure_parallel(documents).select(
+        "doc_id", tokens(F.lower(F.col(text_col))).alias("w")
+    )
+    pairs = toks_arr.where(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("w"), i).alias("w1"),
+                    F.element_at(F.col("w"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    train_pairs = pairs.where(F.col("doc_id") % 2 == 0)
+    score_pairs = pairs.where(F.col("doc_id") % 2 == 1)
+    train_toks = (
+        toks_arr.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode("w").alias("token"))
+    )
+
+    lnm = lambda c: F.round(F.log(c) * 1e6).cast("bigint")  # noqa: E731
+    uni = train_toks.groupBy("token").agg(F.count("*").alias("cu"))
+    tot = F.broadcast(uni.agg(lnm(F.sum("cu")).alias("ln_n")))
+    # ln-scores attach at MODEL granularity: bigram table joins the
+    # unigram table (vocab-sized), never the corpus pair stream
+    bg = (
+        train_pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .join(uni.select(F.col("token").alias("w1"), F.col("cu").alias("c1")), "w1")
+        .select("w1", "w2", (lnm(F.col("c1")) - lnm(F.col("c2"))).alias("bg_micro"))
+    )
+    back = uni.select(
+        F.col("token").alias("w2"), lnm(F.col("cu")).alias("ln_cu")
+    )
+    scored = (
+        score_pairs.join(bg, ["w1", "w2"], "left")
+        .join(back, "w2", "left")
+        .crossJoin(tot)
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("bg_micro"),
+                F.col("ln_n") - F.col("ln_cu") + F.lit(_BACKOFF_MICRO),
+                F.col("ln_n") + F.lit(_BACKOFF_MICRO),
+            ).alias("s_micro"),
+            F.col("bg_micro").isNull().cast("int").alias("is_back"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("is_back").cast("bigint").alias("n_backoff"),
+            F.sum("s_micro").cast("bigint").alias("surprisal_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_backoff",
+            "surprisal_micro",
+            F.round(
+                F.col("surprisal_micro") / F.col("n_bigrams") / 1e6, 4
+            ).alias("avg_neg_logp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -515,3 +515,57 @@ def test_dsir_select_matches_python_replica(spark):
     }
     assert got == expect
     assert got[2] > got[3]  # target-like raw doc outranks the unlike one
+
+
+def test_bigram_surprisal_matches_python_replica(spark):
+    """Exact replica of the stupid-backoff scoring: seen bigrams score
+    ln c1 - ln c2, unseen bigrams with seen w2 back off to
+    ln N - ln cu + λ, unseen w2 adds ln N + λ — all in integer
+    micro-nats."""
+    import math
+
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        _BACKOFF_MICRO,
+        bigram_surprisal,
+    )
+
+    rows = [
+        (0, "a b a b c"),      # train
+        (2, "a a b c"),        # train
+        (1, "a b zzz c qq"),   # score: seen, backoff(seen w2), unseen w2
+        (3, "b c"),            # score: seen bigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+
+    train_toks = "a b a b c".split() + "a a b c".split()
+    cu: dict = {}
+    for t in train_toks:
+        cu[t] = cu.get(t, 0) + 1
+    c2: dict = {}
+    for s in ("a b a b c", "a a b c"):
+        w = s.split()
+        for i in range(len(w) - 1):
+            c2[(w[i], w[i + 1])] = c2.get((w[i], w[i + 1]), 0) + 1
+    lnm = lambda c: round(math.log(c) * 1e6)  # noqa: E731
+    ln_n = lnm(len(train_toks))
+
+    def score(w1, w2):
+        if (w1, w2) in c2 and w1 in cu:
+            return lnm(cu[w1]) - lnm(c2[(w1, w2)]), 0
+        if w2 in cu:
+            return ln_n - lnm(cu[w2]) + _BACKOFF_MICRO, 1
+        return ln_n + _BACKOFF_MICRO, 1
+
+    for doc_id, text in [(1, "a b zzz c qq"), (3, "b c")]:
+        w = text.split()
+        scores = [score(w[i], w[i + 1]) for i in range(len(w) - 1)]
+        tot = sum(s for s, _ in scores)
+        nb = sum(b for _, b in scores)
+        r = out[doc_id]
+        assert r.n_bigrams == len(scores)
+        assert r.n_backoff == nb
+        assert r.surprisal_micro == tot
+        assert abs(r.avg_neg_logp - round(tot / len(scores) / 1e6, 4)) < 1e-9
+    assert out[1].n_backoff >= 2  # both backoff shapes exercised
+    assert 0 not in out and 2 not in out  # train docs are not scored
