@@ -10134,6 +10134,37 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "q_dup_source_matrix",
+    f"""
+    WITH {_LSH_PAIRS_CTES},
+    lab AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             p.est_jaccard
+      FROM lsh_pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b)
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(est_jaccard), 6) AS avg_jaccard
+    FROM lab GROUP BY source_a, source_b ORDER BY source_a, source_b
+    """,
+)
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: verified LSH pairs joined
+    back to both documents' sources, one row per unordered source pair
+    with pair count and mean est_jaccard — the diagnostic separating
+    within-source boilerplate from cross-source mirroring (decides
+    per-source vs global dedup before paying the global bill).
+    est_jaccard is a multiple of 1/16, so cell sums are binary-exact
+    in any order (operators/dedup.py:dup_source_matrix)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        dup_source_matrix,
+    )
+
+    return dup_source_matrix(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -1256,3 +1256,57 @@ def linkage_scores(
     return scored.select(
         "id_a", "id_b", *out_cols, F.round(score, 6).alias("score")
     )
+
+
+def dup_source_matrix(
+    documents: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-source near-duplication matrix — WHERE the duplicates come
+    from: every verified MinHash-LSH pair (`minhash_lsh_pairs`) joins
+    back to its two documents' sources and aggregates to one row per
+    unordered source pair (n_pairs, avg_jaccard). The diagonal exposes
+    boilerplate-heavy sources; off-diagonal mass exposes mirror/syndication
+    relationships — the diagnostic that decides whether dedup should run
+    per-source or globally before anyone pays the global bill.
+
+    Exactness: est_jaccard values are multiples of 1/num_hashes; with a
+    power-of-two num_hashes they are exact binary fractions, so the
+    per-cell sum is order-independent and the mean deterministic. Scale
+    shape: the matrix rides on the LSH pair stream (already
+    sub-quadratic); attaching sources is two doc_id equi-joins against
+    the narrow (doc_id, source) projection, and the final aggregate is
+    |sources|² rows.
+    """
+    pairs = minhash_lsh_pairs(documents, k, num_hashes, bands, threshold)
+    src = documents.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "est_jaccard",
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg("est_jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

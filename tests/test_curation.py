@@ -1488,3 +1488,31 @@ def test_quality_rules_hand_case(spark):
     assert out["no_stopword"].n_fail == 1
     assert out["any_fail"].n_fail == 4  # doc 1 fails two rules at once
     assert abs(out["any_fail"].fail_rate - 0.8) < 1e-9
+
+
+def test_dup_source_matrix_attributes_pairs(spark):
+    """Identical docs across two sources must show up as one
+    off-diagonal cell; identical docs within a source as a diagonal
+    cell; totals must equal the underlying verified pair count."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        dup_source_matrix,
+        minhash_lsh_pairs,
+    )
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, t, "web"),
+        (1, t, "web"),            # within-source dup
+        (2, t, "mirror"),         # cross-source dup of 0/1
+        (3, "completely different words nothing shared here at all", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r.source_a, r.source_b): r for r in dup_source_matrix(df).collect()
+    }
+    n_pairs_total = minhash_lsh_pairs(df).count()
+    assert ("web", "web") in out and ("mirror", "web") in out
+    assert out[("web", "web")].n_pairs == 1        # (0,1)
+    assert out[("mirror", "web")].n_pairs == 2     # (0,2),(1,2)
+    assert sum(r.n_pairs for r in out.values()) == n_pairs_total
+    assert out[("web", "web")].avg_jaccard == 1.0
