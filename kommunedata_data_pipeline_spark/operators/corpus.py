@@ -1224,11 +1224,11 @@ def bigram_surprisal(
     positional self-join); ln-scores attach to the MODEL tables
     (bigram-vocab-sized joins), so the corpus-sized pair stream does
     ONE (w1,w2) equi-join — bigram keys are far flatter than unigram
-    keys by Zipf — and only the (rare) miss stream joins the w2
-    backoff table (the unigram hot-split valve applies there if a
-    corpus makes misses hot). Docs with < 2 tokens have no bigrams and
-    are absent by definition. Output: (doc_id, n_bigrams, n_backoff,
-    surprisal_micro, avg_neg_logp)."""
+    keys by Zipf — plus the w2 backoff attach under the unigram
+    hot-split valve (Zipf head broadcast, cold tail equi-joined flat).
+    Docs with < 2 tokens have no bigrams and are absent by definition.
+    Output: (doc_id, n_bigrams, n_backoff, surprisal_micro,
+    avg_neg_logp)."""
     from .dedup import _ensure_parallel
 
     toks_arr = _ensure_parallel(documents).select(
@@ -1264,18 +1264,31 @@ def bigram_surprisal(
         .join(uni.select(F.col("token").alias("w1"), F.col("cu").alias("c1")), "w1")
         .select("w1", "w2", (lnm(F.col("c1")) - lnm(F.col("c2"))).alias("bg_micro"))
     )
-    back = uni.select(
-        F.col("token").alias("w2"), lnm(F.col("cu")).alias("ln_cu")
+    # the w2 backoff attach reuses unigram_surprisal's hot-split valve:
+    # the Zipf head (few thousand rows at any corpus size) broadcasts —
+    # every "the"-as-w2 row resolves map-side — and only cold keys ride
+    # the equi-join, so no partition inherits a hot token
+    hot_cut = 5000
+    hot_back = F.broadcast(
+        uni.where(F.col("cu") >= hot_cut).select(
+            F.col("token").alias("w2"), lnm(F.col("cu")).alias("ln_hot")
+        )
+    )
+    cold_back = uni.where(F.col("cu") < hot_cut).select(
+        F.col("token").alias("w2"), lnm(F.col("cu")).alias("ln_cold")
     )
     scored = (
         score_pairs.join(bg, ["w1", "w2"], "left")
-        .join(back, "w2", "left")
+        .join(hot_back, "w2", "left")
+        .join(cold_back, "w2", "left")
         .crossJoin(tot)
         .select(
             "doc_id",
             F.coalesce(
                 F.col("bg_micro"),
-                F.col("ln_n") - F.col("ln_cu") + F.lit(_BACKOFF_MICRO),
+                F.col("ln_n")
+                - F.coalesce(F.col("ln_hot"), F.col("ln_cold"))
+                + F.lit(_BACKOFF_MICRO),
                 F.col("ln_n") + F.lit(_BACKOFF_MICRO),
             ).alias("s_micro"),
             F.col("bg_micro").isNull().cast("int").alias("is_back"),
