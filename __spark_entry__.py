@@ -10165,6 +10165,76 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_source_matrix(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "q_token_budget_select",
+    f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             {_QUALITY_SQL} AS quality
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens, quality,
+             CAST(sum(n_tokens) OVER (
+                   ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM q
+    )
+    SELECT * FROM c WHERE cum_tokens <= 6000
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: the best-quality documents whose
+    inclusive running token sum fits a 6000-token budget ("train on the
+    best N tokens") — quality ordering with a doc_id tiebreak is a
+    total order, so the greedy prefix is engine-deterministic
+    (operators/sampling.py:token_budget_select)."""
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    return token_budget_select(_t(spark, sf_dir, "documents"), budget=6000)
+
+
+@_q(
+    "q_epoch_shuffle",
+    """
+    WITH e AS (
+      SELECT d.doc_id, ep.epoch
+      FROM documents d CROSS JOIN (SELECT unnest([0, 1]) AS epoch) ep
+    ),
+    h AS (
+      SELECT doc_id, epoch,
+             (doc_id * 2654435761
+              + (CAST(epoch AS BIGINT) + 1) * 1099087573)
+               % 2147483647 AS h
+      FROM e
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(h % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+                 PARTITION BY epoch, h % 8 ORDER BY h, doc_id)
+             AS INT) AS position,
+           doc_id,
+           CAST(h AS BIGINT) AS h
+    FROM h
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-epoch shuffle + sharding: deterministic integer-hash
+    rank per (doc, epoch), shard = h % 8, within-shard read order — the
+    epoch data-order plan a trainer consumes, reproducible with no RNG
+    state and no materialized permutation
+    (operators/sampling.py:epoch_shuffle)."""
+    from kommunedata_data_pipeline_spark.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(
+        _t(spark, sf_dir, "documents"), n_epochs=2, n_shards=8
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -281,3 +281,107 @@ def temperature_mixture(
         )
         .orderBy("source")
     )
+
+
+def token_budget_select(
+    documents: DataFrame,
+    budget: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy token-budget corpus selection: rank documents by composite
+    quality (desc, ``key_col`` tiebreak — a total order) and keep the
+    quality prefix whose INCLUSIVE running token sum fits the budget —
+    the "best N tokens" curation step that turns a scored corpus into a
+    fixed-size training set (the budget is in tokens because training
+    cost is, not in documents).
+
+    Output: the kept manifest — (doc_id, source, n_tokens, quality,
+    cum_tokens), one row per kept doc; ``cum_tokens`` is the inclusive
+    prefix sum, so max(cum_tokens) <= budget by construction. Greedy
+    PREFIX semantics: the first doc that would overflow the budget stops
+    the fill (no skip-and-continue — that needs a sequential scan with
+    state and is neither a window nor reproducible under re-ordering).
+
+    Engine-exact: quality is the shared round-6 composite (one rounded
+    double, same expression the oracle evaluates); the ORDER is
+    (quality DESC, key ASC) so equal scores cannot flip between engines;
+    cum_tokens is BIGINT. Scale: one global-order running-sum window —
+    at 100 TB this is a range-partitioned sort (Spark's window on an
+    unpartitioned ORDER BY uses a single task, so the production shape
+    pre-aggregates per quality-bucket counts to locate the cutoff
+    quantile first, then filters; at bench scale the direct window is
+    exact and the honest comparison)."""
+    from ..functions.text import quality_score
+
+    n_tok = token_count(F.col(text_col))
+    w = Window.orderBy(F.desc("quality"), F.asc(key_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scored = documents.select(
+        key_col,
+        "source",
+        n_tok.cast("bigint").alias("n_tokens"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    return (
+        scored.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("bigint")
+        )
+        .where(F.col("cum_tokens") <= budget)
+    )
+
+
+EPOCH_HASH_A = 2654435761  # Knuth multiplicative constant
+EPOCH_HASH_B = 1099087573  # odd 31-bit mix constant
+EPOCH_HASH_MOD = 2147483647  # 2^31 - 1
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    n_epochs: int = 2,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded per-epoch shuffle + sharding: for each epoch, assign every
+    row a deterministic pseudo-random rank h(key, epoch), shard by
+    h % n_shards, and emit the within-shard read order — the data-order
+    plan a trainer consumes ("every epoch sees a different permutation,
+    each worker reads its own shard sequentially") WITHOUT materializing
+    a permutation table or using RNG state.
+
+    Output: (epoch, shard, position, doc_id, h) — position is the
+    1-based within-(epoch, shard) rank. Reproducible: h is pure integer
+    arithmetic ((key*A + (epoch+1)*B) % (2^31-1), BIGINT-exact in both
+    engines for keys < ~4e9 — documents' doc_id domain), so the same
+    corpus always yields the same epoch order, and two epochs yield
+    (near-)independent orders because A is a multiplicative-hash
+    constant and B shifts the lattice per epoch.
+
+    Scale: the hash is map-side; the only shuffle is the window's
+    hash-partition on (epoch, shard) — exactly the partitioning the
+    downstream sharded write wants, so the sort pays for itself
+    (sortWithinPartitions order IS the emit order). No global sort,
+    no skew (h is uniform)."""
+    epochs = F.explode(
+        F.sequence(F.lit(0), F.lit(int(n_epochs) - 1))
+    ).alias("epoch")
+    h = F.pmod(
+        F.col(key_col).cast("bigint") * F.lit(EPOCH_HASH_A)
+        + (F.col("epoch") + 1).cast("bigint") * F.lit(EPOCH_HASH_B),
+        F.lit(EPOCH_HASH_MOD),
+    ).cast("bigint")
+    w = Window.partitionBy("epoch", "shard").orderBy("h", key_col)
+    return (
+        df.select(key_col)
+        .select(F.col(key_col), epochs)
+        .withColumn("h", h)
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(int(n_shards))).cast("int"))
+        .select(
+            F.col("epoch").cast("int").alias("epoch"),
+            "shard",
+            F.row_number().over(w).alias("position"),
+            F.col(key_col),
+            "h",
+        )
+    )

@@ -1516,3 +1516,64 @@ def test_dup_source_matrix_attributes_pairs(spark):
     assert out[("mirror", "web")].n_pairs == 2     # (0,2),(1,2)
     assert sum(r.n_pairs for r in out.values()) == n_pairs_total
     assert out[("web", "web")].avg_jaccard == 1.0
+
+
+def test_token_budget_select_greedy_prefix_replica(spark):
+    """Kept manifest == the Python greedy prefix over (quality desc,
+    doc_id) with inclusive cumsum <= budget; budget never exceeded."""
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        token_budget_select,
+    )
+    from kommunedata_data_pipeline_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+
+    d = load_table(spark, SF_SMALL, "documents")
+    budget = 1500
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"])
+        for r in token_budget_select(d, budget=budget).collect()
+    }
+    scored = sorted(
+        d.select(
+            "doc_id",
+            token_count(F.col("text")).alias("nt"),
+            quality_score(F.col("text")).alias("q"),
+        ).collect(),
+        key=lambda r: (-r["q"], r["doc_id"]),
+    )
+    cum, expect = 0, {}
+    for r in scored:
+        cum += r["nt"]
+        if cum > budget:
+            break
+        expect[r["doc_id"]] = (r["nt"], cum)
+    assert out == expect
+    assert max(c for _, c in out.values()) <= budget
+
+
+def test_epoch_shuffle_permutation_and_epoch_independence(spark):
+    """Each epoch covers every doc exactly once; per-(epoch, shard)
+    positions are contiguous 1..n; the two epoch orders differ; re-run
+    is byte-identical (seeded, no RNG state)."""
+    from kommunedata_data_pipeline_spark.operators.sampling import epoch_shuffle
+
+    d = load_table(spark, SF_SMALL, "documents")
+    n = d.count()
+    rows = epoch_shuffle(d, n_epochs=2, n_shards=4).collect()
+    by_epoch: dict[int, list] = {0: [], 1: []}
+    for r in rows:
+        by_epoch[r["epoch"]].append(r)
+    for ep, rs in by_epoch.items():
+        assert len(rs) == n  # a permutation: every doc exactly once
+        assert len({r["doc_id"] for r in rs}) == n
+        for shard in {r["shard"] for r in rs}:
+            pos = sorted(r["position"] for r in rs if r["shard"] == shard)
+            assert pos == list(range(1, len(pos) + 1))
+    # epoch orders differ (same doc lands on different (shard, position))
+    o0 = {r["doc_id"]: (r["shard"], r["position"]) for r in by_epoch[0]}
+    o1 = {r["doc_id"]: (r["shard"], r["position"]) for r in by_epoch[1]}
+    assert o0 != o1
+    again = epoch_shuffle(d, n_epochs=2, n_shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
