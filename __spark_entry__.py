@@ -10166,6 +10166,47 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_cdc_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    bp AS (SELECT doc_id, source, toks,
+             list_filter(range(1, len(toks) + 1),
+               i -> ('0x' || substr(md5(toks[i]), 1, 8))::BIGINT % 16 = 0)
+               AS bpos
+           FROM t WHERE len(toks) > 0),
+    en AS (SELECT doc_id, source, toks,
+             CASE WHEN bpos[-1] = len(toks) THEN bpos
+                  ELSE list_append(bpos, len(toks)) END AS ends
+           FROM bp),
+    ch AS (SELECT source,
+             unnest(list_transform(range(1, len(ends) + 1),
+               i -> array_to_string(
+                 toks[(CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END)
+                      :ends[i]], ' '))) AS chunk
+           FROM en),
+    pc AS (SELECT source, chunk, count(*) AS cnt FROM ch GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(cnt * length(chunk)) AS BIGINT) AS bytes_total,
+           CAST(sum(length(chunk)) AS BIGINT) AS bytes_distinct,
+           round(1.0 - CAST(sum(length(chunk)) AS DOUBLE)
+                 / sum(cnt * length(chunk)), 6) AS dedup_ratio
+    FROM pc GROUP BY source
+    """,
+)
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup accounting (LBFS/FastCDC family):
+    boundaries from a per-token content hash (md5 % 16 == 0), so edits
+    re-chunk only to the next surviving boundary; per-source
+    content-addressable-store savings over the chunk stream
+    (operators/corpus.py:cdc_chunk_arrays,cdc_dedup_stats)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import cdc_dedup_stats
+
+    return cdc_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "q_token_budget_select",
     f"""
     WITH q AS (

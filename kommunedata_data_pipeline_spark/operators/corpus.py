@@ -1312,3 +1312,108 @@ def bigram_surprisal(
         )
         .orderBy("doc_id")
     )
+
+
+CDC_DIVISOR = 16  # average chunk length in tokens (boundary prob 1/16)
+
+
+def cdc_chunk_arrays(
+    documents: DataFrame, text_col: str = "text", divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """(doc_id, source, chunks): content-defined chunking of each
+    document's token stream — a token ENDS a chunk iff
+    md5_bigint(token) % divisor == 0 (plus the forced final boundary),
+    so boundaries depend only on LOCAL content, never on absolute
+    position. That is the CDC property (Muthitacharoen et al. 2001 LBFS;
+    FastCDC 2016): inserting or deleting tokens re-chunks only up to the
+    next surviving boundary, where fixed-width chunking shifts every
+    later chunk — the property that makes chunk-level dedup robust to
+    edits. Expected chunk length = divisor tokens; no min/max clamp
+    (the clamp is a constant-factor tweak that would make boundaries
+    position-dependent again at the clamp edges).
+
+    Pure array expressions per row (hash, filter, slice) — no explode,
+    no shuffle; the downstream dedup pays the only shuffle."""
+    from .dedup import _ensure_parallel
+
+    base = _ensure_parallel(documents).select(
+        "doc_id", "source", tokens(F.col(text_col)).alias("toks")
+    )
+    n = F.size("toks")
+    bpos = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.conv(
+            F.substring(F.md5(F.element_at(F.col("toks"), i)), 1, 8), 16, 10
+        ).cast("bigint")
+        % divisor
+        == 0,
+    )
+    # forced final boundary; appended only when the last token is not
+    # already one (explicit conditional, not array_distinct — DuckDB's
+    # list_distinct does not guarantee order, so both engines take the
+    # same branch). bpos/ends are let-bound: each evaluates once per row.
+    chunks = let(
+        bpos,
+        lambda bp: let(
+            F.when(F.try_element_at(bp, F.lit(-1)) == n, bp).otherwise(
+                F.concat(bp, F.array(n))
+            ),
+            lambda ends: F.transform(
+                ends,
+                lambda e, idx: F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("toks"),
+                        F.when(idx == 0, F.lit(1)).otherwise(
+                            F.element_at(ends, idx) + 1
+                        ),
+                        e
+                        - F.when(idx == 0, F.lit(0)).otherwise(
+                            F.element_at(ends, idx)
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    )
+    return base.where(n > 0).select(
+        "doc_id", "source", chunks.alias("chunks")
+    )
+
+
+def cdc_dedup_stats(
+    documents: DataFrame, text_col: str = "text", divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """Per-source content-addressable-store accounting over CDC chunks:
+    how much would chunk-level dedup save? Output one row per source —
+    (source, n_chunks, n_distinct, bytes_total, bytes_distinct,
+    dedup_ratio) where dedup_ratio = 1 - bytes_distinct/bytes_total.
+
+    Plan: chunk arrays are narrow per-row expressions; the explode
+    multiplies rows ~len/divisor (input spread first via the shared
+    tokenized base), then ONE map-side-combinable aggregate keyed on
+    (source, chunk) followed by a per-source rollup — chunk keys shard
+    uniformly (content hash), so no skew. At 100 TB the chunk string
+    would be replaced by its 128-bit hash before the shuffle (only
+    (hash, nbytes) pairs move); kept raw here for engine-exact
+    grouping."""
+    occ = cdc_chunk_arrays(documents, text_col, divisor).select(
+        "source", F.explode("chunks").alias("chunk")
+    )
+    per_chunk = occ.groupBy("source", "chunk").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    b = F.length("chunk").cast("bigint")
+    return (
+        per_chunk.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.col("cnt") * b).cast("bigint").alias("bytes_total"),
+            F.sum(b).cast("bigint").alias("bytes_distinct"),
+        )
+        .withColumn(
+            "dedup_ratio",
+            F.round(1.0 - F.col("bytes_distinct") / F.col("bytes_total"), 6),
+        )
+    )

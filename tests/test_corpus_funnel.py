@@ -569,3 +569,53 @@ def test_bigram_surprisal_matches_python_replica(spark):
         assert abs(r.avg_neg_logp - round(tot / len(scores) / 1e6, 4)) < 1e-9
     assert out[1].n_backoff >= 2  # both backoff shapes exercised
     assert 0 not in out and 2 not in out  # train docs are not scored
+
+
+def test_cdc_chunking_reassembles_and_localizes_edits(spark):
+    """The two CDC invariants: (1) chunks reassemble the exact token
+    stream; (2) prepending tokens re-chunks only up to the next
+    surviving boundary — the chunk lists share their entire tail
+    (fixed-width chunking would shift every later chunk)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        cdc_chunk_arrays,
+    )
+
+    base_text = " ".join(f"tok{i % 97}x{i % 13}" for i in range(400))
+    edited = "inserted words here " + base_text
+    df = spark.createDataFrame(
+        [(1, base_text, "s"), (2, edited, "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r["chunks"]
+        for r in cdc_chunk_arrays(df, divisor=8).collect()
+    }
+    assert " ".join(out[1]) == base_text
+    assert " ".join(out[2]) == edited
+    # edit locality: all but the first few chunks are identical
+    c1, c2 = out[1], out[2]
+    shared = 0
+    while shared < min(len(c1), len(c2)) and c1[-1 - shared] == c2[-1 - shared]:
+        shared += 1
+    assert shared >= len(c1) - 2, (
+        f"prepend disturbed more than the head: shared tail {shared} "
+        f"of {len(c1)}"
+    )
+
+
+def test_cdc_dedup_stats_counts_exact_duplicates(spark):
+    """Two identical docs → every chunk duplicated: n_chunks == 2 *
+    n_distinct and bytes_total == 2 * bytes_distinct."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        cdc_dedup_stats,
+    )
+
+    text = " ".join(f"w{i % 53}q{i % 7}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, text, "s"), (2, text, "s")],
+        "doc_id long, text string, source string",
+    )
+    row = cdc_dedup_stats(df, divisor=8).collect()[0]
+    assert row["n_chunks"] == 2 * row["n_distinct"]
+    assert row["bytes_total"] == 2 * row["bytes_distinct"]
+    assert abs(row["dedup_ratio"] - 0.5) < 1e-9
