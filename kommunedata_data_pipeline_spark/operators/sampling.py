@@ -306,29 +306,54 @@ def token_budget_select(
     Engine-exact: quality is the shared round-6 composite (one rounded
     double, same expression the oracle evaluates); the ORDER is
     (quality DESC, key ASC) so equal scores cannot flip between engines;
-    cum_tokens is BIGINT. Scale: one global-order running-sum window —
-    at 100 TB this is a range-partitioned sort (Spark's window on an
-    unpartitioned ORDER BY uses a single task, so the production shape
-    pre-aggregates per quality-bucket counts to locate the cutoff
-    quantile first, then filters; at bench scale the direct window is
-    exact and the honest comparison)."""
+    cum_tokens is BIGINT.
+
+    Scale: NOT one global-order window (that is a single task in Spark).
+    Two-phase bucket-offset plan with identical output: (1) aggregate
+    token sums per exact quality value — quality is rounded to 6
+    decimals in [0, 1], so the bucket table is at most ~10^6 rows at ANY
+    corpus size and its exclusive-prefix window is a tiny single-task
+    sort; (2) buckets whose exclusive prefix already exceeds the budget
+    are pruned (no doc in them can qualify: cum >= prefix), and the
+    per-doc inclusive cumsum runs in a window PARTITIONED by quality —
+    fully parallel — with the bucket offset added. Global cum =
+    bucket-exclusive-prefix + within-bucket inclusive prefix because
+    the order (quality DESC, key) sorts bucket-contiguously."""
     from ..functions.text import quality_score
 
     n_tok = token_count(F.col(text_col))
-    w = Window.orderBy(F.desc("quality"), F.asc(key_col)).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     scored = documents.select(
         key_col,
         "source",
         n_tok.cast("bigint").alias("n_tokens"),
         quality_score(F.col(text_col)).alias("quality"),
     )
+    wb = Window.orderBy(F.desc("quality")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        scored.groupBy("quality")
+        .agg(F.sum("n_tokens").alias("bkt_tokens"))
+        .withColumn(
+            "bkt_prefix",
+            F.coalesce(F.sum("bkt_tokens").over(wb), F.lit(0).cast("bigint")),
+        )
+        .where(F.col("bkt_prefix") <= budget)
+        .select("quality", "bkt_prefix")
+    )
+    wd = (
+        Window.partitionBy("quality")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
-        scored.withColumn(
-            "cum_tokens", F.sum("n_tokens").over(w).cast("bigint")
+        scored.join(offsets, "quality")
+        .withColumn(
+            "cum_tokens",
+            (F.col("bkt_prefix") + F.sum("n_tokens").over(wd)).cast("bigint"),
         )
         .where(F.col("cum_tokens") <= budget)
+        .select(key_col, "source", "n_tokens", "quality", "cum_tokens")
     )
 
 
