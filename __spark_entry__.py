@@ -10166,6 +10166,71 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_dedup_tier_venn",
+    f"""
+    WITH {_LSH_PAIRS_CTES},
+    nearset AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM lsh_pairs
+        UNION ALL SELECT doc_b FROM lsh_pairs)
+    ),
+    keys AS (
+      SELECT vec_id, embedding, CAST(b.b AS INT) AS band,
+             CAST(list_sum(list_transform(range(0, 8), i ->
+               CASE WHEN embedding[b.b*8 + i + 1] > 0
+                    THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END))
+               AS BIGINT) AS bkey
+      FROM embeddings, (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    semscored AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             round(
+               list_sum(list_transform(range(1, len(x.embedding) + 1),
+                 i -> CAST(x.embedding[i] AS DOUBLE)
+                      * CAST(y.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(x.embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(y.embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+               5) AS cosine_sim
+      FROM keys x JOIN keys y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+    ),
+    semset AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT vec_a AS doc_id FROM semscored WHERE cosine_sim >= 0.3
+        UNION ALL SELECT vec_b FROM semscored WHERE cosine_sim >= 0.3)
+    ),
+    fl AS (
+      SELECT d.doc_id,
+             CAST(CASE WHEN count(*) OVER (PARTITION BY md5({_NORM_SQL}))
+                       > 1 THEN 1 ELSE 0 END AS INT) AS is_exact,
+             CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS is_near,
+             CAST(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS is_sem
+      FROM documents d
+      LEFT JOIN nearset n ON n.doc_id = d.doc_id
+      LEFT JOIN semset s ON s.doc_id = d.doc_id
+    )
+    SELECT is_exact, is_near, is_sem, CAST(count(*) AS BIGINT) AS n_docs
+    FROM fl GROUP BY 1, 2, 3
+    """,
+)
+def q_dedup_tier_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-tier agreement audit: the 8-cell Venn of exact-fingerprint
+    vs MinHash-LSH vs embedding-cosine dup flags per document — the
+    marginal-value diagnostic for choosing a dedup stack; each tier
+    keeps its standalone sub-quadratic plan
+    (operators/dedup.py:dedup_tier_venn)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import dedup_tier_venn
+
+    return dedup_tier_venn(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
+@_q(
     "q_cdc_dedup",
     f"""
     WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),

@@ -1310,3 +1310,61 @@ def dup_source_matrix(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def dedup_tier_venn(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    lsh_threshold: float = 0.5,
+    cos_threshold: float = 0.3,
+) -> DataFrame:
+    """Dedup-tier agreement audit: for every document, whether each of
+    the three dedup families flags it — exact (shared normalized-text
+    fingerprint), near (verified MinHash-LSH pair membership), semantic
+    (banded sign-LSH embedding-cosine pair membership, doc_id == vec_id)
+    — aggregated to the 8-cell Venn table (is_exact, is_near, is_sem,
+    n_docs). The diagnostic a pipeline runs before choosing its dedup
+    stack: the off-diagonal cells ARE the marginal value of each tier
+    (docs only semantic dedup catches, boilerplate only exact catches).
+
+    Plan: three independent flag sets, each already sub-quadratic
+    (fingerprint groupBy; banded LSH joins — never all-pairs); flags
+    attach by doc_id equi-joins against DISTINCT pair-member sets (tiny
+    relative to the corpus), and the final aggregate is 8 groups. At
+    100 TB each tier is the same plan it is standalone; nothing here
+    adds a new scale hazard."""
+    from ..functions.text import fingerprint
+    from .similarity import embedding_near_dup_pairs_banded
+
+    fp = Window.partitionBy(fingerprint(F.col("text")))
+    flagged = documents.select(
+        "doc_id",
+        (F.count(F.lit(1)).over(fp) > 1).cast("int").alias("is_exact"),
+    )
+    near_pairs = minhash_lsh_pairs(documents, 3, 16, 4, lsh_threshold)
+    near = (
+        near_pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(near_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("near_hit", F.lit(1))
+    )
+    sem_pairs = embedding_near_dup_pairs_banded(
+        embeddings, n_bands=4, band_bits=8, threshold=cos_threshold
+    )
+    sem = (
+        sem_pairs.select(F.col("vec_a").alias("doc_id"))
+        .unionAll(sem_pairs.select(F.col("vec_b").alias("doc_id")))
+        .distinct()
+        .withColumn("sem_hit", F.lit(1))
+    )
+    return (
+        flagged.join(near, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "is_exact",
+            F.coalesce(F.col("near_hit"), F.lit(0)).alias("is_near"),
+            F.coalesce(F.col("sem_hit"), F.lit(0)).alias("is_sem"),
+        )
+        .groupBy("is_exact", "is_near", "is_sem")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

@@ -1577,3 +1577,54 @@ def test_epoch_shuffle_permutation_and_epoch_independence(spark):
     assert o0 != o1
     again = epoch_shuffle(d, n_epochs=2, n_shards=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_dedup_tier_venn_constructed_disagreement(spark):
+    """A corpus built so the three tiers disagree: docs 1/2 exact dups
+    (also near dups by construction), docs 4/5 near-but-not-exact dups,
+    vecs 3/4 semantic dups, doc 6 untouched — the Venn must put each
+    doc in the right cell."""
+    from kommunedata_data_pipeline_spark.operators.dedup import dedup_tier_venn
+
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(20))
+    near = base.replace("alpha7", "ALTERED", 1)
+    docs = spark.createDataFrame(
+        [
+            (1, base, "s"),
+            (2, base, "s"),
+            (3, "completely different words " + " ".join(f"z{i}q" for i in range(30)), "s"),
+            (4, near + " tail4 tail4b", "s"),
+            (5, near + " tail5 tail5b", "s"),
+            (6, " ".join(f"unrelated{i} token{i}" for i in range(25)), "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+    def vec(block_vals):
+        out = []
+        for v in block_vals:
+            out += [1.0 if (v >> b) & 1 else -1.0 for b in range(8)]
+        return out
+
+    # per-vec sign blocks: unique per vec except 3 and 4 share all four
+    emb = spark.createDataFrame(
+        [
+            (1, vec([11, 12, 13, 14]), "a"),
+            (2, vec([21, 22, 23, 24]), "a"),
+            (3, vec([99, 98, 97, 96]), "a"),
+            (4, vec([99, 98, 97, 96]), "a"),
+            (5, vec([51, 52, 53, 54]), "a"),
+            (6, vec([61, 62, 63, 64]), "a"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    cells = {
+        (r["is_exact"], r["is_near"], r["is_sem"]): r["n_docs"]
+        for r in dedup_tier_venn(docs, emb).collect()
+    }
+    assert sum(cells.values()) == 6
+    assert cells[(1, 1, 0)] == 2  # docs 1, 2: exact (and near) text dups
+    assert cells[(0, 1, 1)] == 1  # doc 4: near-dup text AND semantic dup
+    assert cells[(0, 1, 0)] == 1  # doc 5: near-dup text only
+    assert cells[(0, 0, 1)] == 1  # doc 3: semantic only
+    assert cells[(0, 0, 0)] == 1  # doc 6: clean
