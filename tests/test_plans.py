@@ -629,3 +629,47 @@ def test_prototype_classify_map_side_assignment(spark):
     p = _plan(spark, "q_prototype_classify")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_cdc_dedup_no_pre_aggregate_explode_no_udf(spark):
+    """cdc_dedup: chunking is pure array expressions (the only Generate
+    is the chunk-stream explode feeding the aggregate), the chunk
+    aggregate partially combines map-side, and nothing runs in Python."""
+    p = _plan(spark, "q_cdc_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Generate") <= 2  # tree + detail of ONE explode
+    assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_token_budget_no_global_window(spark):
+    """token_budget_select: the per-doc running sum must be a window
+    PARTITIONED by quality (parallel), never a single-task global
+    window over the corpus — only the tiny bucket-level prefix may be
+    unpartitioned."""
+    p = _plan(spark, "q_token_budget_select")
+    assert "CartesianProduct" not in p
+    # the per-doc running sum shuffles BY QUALITY (parallel window);
+    # a plan whose only doc-side exchange is SinglePartition would be
+    # the single-task global window this operator exists to avoid
+    assert "hashpartitioning(quality" in p
+
+
+def test_epoch_shuffle_single_shuffle_on_epoch_shard(spark):
+    """epoch_shuffle: the hash is map-side; the only shuffle is the
+    window's (epoch, shard) hash partition — exactly the partitioning a
+    sharded write consumes."""
+    p = _plan(spark, "q_epoch_shuffle")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "hashpartitioning(epoch" in p
+
+
+def test_dedup_tier_venn_equi_joins_only(spark):
+    """dedup_tier_venn: every tier keeps its standalone shape — no
+    cartesian/nested-loop anywhere in the composed plan, no Python."""
+    p = _plan(spark, "q_dedup_tier_venn")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
