@@ -10166,6 +10166,66 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_stump_split",
+    f"""
+    WITH f AS (
+      SELECT 'chars' AS feature, CAST(n_chars // 16 AS BIGINT) AS bin,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+      UNION ALL
+      SELECT 'tokens', CAST(len({_TOKS_SQL}) // 4 AS BIGINT),
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+      FROM documents
+    ),
+    hist AS (
+      SELECT feature, bin, count(*) AS cnt, sum(y) AS pos
+      FROM f GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT feature, bin,
+             sum(cnt) OVER (PARTITION BY feature ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+             sum(pos) OVER (PARTITION BY feature ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+             sum(cnt) OVER (PARTITION BY feature) AS tot_cnt,
+             sum(pos) OVER (PARTITION BY feature) AS tot_pos
+      FROM hist
+    )
+    SELECT feature, CAST(bin AS BIGINT) AS threshold_bin,
+           CAST(cum_cnt AS BIGINT) AS n_left,
+           CAST(cum_pos AS BIGINT) AS n_pos_left,
+           CAST(least(cum_pos, cum_cnt - cum_pos)
+                + least(tot_pos - cum_pos,
+                        (tot_cnt - cum_cnt) - (tot_pos - cum_pos))
+             AS BIGINT) AS err
+    FROM h WHERE cum_cnt < tot_cnt
+    ORDER BY err, feature, threshold_bin LIMIT 5
+    """,
+)
+def q_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-stump split finder (the XGBoost-approx /
+    LightGBM per-node primitive): is-English vs binned length features;
+    top-5 candidate thresholds by exact integer misclassification error
+    — one row scan, one histogram aggregate, prefix sums over bins
+    (operators/statistics.py:stump_split_finder)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        stump_split_finder,
+    )
+    from kommunedata_data_pipeline_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return stump_split_finder(
+        d,
+        {
+            "chars": F.floor(F.col("n_chars") / 16),
+            "tokens": F.floor(token_count(F.col("text")) / 4),
+        },
+        y=(F.col("lang") == "en").cast("int"),
+        k=5,
+    )
+
+
+@_q(
     "q_dedup_tier_venn",
     f"""
     WITH {_LSH_PAIRS_CTES},

@@ -667,3 +667,74 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def stump_split_finder(
+    df: DataFrame,
+    features: dict[str, Column],
+    y: Column,
+    k: int = 5,
+) -> DataFrame:
+    """Histogram-based decision-stump split finder — the per-node
+    primitive of distributed gradient-boosted-tree training (the
+    XGBoost "approx"/LightGBM discipline: bin features into integer
+    histograms, then every candidate threshold's split statistics come
+    from ONE prefix sum over the histogram, never from re-scanning
+    rows). ``features`` maps feature name → integer bin expression
+    (the caller picks bin widths); ``y`` is a 0/1 label.
+
+    For every (feature, bin) threshold (predicate: bin <= t, the last
+    bin excluded — an empty right side is not a split), the split's
+    misclassification error err = min(pos_l, neg_l) + min(pos_r,
+    neg_r); the output is the top-``k`` candidate splits by
+    (err asc, feature asc, bin asc) — (feature, threshold_bin, n_left,
+    n_pos_left, err), all BIGINT/exact, so both engines rank
+    identically.
+
+    Plan shape: one unionByName of per-feature (feature, bin, y)
+    projections (narrow), ONE map-side-combinable histogram aggregate
+    keyed (feature, bin), prefix/total windows PARTITIONED by feature
+    over histogram-sized data (thousands of bins, not rows), and a
+    top-k TakeOrdered. The row scan happens exactly once regardless of
+    feature count or threshold count — that invariance is why
+    histogram split finding is the 100 TB shape.
+    """
+    yi = y.cast("bigint").alias("y")
+    parts = [
+        df.select(F.lit(name).alias("feature"), b.cast("bigint").alias("bin"), yi)
+        for name, b in features.items()
+    ]
+    allf = parts[0]
+    for p in parts[1:]:
+        allf = allf.unionByName(p)
+    hist = allf.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    wp = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("feature")
+    h = (
+        hist.withColumn("cum_cnt", F.sum("cnt").over(wp))
+        .withColumn("cum_pos", F.sum("pos").over(wp))
+        .withColumn("tot_cnt", F.sum("cnt").over(wt))
+        .withColumn("tot_pos", F.sum("pos").over(wt))
+        .where(F.col("cum_cnt") < F.col("tot_cnt"))
+    )
+    neg_l = F.col("cum_cnt") - F.col("cum_pos")
+    pos_r = F.col("tot_pos") - F.col("cum_pos")
+    neg_r = (F.col("tot_cnt") - F.col("cum_cnt")) - pos_r
+    err = F.least(F.col("cum_pos"), neg_l) + F.least(pos_r, neg_r)
+    return (
+        h.select(
+            "feature",
+            F.col("bin").cast("bigint").alias("threshold_bin"),
+            F.col("cum_cnt").cast("bigint").alias("n_left"),
+            F.col("cum_pos").cast("bigint").alias("n_pos_left"),
+            err.cast("bigint").alias("err"),
+        )
+        .orderBy("err", "feature", "threshold_bin")
+        .limit(k)
+    )

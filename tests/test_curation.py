@@ -1628,3 +1628,39 @@ def test_dedup_tier_venn_constructed_disagreement(spark):
     assert cells[(0, 1, 0)] == 1  # doc 5: near-dup text only
     assert cells[(0, 0, 1)] == 1  # doc 3: semantic only
     assert cells[(0, 0, 0)] == 1  # doc 6: clean
+
+
+def test_stump_split_finder_python_replica(spark):
+    """Top-k splits match a brute-force Python replica on a constructed
+    set, and a perfectly separable feature yields err = 0 at the true
+    threshold."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        stump_split_finder,
+    )
+
+    # feature 'a' separates perfectly at bin <= 4; 'b' is noise
+    rows = [(i, i % 10, (i * 7) % 5, 1 if i % 10 <= 4 else 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, a long, b long, y int")
+    out = stump_split_finder(
+        df, {"a": F.col("a"), "b": F.col("b")}, y=F.col("y"), k=3
+    ).collect()
+    assert (out[0]["feature"], out[0]["threshold_bin"], out[0]["err"]) == ("a", 4, 0)
+
+    # brute-force replica over every (feature, threshold)
+    cand = []
+    for feat in ("a", "b"):
+        vals = sorted({r[1] if feat == "a" else r[2] for r in rows})
+        for t in vals[:-1]:
+            left = [r for r in rows if (r[1] if feat == "a" else r[2]) <= t]
+            right = [r for r in rows if (r[1] if feat == "a" else r[2]) > t]
+            pl = sum(r[3] for r in left)
+            pr = sum(r[3] for r in right)
+            err = min(pl, len(left) - pl) + min(pr, len(right) - pr)
+            cand.append((err, feat, t, len(left), pl))
+    cand.sort()
+    expect = [(f, t, nl, pl, e) for e, f, t, nl, pl in cand[:3]]
+    got = [
+        (r["feature"], r["threshold_bin"], r["n_left"], r["n_pos_left"], r["err"])
+        for r in out
+    ]
+    assert got == expect
