@@ -10166,6 +10166,43 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_containment_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50),
+    shc AS (SELECT doc_id, shingle FROM sh
+            WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shc a JOIN shc b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_sh AS BIGINT) AS n_sh_a,
+           round(CAST(n_common AS DOUBLE) / n_sh, 6) AS containment
+    FROM common JOIN sizes ON sizes.doc_id = common.doc_a
+    WHERE round(CAST(n_common AS DOUBLE) / n_sh, 6) >= 0.8
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment near-dup pairs: C(A→B) =
+    |S(A)∩S(B)|/|S(A)| ≥ 0.8 — inclusion/quotation detection that
+    symmetric Jaccard misses for size-mismatched docs; df-capped
+    shingle join, never all-pairs
+    (operators/dedup.py:shingle_containment_pairs)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        shingle_containment_pairs,
+    )
+
+    return shingle_containment_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.8, df_cap=50
+    )
+
+
+@_q(
     "q_stump_split",
     f"""
     WITH f AS (

@@ -1368,3 +1368,60 @@ def dedup_tier_venn(
         .groupBy("is_exact", "is_near", "is_sem")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+def shingle_containment_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = 50,
+) -> DataFrame:
+    """DIRECTED near-containment pairs by k-word-shingle containment
+    C(A→B) = |S(A) ∩ S(B)| / |S(A)| ≥ threshold with doc_a != doc_b —
+    the inclusion relation symmetric Jaccard misses when sizes differ
+    (a paragraph quoted inside a long document scores near-zero Jaccard
+    but containment ~1 from the quote's side). The dedup action differs
+    too: containment drops the CONTAINED doc, Jaccard picks either.
+
+    Plan: same skeleton as ngram_jaccard_pairs — distinct (doc,
+    shingle) stream, optional document-frequency cap on hot shingles
+    (the quadratic-hot-key valve), ONE self equi-join on shingle, per-
+    pair common counts, sizes joined back — but the pair key keeps both
+    directions (a != b instead of a < b) and the denominator is the
+    LEFT side's shingle count only. Same 100 TB properties: shingles
+    shard uniformly, the df-cap bounds per-key fan-out, nothing is
+    all-pairs."""
+    sh = doc_shingles(documents, k)
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .count()
+            .where(F.col("count") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("n_sh"), 6)
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("n_sh").cast("bigint").alias("n_sh_a"),
+            "containment",
+        )
+    )

@@ -1664,3 +1664,30 @@ def test_stump_split_finder_python_replica(spark):
         for r in out
     ]
     assert got == expect
+
+
+def test_containment_detects_quotation_jaccard_misses(spark):
+    """A short passage quoted verbatim inside a much longer doc:
+    containment from the quote's side is 1.0 (detected), the reverse
+    direction and symmetric Jaccard are far below threshold."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_containment_pairs,
+    )
+
+    quote = " ".join(f"qq{i} rr{i}" for i in range(10))
+    long_doc = (
+        " ".join(f"aa{i} bb{i} cc{i}" for i in range(40))
+        + " " + quote + " "
+        + " ".join(f"dd{i} ee{i}" for i in range(40))
+    )
+    df = spark.createDataFrame(
+        [(1, quote, "s"), (2, long_doc, "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in shingle_containment_pairs(df, threshold=0.8, df_cap=None).collect()
+    }
+    assert got == {(1, 2): 1.0}  # directed: only quote→host
+    assert ngram_jaccard_pairs(df, threshold=0.8).count() == 0
