@@ -378,7 +378,9 @@ def epoch_shuffle(
     Output: (epoch, shard, position, doc_id, h) — position is the
     1-based within-(epoch, shard) rank. Reproducible: h is pure integer
     arithmetic ((key*A + (epoch+1)*B) % (2^31-1), BIGINT-exact in both
-    engines for keys < ~4e9 — documents' doc_id domain), so the same
+    engines for keys < 2^63/A ≈ 3.4e9 — documents' doc_id domain;
+    larger key spaces pre-reduce key % (2^31-1) first, and ANSI mode
+    fails loudly rather than wrapping if that is missed), so the same
     corpus always yields the same epoch order, and two epochs yield
     (near-)independent orders because A is a multiplicative-hash
     constant and B shifts the lattice per epoch.

@@ -691,22 +691,28 @@ def stump_split_finder(
     n_pos_left, err), all BIGINT/exact, so both engines rank
     identically.
 
-    Plan shape: one unionByName of per-feature (feature, bin, y)
-    projections (narrow), ONE map-side-combinable histogram aggregate
-    keyed (feature, bin), prefix/total windows PARTITIONED by feature
-    over histogram-sized data (thousands of bins, not rows), and a
-    top-k TakeOrdered. The row scan happens exactly once regardless of
-    feature count or threshold count — that invariance is why
-    histogram split finding is the 100 TB shape.
+    Plan shape: ONE row scan — each row emits its (feature, bin, y)
+    triples through a single explode over an inline struct array (a
+    per-feature union would re-scan the table once per feature) — then
+    ONE map-side-combinable histogram aggregate keyed (feature, bin),
+    prefix/total windows PARTITIONED by feature over histogram-sized
+    data (thousands of bins, not rows), and a top-k TakeOrdered. Scan
+    count invariant in the number of features and thresholds — that
+    invariance is why histogram split finding is the 100 TB shape.
     """
-    yi = y.cast("bigint").alias("y")
-    parts = [
-        df.select(F.lit(name).alias("feature"), b.cast("bigint").alias("bin"), yi)
-        for name, b in features.items()
-    ]
-    allf = parts[0]
-    for p in parts[1:]:
-        allf = allf.unionByName(p)
+    triples = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("feature"),
+                    b.cast("bigint").alias("bin"),
+                    y.cast("bigint").alias("y"),
+                )
+                for name, b in features.items()
+            ]
+        )
+    ).alias("t")
+    allf = df.select(triples).select("t.feature", "t.bin", "t.y")
     hist = allf.groupBy("feature", "bin").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
     )
