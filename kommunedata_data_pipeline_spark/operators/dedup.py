@@ -1317,6 +1317,8 @@ def dedup_tier_venn(
     embeddings: DataFrame,
     lsh_threshold: float = 0.5,
     cos_threshold: float = 0.3,
+    n_bands: int = 4,
+    band_bits: int = 8,
 ) -> DataFrame:
     """Dedup-tier agreement audit: for every document, whether each of
     the three dedup families flags it — exact (shared normalized-text
@@ -1332,7 +1334,12 @@ def dedup_tier_venn(
     attach by doc_id equi-joins against DISTINCT pair-member sets (tiny
     relative to the corpus), and the final aggregate is 8 groups. At
     100 TB each tier is the same plan it is standalone; nothing here
-    adds a new scale hazard."""
+    adds a new scale hazard BEYOND each tier's own knobs — notably the
+    sign-LSH band width: with fixed band_bits, bucket occupancy grows
+    linearly with the corpus and within-bucket candidates quadratically,
+    so band_bits must grow ~log2(N) as the corpus grows (SCALING.md
+    measures the fixed-8 blow-up and the widened-band fix; the same
+    grow-the-knob rule as semantic dedup's K)."""
     from ..functions.text import fingerprint
     from .similarity import embedding_near_dup_pairs_banded
 
@@ -1349,7 +1356,7 @@ def dedup_tier_venn(
         .withColumn("near_hit", F.lit(1))
     )
     sem_pairs = embedding_near_dup_pairs_banded(
-        embeddings, n_bands=4, band_bits=8, threshold=cos_threshold
+        embeddings, n_bands=n_bands, band_bits=band_bits, threshold=cos_threshold
     )
     sem = (
         sem_pairs.select(F.col("vec_a").alias("doc_id"))
