@@ -10166,6 +10166,41 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_curriculum_schedule",
+    f"""
+    WITH q AS (
+      SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             {_QUALITY_SQL} AS quality
+      FROM documents
+    ),
+    r AS (SELECT *, row_number() OVER (ORDER BY quality DESC, doc_id)
+                      AS rn,
+                 count(*) OVER () AS n
+          FROM q),
+    t AS (SELECT *, CAST(floor((rn - 1) * 4.0 / n) + 1 AS INT) AS tile
+          FROM r),
+    a AS (SELECT n_tokens, quality, unnest(range(tile, 5)) AS epoch
+          FROM t)
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(min(quality), 6) AS min_quality
+    FROM a GROUP BY epoch
+    """,
+)
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competence-based curriculum data schedule: quality-rank quartile
+    tiles, epoch e admits tiles 1..e — per-epoch admitted doc/token
+    counts. The global rank is the two-phase bucket-offset plan, never
+    a global window (operators/sampling.py:curriculum_schedule)."""
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        curriculum_schedule,
+    )
+
+    return curriculum_schedule(_t(spark, sf_dir, "documents"), n_tiles=4)
+
+
+@_q(
     "q_containment_pairs",
     f"""
     WITH {_SHINGLES_CTE},

@@ -412,3 +412,77 @@ def epoch_shuffle(
             "h",
         )
     )
+
+
+def curriculum_schedule(
+    documents: DataFrame,
+    n_tiles: int = 4,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Competence-based curriculum data schedule (Platanios et al.
+    2019): rank the corpus by quality (desc, key tiebreak), split the
+    rank order into ``n_tiles`` difficulty tiles (tile 1 = cleanest),
+    and let epoch e admit tiles 1..e — the progressive-admission
+    schedule a curriculum trainer consumes. Output one row per epoch:
+    (epoch, n_docs, n_tokens, min_quality) over everything admitted by
+    that epoch.
+
+    Tile assignment uses the explicit floor formula tile =
+    (rank-1)*n_tiles // n + 1 (bucket sizes differ by at most one, the
+    SQL-standard ntile distribution) — spelled out rather than ntile()
+    so both engines compute the identical expression. The global rank
+    itself is NEVER a global window: same two-phase bucket-offset plan
+    as token_budget_select — per-quality-value counts (bounded bucket
+    table, tiny prefix window) + a per-bucket PARTITIONED row_number
+    plus the bucket offset. The epoch fan-out is an explode of
+    sequence(tile, n_tiles) (a doc admitted by its tile and every later
+    epoch), then one map-side-combinable aggregate keyed by epoch."""
+    from ..functions.text import quality_score, token_count
+
+    scored = documents.select(
+        key_col,
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    wb = Window.orderBy(F.desc("quality")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wtot = Window.orderBy(F.desc("quality")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        scored.groupBy("quality")
+        .agg(F.count(F.lit(1)).alias("bkt_n"))
+        .withColumn(
+            "bkt_prefix",
+            F.coalesce(F.sum("bkt_n").over(wb), F.lit(0).cast("bigint")),
+        )
+        .withColumn("n_total", F.sum("bkt_n").over(wtot).cast("bigint"))
+        .select("quality", "bkt_prefix", "n_total")
+    )
+    wd = Window.partitionBy("quality").orderBy(key_col)
+    ranked = (
+        scored.join(offsets, "quality")
+        .withColumn(
+            "rn", F.col("bkt_prefix") + F.row_number().over(wd)
+        )
+        .withColumn(
+            "tile",
+            (
+                F.floor((F.col("rn") - 1) * n_tiles / F.col("n_total")) + 1
+            ).cast("int"),
+        )
+    )
+    admitted = ranked.select(
+        "n_tokens",
+        "quality",
+        F.explode(
+            F.sequence(F.col("tile"), F.lit(int(n_tiles)))
+        ).alias("epoch"),
+    )
+    return admitted.groupBy("epoch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+    )

@@ -1691,3 +1691,27 @@ def test_containment_detects_quotation_jaccard_misses(spark):
     }
     assert got == {(1, 2): 1.0}  # directed: only quote→host
     assert ngram_jaccard_pairs(df, threshold=0.8).count() == 0
+
+
+def test_curriculum_schedule_monotone_admission(spark):
+    """Epoch e admits tiles 1..e: doc/token counts are strictly
+    monotone across epochs, the final epoch admits the whole corpus,
+    and min_quality is non-increasing (harder data admitted later)."""
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        curriculum_schedule,
+    )
+
+    d = load_table(spark, SF_SMALL, "documents")
+    n = d.count()
+    rows = sorted(
+        curriculum_schedule(d, n_tiles=4).collect(), key=lambda r: r["epoch"]
+    )
+    assert [r["epoch"] for r in rows] == [1, 2, 3, 4]
+    docs = [r["n_docs"] for r in rows]
+    assert docs == sorted(docs) and docs[-1] == n
+    assert all(b > a for a, b in zip(docs, docs[1:]))
+    mq = [r["min_quality"] for r in rows]
+    assert all(b <= a for a, b in zip(mq, mq[1:]))
+    # tile sizes differ by at most one doc
+    sizes = [docs[0]] + [b - a for a, b in zip(docs, docs[1:])]
+    assert max(sizes) - min(sizes) <= 1
