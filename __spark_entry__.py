@@ -10166,6 +10166,46 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_winnowing_overlap",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    th AS (SELECT doc_id,
+                  list_transform(string_split(t, ' '),
+                    x -> ('0x' || substr(md5(x), 1, 8))::BIGINT
+                         % {ROLL_TOK_MOD}) AS h
+           FROM norm),
+    rh AS (SELECT doc_id, CASE WHEN len(h) >= 4 THEN
+             list_transform(range(0, len(h) - 3), i ->
+               (h[i+1]*{ROLL_B**3} + h[i+2]*{ROLL_B**2}
+                + h[i+3]*{ROLL_B} + h[i+4]) % {ROLL_P})
+           ELSE [] END AS r FROM th),
+    wn AS (SELECT doc_id, CASE
+             WHEN len(r) >= 5 THEN list_transform(
+               range(1, len(r) - 3), i -> list_min(r[i:i+4]))
+             WHEN len(r) > 0 THEN [list_min(r)]
+             ELSE CAST([] AS BIGINT[]) END AS mins FROM rh),
+    fp AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM wn)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (Schleimer et al. 2003, MOSS):
+    per-window minimum of Rabin-Karp rolling hashes — the locality
+    guarantee a global-min fingerprint lacks; pairs sharing >= 3
+    selected fingerprints (operators/dedup.py:winnowing_overlap_pairs)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        winnowing_overlap_pairs,
+    )
+
+    return winnowing_overlap_pairs(
+        _t(spark, sf_dir, "documents"), w=4, window=5, min_shared=3
+    )
+
+
+@_q(
     "q_curriculum_schedule",
     f"""
     WITH q AS (

@@ -1432,3 +1432,66 @@ def shingle_containment_pairs(
             "containment",
         )
     )
+
+
+def winnowing_overlap_pairs(
+    documents: DataFrame,
+    w: int = 4,
+    window: int = 5,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Winnowing fingerprint overlap (Schleimer, Wilkerson, Aiken 2003
+    — the MOSS local-fingerprinting algorithm): per document, select
+    the MINIMUM rolling hash in every ``window`` consecutive w-token
+    hashes (guaranteeing at least one fingerprint per window-length
+    gap — the locality property a global min lacks), dedupe to the
+    doc's fingerprint SET, and report pairs sharing at least
+    ``min_shared`` fingerprints.
+
+    Output: (doc_a, doc_b, n_shared) with doc_a < doc_b. Winnowing's
+    guarantee: any shared token run of length >= w + window - 1 yields
+    at least one SHARED selected fingerprint, so long verbatim overlaps
+    cannot be missed — unlike sampling every k-th hash, which an
+    adversarial (or unlucky) alignment defeats.
+
+    Plan: hash + window-min selection are pure array expressions per
+    row (rolling hashes let-bound); the fingerprint stream explodes
+    (bounded by tokens/1, typically ~tokens/window distinct), and the
+    ONE content-keyed shuffle is the pair equi-join on the fingerprint
+    value — hash keys shard uniformly, the same sub-quadratic shape as
+    every banding join in this family. At 100 TB hot fingerprints
+    (ubiquitous boilerplate) would get the same df-cap valve as
+    ngram_jaccard_pairs; omitted here so the winnowing guarantee stays
+    unconditional on the bench corpus."""
+    from ..functions.text import rolling_hashes
+
+    rh = _ensure_parallel(documents).select(
+        "doc_id", rolling_hashes(F.col("text"), w).alias("r")
+    )
+    n = F.size("r")
+    mins = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(1), n - window + 1),
+            lambda i: F.array_min(F.slice(F.col("r"), i, window)),
+        ),
+    ).otherwise(
+        F.when(n > 0, F.array(F.array_min(F.col("r")))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    fps = (
+        rh.select("doc_id", F.explode(mins).alias("fp"))
+        .dropDuplicates(["doc_id", "fp"])
+    )
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1715,3 +1715,27 @@ def test_curriculum_schedule_monotone_admission(spark):
     # tile sizes differ by at most one doc
     sizes = [docs[0]] + [b - a for a, b in zip(docs, docs[1:])]
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_winnowing_guarantee_and_negative_control(spark):
+    """The winnowing locality guarantee: a shared verbatim run of
+    length >= w + window - 1 tokens yields at least one shared selected
+    fingerprint (the pair is detected); unrelated docs share none."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        winnowing_overlap_pairs,
+    )
+
+    shared = " ".join(f"core{i} word{i}" for i in range(15))  # 30 tokens
+    a = " ".join(f"ax{i} ay{i}" for i in range(20)) + " " + shared
+    b = shared + " " + " ".join(f"bz{i} bw{i}" for i in range(20))
+    c = " ".join(f"cc{i} cd{i} ce{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, a, "s"), (2, b, "s"), (3, c, "s")],
+        "doc_id long, text string, source string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnowing_overlap_pairs(df, w=4, window=5, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
