@@ -673,3 +673,22 @@ def test_dedup_tier_venn_equi_joins_only(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_winnowing_fingerprint_equi_join_only(spark):
+    """winnowing_overlap: hash + window-min selection are array
+    expressions (one fingerprint-stream Generate), the pair join is an
+    equi-join on the fingerprint value, no Python."""
+    p = _plan(spark, "q_winnowing_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_curriculum_schedule_partitioned_rank(spark):
+    """curriculum_schedule: the per-doc rank window shuffles by quality
+    (parallel), the epoch fan-out is a Generate, no driver action in
+    the plan build (no collected literals beyond conf constants)."""
+    p = _plan(spark, "q_curriculum_schedule")
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(quality" in p
