@@ -401,3 +401,81 @@ def test_index_updates_equal_rebuild_for_any_split(spark, pivot, mod):
         if r.doc_a in new_ids or r.doc_b in new_ids
     }
     assert got == full
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(0, 30).map(lambda i: f"w{i}"),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_cdc_chunks_reassemble_for_any_corpus(spark, token_lists):
+    """CDC invariant under randomized corpora: every document's chunk
+    list concatenates back to its exact token stream (empty docs emit
+    no row)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        cdc_chunk_arrays,
+    )
+
+    rows = [(i, " ".join(toks), "s") for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = {
+        r["doc_id"]: list(r["chunks"])
+        for r in cdc_chunk_arrays(df, divisor=4).collect()
+    }
+    for i, toks in enumerate(token_lists):
+        if not toks:
+            assert i not in got
+        else:
+            assert " ".join(got[i]).split(" ") == toks
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    st.integers(1, 200),
+)
+def test_token_budget_prefix_model_for_any_budget(spark, lens, budget):
+    """token_budget_select == the Python greedy prefix for ANY corpus of
+    random token lengths and ANY budget (inclusive cumsum <= budget in
+    (quality desc, doc_id) order)."""
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        token_budget_select,
+    )
+    from kommunedata_data_pipeline_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+
+    rows = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)), "s")
+        for i, n in enumerate(lens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in token_budget_select(df, budget=budget).collect()
+    }
+    scored = sorted(
+        df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("nt"),
+            quality_score(F.col("text")).alias("q"),
+        ).collect(),
+        key=lambda r: (-r["q"], r["doc_id"]),
+    )
+    cum, expect = 0, {}
+    for r in scored:
+        cum += r["nt"]
+        if cum > budget:
+            break
+        expect[r["doc_id"]] = cum
+    assert got == expect
