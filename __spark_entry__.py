@@ -10166,6 +10166,40 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_sorted_blocking",
+    """
+    WITH s AS (SELECT c_custkey AS sid, c_name AS str FROM customer),
+    r AS (SELECT sid, str,
+                 row_number() OVER (ORDER BY str, sid) AS rn FROM s),
+    pr AS (SELECT sid AS sid_a, str AS str_a,
+                  unnest(range(rn + 1, rn + 10)) AS probe FROM r),
+    cand AS (
+      SELECT sid_a, str_a, b.sid AS sid_b, b.str AS str_b
+      FROM pr JOIN r b ON b.rn = pr.probe
+    )
+    SELECT least(sid_a, sid_b) AS id_a,
+           greatest(sid_a, sid_b) AS id_b,
+           CAST(levenshtein(str_a, str_b) AS INT) AS lev
+    FROM cand WHERE levenshtein(str_a, str_b) <= 1
+    """,
+)
+def q_sorted_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo merge/purge):
+    window-10 neighbor comparison in customer-name sort order, lev<=1
+    verify — the third blocking family next to the deletion join and
+    LSH; global rank via the bucket-offset plan, window probing via an
+    explode + rank equi-join
+    (operators/dedup.py:sorted_neighborhood_pairs)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "customer"), "c_custkey", "c_name", window=10
+    )
+
+
+@_q(
     "q_winnowing_overlap",
     f"""
     WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),

@@ -1495,3 +1495,78 @@ def winnowing_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    window: int = 10,
+    prefix_len: int = 12,
+    max_edit: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995
+    merge/purge): sort records by the string key, compare each record
+    only to its ``window - 1`` successors in sort order, keep pairs with
+    edit distance <= ``max_edit``. The classic THIRD blocking family
+    next to signature blocking (deletion join — exact for lev<=1) and
+    LSH: O(N·w) comparisons, recall depends on edits sorting nearby
+    (a first-character edit breaks adjacency — the documented trade the
+    multi-pass variant fixes with a second sort key).
+
+    Output: (id_a, id_b, lev) with id_a < id_b, one row per matched
+    window pair.
+
+    Plan: the global sort rank is NEVER a global window — same
+    two-phase bucket-offset trick as token_budget_select, with the
+    bucket = the first ``prefix_len`` chars of the key (fixed-length
+    prefix order agrees with full-string order, so bucket offsets +
+    within-bucket PARTITIONED row_number reconstruct the exact global
+    rank). Window probing is an explode of the next w-1 rank positions
+    + ONE equi-join on rank (never a range/theta join); the verify is a
+    built-in levenshtein on the w-bounded candidate set."""
+    s = df.select(
+        F.col(id_col).alias("sid"), F.col(str_col).alias("str")
+    )
+    pfx = F.substring("str", 1, prefix_len)
+    scored = s.withColumn("pfx", pfx)
+    wb = Window.orderBy("pfx").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        scored.groupBy("pfx")
+        .agg(F.count(F.lit(1)).alias("bkt_n"))
+        .withColumn(
+            "bkt_prefix",
+            F.coalesce(F.sum("bkt_n").over(wb), F.lit(0).cast("bigint")),
+        )
+        .select("pfx", "bkt_prefix")
+    )
+    wd = Window.partitionBy("pfx").orderBy("str", "sid")
+    ranked = (
+        scored.join(offsets, "pfx")
+        .withColumn("rn", F.col("bkt_prefix") + F.row_number().over(wd))
+        .select("sid", "str", "rn")
+    )
+    probes = ranked.select(
+        F.col("sid").alias("sid_a"),
+        F.col("str").alias("str_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + window - 1)
+        ).alias("probe"),
+    )
+    cand = probes.join(
+        ranked.select(
+            F.col("sid").alias("sid_b"),
+            F.col("str").alias("str_b"),
+            F.col("rn").alias("probe"),
+        ),
+        "probe",
+    )
+    lev = F.levenshtein("str_a", "str_b")
+    return (
+        cand.where(lev <= max_edit)
+        .select(
+            F.least("sid_a", "sid_b").alias("id_a"),
+            F.greatest("sid_a", "sid_b").alias("id_b"),
+            lev.cast("int").alias("lev"),
+        )
+    )

@@ -1739,3 +1739,26 @@ def test_winnowing_guarantee_and_negative_control(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_sorted_neighborhood_finds_adjacent_misses_leading_edit(spark):
+    """The merge/purge trade, pinned: a trailing-char edit sorts
+    adjacent (found); a LEADING-char edit sorts far away and escapes
+    the window (missed) — exactly why the deletion join stays the
+    exact path and sorted-neighborhood is the cheap pass."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(1, "kkkk0001"), (2, "kkkk0002"), (3, "akkkk0001")]
+    # filler separating 'a...' from 'k...' in sort order by > window
+    rows += [(100 + i, f"b{i:04d}fill") for i in range(30)]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "c_custkey", "c_name", window=10, prefix_len=4
+        ).collect()
+    }
+    assert (1, 2) in got        # trailing edit: adjacent in sort order
+    assert (1, 3) not in got    # leading edit: escapes the window
