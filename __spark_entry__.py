@@ -10166,6 +10166,83 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_blocking_recall",
+    """
+    WITH s AS (SELECT c_custkey AS sid, c_name AS str,
+                      length(c_name) AS n FROM customer),
+    vi AS (SELECT sid, str, unnest(range(0, n + 1)) AS i FROM s),
+    v AS (
+      SELECT DISTINCT sid,
+             CASE WHEN i = 0 THEN str
+                  ELSE substr(str, 1, CAST(i AS INT) - 1)
+                       || substr(str, CAST(i AS INT) + 1)
+             END AS var
+      FROM vi
+    ),
+    exact AS (
+      SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+      FROM v a JOIN v b ON a.var = b.var AND a.sid < b.sid
+      JOIN s sa ON sa.sid = a.sid JOIN s sb ON sb.sid = b.sid
+      WHERE levenshtein(sa.str, sb.str) <= 1
+    ),
+    r AS (SELECT sid, str,
+                 row_number() OVER (ORDER BY str, sid) AS rn FROM s),
+    pr AS (SELECT sid AS sid_a, str AS str_a,
+                  unnest(range(rn + 1, rn + 10)) AS probe FROM r),
+    sn AS (
+      SELECT DISTINCT least(sid_a, b.sid) AS id_a,
+             greatest(sid_a, b.sid) AS id_b
+      FROM pr JOIN r b ON b.rn = pr.probe
+      WHERE levenshtein(str_a, b.str) <= 1
+    ),
+    fl AS (
+      SELECT e.id_a, e.id_b,
+             CASE WHEN sn.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM exact e LEFT JOIN sn
+        ON sn.id_a = e.id_a AND sn.id_b = e.id_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(hit) AS BIGINT) AS n_found,
+           CAST(count(*) - sum(hit) AS BIGINT) AS n_missed,
+           round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+    FROM fl
+    """,
+)
+def q_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-method recall audit (text twin of q_ann_recall): pairs
+    the window-10 sorted-neighborhood pass finds vs the EXACT lev<=1
+    ground truth from the deletion-neighborhood join — the measurement
+    that justifies (or rejects) the cheap blocking pass at an operating
+    point (operators/dedup.py:sorted_neighborhood_pairs,
+    deletion_neighborhood_join)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        deletion_neighborhood_join,
+        sorted_neighborhood_pairs,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    exact = deletion_neighborhood_join(c, "c_custkey", "c_name").select(
+        "id_a", "id_b"
+    )
+    sn = (
+        sorted_neighborhood_pairs(c, "c_custkey", "c_name", window=10)
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return exact.join(sn, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_found"),
+        (F.count(F.lit(1)) - F.coalesce(F.sum("hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_missed"),
+        F.round(
+            F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
+@_q(
     "q_sorted_blocking",
     """
     WITH s AS (SELECT c_custkey AS sid, c_name AS str FROM customer),
