@@ -10166,6 +10166,53 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_surprisal_gate",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT CAST(round(ln(sum(c)) * 1000000) AS BIGINT) AS ln_n
+            FROM vocab),
+    per AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             sum(CAST(round(ln(v.c) * 1000000) AS BIGINT)) AS sum_lnc
+      FROM tok t JOIN vocab v USING (token)
+      GROUP BY t.doc_id
+    ),
+    sc AS (
+      SELECT d.doc_id, d.source,
+             CAST(n_tokens * (SELECT ln_n FROM tot) - sum_lnc AS BIGINT)
+               AS sm
+      FROM per JOIN documents d USING (doc_id)
+    ),
+    r AS (SELECT *, percent_rank() OVER (PARTITION BY source
+                                         ORDER BY sm, doc_id) AS pr
+          FROM sc)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pr >= 0.1 AND pr <= 0.9 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN pr < 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drop_low,
+           CAST(sum(CASE WHEN pr > 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drop_high
+    FROM r GROUP BY source
+    """,
+)
+def q_surprisal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity band filter APPLIED: per-source percent
+    rank of exact integer surprisal, drop the boilerplate (lowest 10%)
+    and garbage (highest 10%) tails, keep the band — all-integer cut
+    accounting (operators/corpus.py:surprisal_gate)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import surprisal_gate
+
+    return surprisal_gate(_t(spark, sf_dir, "documents"), lo=0.1, hi=0.9)
+
+
+@_q(
     "q_blocking_recall",
     """
     WITH s AS (SELECT c_custkey AS sid, c_name AS str,

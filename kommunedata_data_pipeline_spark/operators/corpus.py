@@ -1417,3 +1417,51 @@ def cdc_dedup_stats(
             F.round(1.0 - F.col("bytes_distinct") / F.col("bytes_total"), 6),
         )
     )
+
+
+def surprisal_gate(
+    documents: DataFrame,
+    lo: float = 0.1,
+    hi: float = 0.9,
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity band filter APPLIED (Wenzek et al. 2020
+    keep the middle of the reference-LM perplexity distribution): rank
+    each document's unigram surprisal WITHIN ITS SOURCE (sources have
+    different score distributions — the same per-source discipline as
+    the quality gate), drop the boilerplate tail (lowest ``lo`` percent
+    rank) and the garbage tail (highest ``1-hi``), keep the band.
+    Output one row per source: (source, n_docs, n_kept, n_drop_low,
+    n_drop_high) — all-integer accounting of the cut.
+
+    Engine-exact: surprisal_micro is an exact BIGINT (integer micro-nat
+    sums, see unigram_surprisal), percent_rank is one division of
+    integers with a doc_id tiebreak, so the band boundary cannot flip
+    between engines. Scale: rides unigram_surprisal's hot/cold-split
+    plan; the ranking window is PARTITIONED by source; the final
+    aggregate is |sources| rows."""
+    scores = unigram_surprisal(documents, text_col).select(
+        "doc_id", "surprisal_micro"
+    )
+    j = documents.select("doc_id", "source").join(scores, "doc_id")
+    w = Window.partitionBy("source").orderBy("surprisal_micro", "doc_id")
+    pr = F.percent_rank().over(w)
+    flagged = j.select(
+        "source",
+        F.when(pr < lo, "low")
+        .when(pr > hi, "high")
+        .otherwise("keep")
+        .alias("band"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("band") == "keep").cast("int"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum((F.col("band") == "low").cast("int"))
+        .cast("bigint")
+        .alias("n_drop_low"),
+        F.sum((F.col("band") == "high").cast("int"))
+        .cast("bigint")
+        .alias("n_drop_high"),
+    )

@@ -1762,3 +1762,34 @@ def test_sorted_neighborhood_finds_adjacent_misses_leading_edit(spark):
     }
     assert (1, 2) in got        # trailing edit: adjacent in sort order
     assert (1, 3) not in got    # leading edit: escapes the window
+
+
+def test_surprisal_gate_band_accounting(spark):
+    """Per-source accounting is a partition (kept + low + high == all);
+    with 0.1/0.9 bounds roughly the middle 80% survives per source, and
+    dropped-low docs have strictly lower surprisal than any kept doc."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        surprisal_gate,
+        unigram_surprisal,
+    )
+
+    d = load_table(spark, SF_SMALL, "documents")
+    rows = surprisal_gate(d, lo=0.1, hi=0.9).collect()
+    per_source = dict(d.groupBy("source").count().collect())
+    for r in rows:
+        assert r["n_kept"] + r["n_drop_low"] + r["n_drop_high"] == r["n_docs"]
+        assert r["n_docs"] == per_source[r["source"]]
+        assert r["n_kept"] >= 0.7 * r["n_docs"]  # band keeps the bulk
+    # ordering invariant for one source, checked against raw scores
+    src = rows[0]["source"]
+    ids = {x["doc_id"] for x in d.where(F.col("source") == src).select("doc_id").collect()}
+    scores = sorted(
+        (x["surprisal_micro"], x["doc_id"])
+        for x in unigram_surprisal(d).collect()
+        if x["doc_id"] in ids
+    )
+    n = len(scores)
+    n_low = rows[0]["n_drop_low"]
+    if n_low and rows[0]["n_kept"]:
+        # every dropped-low score <= every kept score (band is a prefix cut)
+        assert scores[n_low - 1][0] <= scores[n_low][0]
