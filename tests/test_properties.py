@@ -479,3 +479,66 @@ def test_token_budget_prefix_model_for_any_budget(spark, lens, budget):
             break
         expect[r["doc_id"]] = cum
     assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=3, max_size=8),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_sorted_neighborhood_is_subset_of_exact_lev1(spark, strings):
+    """Blocking soundness: every pair the sorted-neighborhood pass
+    emits is a true lev<=1 pair (SN verifies, so SN ⊆ the deletion
+    join's exact ground truth) — recall may drop, precision may not."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        deletion_neighborhood_join,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    sn = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "c_custkey", "c_name", window=5, prefix_len=2
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in deletion_neighborhood_join(
+            df, "c_custkey", "c_name"
+        ).collect()
+    }
+    assert sn <= exact
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(8, 30),   # shared-run length in tokens (>= w+window-1)
+    st.integers(0, 20),   # doc-a prefix length
+    st.integers(0, 20),   # doc-b suffix length
+)
+def test_winnowing_guarantee_for_any_shared_run(spark, run_len, pre, suf):
+    """The winnowing theorem, property-tested: for ANY shared token run
+    of length >= w + window - 1 (= 8 here) embedded at ANY offsets, the
+    two docs share at least one selected fingerprint."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        winnowing_overlap_pairs,
+    )
+
+    shared = " ".join(f"sh{i}r{i % 7}" for i in range(run_len))
+    a = " ".join(f"pa{i}x" for i in range(pre)) + " " + shared
+    b = shared + " " + " ".join(f"sb{i}y" for i in range(suf))
+    df = spark.createDataFrame(
+        [(1, a.strip(), "s"), (2, b.strip(), "s")],
+        "doc_id long, text string, source string",
+    )
+    pairs = winnowing_overlap_pairs(
+        df, w=4, window=5, min_shared=1
+    ).collect()
+    assert any(
+        (r["doc_a"], r["doc_b"]) == (1, 2) for r in pairs
+    ), f"guarantee violated at run_len={run_len}, pre={pre}, suf={suf}"
