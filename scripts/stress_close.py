@@ -66,6 +66,20 @@ def main() -> None:
 
         return dedup_tier_venn(d, e)
 
+    def winnowing_op(d: DataFrame, _e: DataFrame):
+        from kommunedata_data_pipeline_spark.operators.dedup import (
+            winnowing_overlap_pairs,
+        )
+
+        return winnowing_overlap_pairs(d, w=4, window=5, min_shared=3)
+
+    def surprisal_gate_op(d: DataFrame, _e: DataFrame):
+        from kommunedata_data_pipeline_spark.operators.corpus import (
+            surprisal_gate,
+        )
+
+        return surprisal_gate(d)
+
     rows: list[tuple[str, int, int, float]] = []
     for m in multiples:
         dm = multiply_documents(docs, m).localCheckpoint(eager=True)
@@ -74,6 +88,8 @@ def main() -> None:
             ("cdc_dedup", cdc_op),
             ("containment_pairs", containment_op),
             ("dedup_tier_venn", venn_op),
+            ("winnowing_overlap", winnowing_op),
+            ("surprisal_gate", surprisal_gate_op),
         ):
             if only and name not in only:
                 continue
