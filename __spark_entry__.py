@@ -10311,7 +10311,9 @@ def q_sorted_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández & Stolfo merge/purge):
     window-10 neighbor comparison in customer-name sort order, lev<=1
     verify — the third blocking family next to the deletion join and
-    LSH; global rank via the bucket-offset plan, window probing via an
+    LSH; global rank via range-partitioned two-phase offsets (the
+    RangePartitioner samples the keyspace, so the shared c_name prefix
+    cannot collapse the bucketing), window probing via an
     explode + rank equi-join
     (operators/dedup.py:sorted_neighborhood_pairs)."""
     from kommunedata_data_pipeline_spark.operators.dedup import (
@@ -10405,7 +10407,7 @@ def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50),
     shc AS (SELECT doc_id, shingle FROM sh
             WHERE shingle NOT IN (SELECT shingle FROM hot)),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       FROM shc a JOIN shc b
@@ -10424,7 +10426,9 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed shingle-containment near-dup pairs: C(A→B) =
     |S(A)∩S(B)|/|S(A)| ≥ 0.8 — inclusion/quotation detection that
     symmetric Jaccard misses for size-mismatched docs; df-capped
-    shingle join, never all-pairs
+    shingle join (cap shrinks the numerator only — the denominator is
+    the TRUE pre-cap |S(A)|, so the metric is a conservative lower
+    bound), never all-pairs
     (operators/dedup.py:shingle_containment_pairs)."""
     from kommunedata_data_pipeline_spark.operators.dedup import (
         shingle_containment_pairs,

@@ -1069,7 +1069,11 @@ def dsir_select(
 
     toks = documents.select(
         "doc_id",
-        target_pred.cast("int").alias("__tgt"),
+        # NULL predicate rows mean "not target" (they stay in the raw
+        # pool) — matches the oracle's CASE ... ELSE 0 semantics; a
+        # bare cast would NULL-propagate and silently drop the doc's
+        # tokens from BOTH models and the raw scoring.
+        F.coalesce(target_pred.cast("int"), F.lit(0)).alias("__tgt"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     ).withColumn(
         "bucket", F.pmod(md5_bigint(F.col("token")), F.lit(n_buckets))

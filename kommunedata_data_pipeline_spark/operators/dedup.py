@@ -1395,10 +1395,15 @@ def shingle_containment_pairs(
     (the quadratic-hot-key valve), ONE self equi-join on shingle, per-
     pair common counts, sizes joined back — but the pair key keeps both
     directions (a != b instead of a < b) and the denominator is the
-    LEFT side's shingle count only. Same 100 TB properties: shingles
-    shard uniformly, the df-cap bounds per-key fan-out, nothing is
-    all-pairs."""
+    LEFT side's shingle count only. The denominator |S(A)| is computed
+    BEFORE the df-cap (the true shingle-set size): the cap can only
+    shrink the numerator, so the reported containment is a LOWER bound
+    of the true metric — a doc dominated by hot (capped) shingles can
+    never have its containment inflated past the threshold. Same
+    100 TB properties: shingles shard uniformly, the df-cap bounds
+    per-key fan-out, nothing is all-pairs."""
     sh = doc_shingles(documents, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if df_cap is not None:
         hot = (
             sh.groupBy("shingle")
@@ -1407,7 +1412,6 @@ def shingle_containment_pairs(
             .select("shingle")
         )
         sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -1497,12 +1501,63 @@ def winnowing_overlap_pairs(
     )
 
 
+def ranged_global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_name: str = "rn",
+    keep_pid: bool = False,
+) -> DataFrame:
+    """Exact global row_number over ``order_cols`` WITHOUT a
+    single-task global window and WITHOUT any assumption about the key
+    distribution: ``repartitionByRange`` (Spark's RangePartitioner
+    SAMPLES the sort key — the bucketing is data-aware by
+    construction, so a degenerate keyspace like a shared constant
+    prefix cannot collapse it into one bucket), stamp
+    ``spark_partition_id``, per-partition counts → a P-row cumulative
+    offset table (P = shuffle parallelism, constant in data), rank =
+    offset + row_number PARTITIONED by the stamped partition id.
+
+    The stamped frame is lazily localCheckpoint-ed so the sampled
+    range boundaries are pinned across its two uses (counts + rank);
+    under Spark Connect builds without localCheckpoint it falls back
+    to persist() — both uses still see one materialization. Ties
+    cannot straddle partitions when ``order_cols`` ends in a unique
+    id (callers pass one); RangePartitioner routes equal keys to one
+    partition regardless."""
+    spark = df.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_parts = 200
+    parted = df.repartitionByRange(
+        max(n_parts, 1), *[F.col(c) for c in order_cols]
+    ).withColumn("__pid", F.spark_partition_id())
+    try:
+        parted = parted.localCheckpoint(eager=False)
+    except Exception:
+        parted = parted.persist()
+    wb = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parted.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(F.sum("__n").over(wb), F.lit(0).cast("bigint")),
+        )
+        .select("__pid", "__off")
+    )
+    wd = Window.partitionBy("__pid").orderBy(*order_cols)
+    ranked = parted.join(offsets, "__pid").withColumn(
+        rank_name, F.col("__off") + F.row_number().over(wd)
+    )
+    return ranked if keep_pid else ranked.drop("__pid")
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str,
     str_col: str,
     window: int = 10,
-    prefix_len: int = 12,
     max_edit: int = 1,
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández & Stolfo 1995
@@ -1515,36 +1570,31 @@ def sorted_neighborhood_pairs(
     multi-pass variant fixes with a second sort key).
 
     Output: (id_a, id_b, lev) with id_a < id_b, one row per matched
-    window pair.
+    window pair. ``window < 2`` means "compare to zero successors":
+    the result is an empty pair set (returned directly — the naive
+    sequence(rn+1, rn+window-1) would auto-step DOWN and emit a
+    spurious self-probe).
 
-    Plan: the global sort rank is NEVER a global window — same
-    two-phase bucket-offset trick as token_budget_select, with the
-    bucket = the first ``prefix_len`` chars of the key (fixed-length
-    prefix order agrees with full-string order, so bucket offsets +
-    within-bucket PARTITIONED row_number reconstruct the exact global
-    rank). Window probing is an explode of the next w-1 rank positions
+    Plan: the global sort rank is NEVER a global window —
+    ``ranged_global_rank`` range-partitions on the sort key (the
+    RangePartitioner samples the key distribution, so the bucketing is
+    data-aware: a keyspace where every value shares a long constant
+    prefix — e.g. TPC-H c_name — still splits into P balanced buckets,
+    where the earlier fixed-prefix bucketing collapsed to one).
+    Window probing is an explode of the next w-1 rank positions
     + ONE equi-join on rank (never a range/theta join); the verify is a
     built-in levenshtein on the w-bounded candidate set."""
     s = df.select(
         F.col(id_col).alias("sid"), F.col(str_col).alias("str")
     )
-    pfx = F.substring("str", 1, prefix_len)
-    scored = s.withColumn("pfx", pfx)
-    wb = Window.orderBy("pfx").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        scored.groupBy("pfx")
-        .agg(F.count(F.lit(1)).alias("bkt_n"))
-        .withColumn(
-            "bkt_prefix",
-            F.coalesce(F.sum("bkt_n").over(wb), F.lit(0).cast("bigint")),
+    if window < 2:
+        return s.limit(0).select(
+            F.col("sid").alias("id_a"),
+            F.col("sid").alias("id_b"),
+            F.lit(0).cast("int").alias("lev"),
         )
-        .select("pfx", "bkt_prefix")
-    )
-    wd = Window.partitionBy("pfx").orderBy("str", "sid")
-    ranked = (
-        scored.join(offsets, "pfx")
-        .withColumn("rn", F.col("bkt_prefix") + F.row_number().over(wd))
-        .select("sid", "str", "rn")
+    ranked = ranged_global_rank(s, ["str", "sid"]).select(
+        "sid", "str", "rn"
     )
     probes = ranked.select(
         F.col("sid").alias("sid_a"),

@@ -503,7 +503,7 @@ def test_sorted_neighborhood_is_subset_of_exact_lev1(spark, strings):
     sn = {
         (r["id_a"], r["id_b"])
         for r in sorted_neighborhood_pairs(
-            df, "c_custkey", "c_name", window=5, prefix_len=2
+            df, "c_custkey", "c_name", window=5
         ).collect()
     }
     exact = {
