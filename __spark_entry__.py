@@ -10843,6 +10843,30 @@ _R6_DRIVER_CHECKED = frozenset(
     }
 )
 
+_R7_DRIVER_CHECKED = frozenset(
+    {
+        "q13_order_distribution", "q15_top_supplier",
+        "q18_large_orders", "q8_market_share", "q_ann_index_update",
+        "q_ann_ivf_topk", "q_ann_recall", "q_asof_join",
+        "q_bigram_surprisal", "q_blocking_recall", "q_bpe_apply",
+        "q_bpe_merge_step", "q_calibration_bins", "q_cdc_dedup",
+        "q_chunk_dedup", "q_cms_heavy_hitters", "q_containment_pairs",
+        "q_curation_e2e", "q_curriculum_schedule", "q_cut_dup_spans",
+        "q_date_arithmetic", "q_decontaminate", "q_dedup_keep_best",
+        "q_dedup_tier_venn", "q_domain_temperature", "q_dsir_select",
+        "q_dup_source_matrix", "q_epoch_shuffle", "q_first_last_window",
+        "q_hard_negatives", "q_ivf_index_update", "q_logreg_apply",
+        "q_logreg_step", "q_oov_rate", "q_pivot_event_types",
+        "q_pq_rerank", "q_pq_topk", "q_prototype_classify",
+        "q_quality_rules", "q_semantic_dedup",
+        "q_semantic_dedup_2level", "q_sessionize", "q_sorted_blocking",
+        "q_stream_ann_ingest", "q_stream_decontaminate",
+        "q_stream_ingest_dedup", "q_stump_split", "q_surprisal_gate",
+        "q_token_budget_select", "q_winnowing_overlap",
+    }
+)
+# ...and append _R7_DRIVER_CHECKED to _ALL_CHECK_ROUNDS
+
 _ALL_CHECK_ROUNDS = (
     _R1_DRIVER_CHECKED,
     _R2_DRIVER_CHECKED,
@@ -10850,6 +10874,7 @@ _ALL_CHECK_ROUNDS = (
     _R4_DRIVER_CHECKED,
     _R5_DRIVER_CHECKED,
     _R6_DRIVER_CHECKED,
+    _R7_DRIVER_CHECKED,
 )
 
 
@@ -10867,10 +10892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the driver's ~50-row check window lands on the queries that most
     need a fresh row: (1) queries with NO driver row in ANY round
     (new registrations this round); (2) everything else by ascending
-    latest-checked round, registration order within a tier. Round-7
-    window therefore leads with the r7-new queries, then
-    q_cms_heavy_hitters (sole r2-latest row, VERDICT r6 #2), then the
-    r3-latest cohort. The tier computation is generic over
+    latest-checked round, registration order within a tier. Round-8
+    window therefore leads with the r8-new queries, then the r3-latest
+    cohort (now the oldest rows). The tier computation is generic over
     _ALL_CHECK_ROUNDS so adding a round's frozenset is the ONLY
     per-round maintenance — the r4/r5 staleness bug (a hand-written
     union that stopped one round short) cannot recur by omission."""
