@@ -10675,6 +10675,662 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round 8: evaluation metrics, applied ER/splits, layout audits, multimodal
+# dedup, matryoshka retrieval
+
+_SCORED_DOCS_CTE = """
+    g AS (
+      SELECT n_chars AS s, count(*) AS cnt,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+      FROM documents GROUP BY n_chars
+    )"""
+
+
+@_q(
+    "q_auc_exact",
+    f"""
+    WITH {_SCORED_DOCS_CTE},
+    r AS (
+      SELECT s, cnt, pos,
+             2 * coalesce(sum(cnt) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS rank2
+      FROM g
+    ),
+    a AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS np,
+             CAST(sum(cnt - pos) AS BIGINT) AS nn,
+             CAST(sum(pos * rank2) AS BIGINT) AS r2
+      FROM r
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           round(CASE WHEN np > 0 AND nn > 0
+                 THEN (r2 / 2.0 - np * (np + 1) / 2.0) / (np * nn) END, 6)
+             AS auc
+    FROM a
+    """,
+)
+def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC AUC (Mann-Whitney identity, AVERAGE ranks on
+    ties in doubled-integer units) of the n_chars score against the
+    lang='en' label — the ranking-quality audit for any classifier-
+    driven curation gate. The corpus collapses to the distinct-score
+    histogram in one combinable groupBy; the rank window runs over that
+    bucket table only (operators/statistics.py:auc_exact)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import auc_exact
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return auc_exact(d, "score", "label")
+
+
+@_q(
+    "q_pr_curve",
+    f"""
+    WITH {_SCORED_DOCS_CTE},
+    c AS (
+      SELECT s AS threshold,
+             sum(pos) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(cnt - pos) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+             sum(pos) OVER () AS tot_pos
+      FROM g
+    )
+    SELECT threshold,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(tot_pos - tp AS BIGINT) AS fn,
+           round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision,
+           round(CASE WHEN tot_pos > 0
+                 THEN tp / CAST(tot_pos AS DOUBLE) END, 6) AS recall,
+           round(CASE WHEN tp > 0
+                 THEN 2.0 * tp / (tp + fp + tot_pos) ELSE 0.0 END, 6) AS f1
+    FROM c
+    """,
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact precision/recall/F1 at EVERY distinct score threshold
+    (predict positive when score >= t) — the full PR curve a gate
+    threshold is chosen from. Cumulative-from-the-top integer counts
+    over the distinct-score bucket table; ratios are single divisions
+    on emission (operators/statistics.py:pr_curve)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import pr_curve
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return pr_curve(d, "score", "label")
+
+
+@_q(
+    "q_ridge_regression",
+    f"""
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sx,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+             CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS sy,
+             CAST(sum(n_chars * len({_TOKS_SQL})) AS BIGINT) AS sxy
+      FROM documents
+    )
+    SELECT n,
+           round((sy * (sxx + 1.0) - sx * sxy)
+                 / (n * (sxx + 1.0) - sx * sx), 6) AS beta0,
+           round((n * sxy - sx * sy)
+                 / (n * (sxx + 1.0) - sx * sx), 6) AS beta1,
+           1.0 AS lambda
+    FROM a
+    """,
+)
+def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (slope-penalized 2x2 Cramer solve,
+    token count ~ n_chars): the linear-trainer sibling of the logistic
+    Newton step — five combinable integer sums, zero iterations, betas
+    are a handful of double ops on the one-row aggregate
+    (operators/statistics.py:ridge_closed_form)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        ridge_closed_form,
+    )
+    from kommunedata_data_pipeline_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("x"), token_count(F.col("text")).alias("y")
+    )
+    return ridge_closed_form(d, "x", "y", lam=1.0)
+
+
+@_q(
+    "q_cohens_kappa",
+    f"""
+    WITH t AS (
+      SELECT CASE WHEN n_en = 0 AND n_da = 0 THEN 'unknown'
+                  WHEN n_en >= n_da THEN 'en' ELSE 'da' END AS ra,
+             lang AS rb
+      FROM (
+        SELECT lang,
+               len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+                               t -> list_contains({_EN_SW}, t))) AS n_en,
+               len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+                               t -> list_contains({_DA_SW}, t))) AS n_da
+        FROM documents)
+    ),
+    cm AS (SELECT ra, rb, count(*) AS cnt FROM t GROUP BY ra, rb),
+    ma AS (SELECT ra, sum(cnt) AS row_n FROM cm GROUP BY ra),
+    mb AS (SELECT rb, sum(cnt) AS col_n FROM cm GROUP BY rb),
+    ex AS (SELECT CAST(sum(row_n * col_n) AS BIGINT) AS s_e
+           FROM ma JOIN mb ON ma.ra = mb.rb),
+    b AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN ra = rb THEN cnt ELSE 0 END) AS BIGINT)
+                   AS n_agree
+          FROM cm)
+    SELECT n, n_agree,
+           round(n_agree / CAST(n AS DOUBLE), 6) AS po,
+           round(s_e / CAST(n * n AS DOUBLE), 6) AS pe,
+           round(CASE WHEN s_e < n * n THEN
+                 (n_agree / CAST(n AS DOUBLE) - s_e / CAST(n * n AS DOUBLE))
+                 / (1 - s_e / CAST(n * n AS DOUBLE)) END, 6) AS kappa
+    FROM b CROSS JOIN ex
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stopword-voting language-ID heuristic
+    and the labeled lang column — chance-corrected annotation
+    agreement, the standard heuristic-labeler audit. The corpus
+    collapses to the |classes|^2 confusion table in one combinable
+    groupBy (operators/statistics.py:cohens_kappa)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        cohens_kappa,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        lang_guess(F.col("text")).alias("ra"), F.col("lang").alias("rb")
+    )
+    return cohens_kappa(d, "ra", "rb")
+
+
+@_q(
+    "q_tokenizer_fertility",
+    f"""
+    WITH a AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_words,
+             CAST(sum(len(regexp_extract_all(text,
+               ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))) AS BIGINT)
+               AS n_bpe_tokens,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars,
+           round(n_bpe_tokens / CAST(n_words AS DOUBLE), 6) AS fertility,
+           round(n_chars / CAST(n_bpe_tokens AS DOUBLE), 6)
+             AS chars_per_token
+    FROM a ORDER BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE-ish tokens per
+    whitespace word and chars per BPE token — the multi-lingual
+    tokenizer-efficiency readout (high fertility = that language pays
+    more compute per byte). One combinable aggregate over three per-row
+    integer counts (operators/corpus.py:tokenizer_fertility)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        tokenizer_fertility,
+    )
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "q_corpus_datasheet",
+    f"""
+    WITH r AS (
+      SELECT source, lang, doc_id,
+             len({_TOKS_SQL}) AS n_toks, length(text) AS n_ch,
+             CASE WHEN row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                    ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS is_dup
+      FROM documents
+    ),
+    pl AS (SELECT source, lang, count(*) AS lang_n FROM r GROUP BY 1, 2),
+    top AS (
+      SELECT source, lang AS top_lang, lang_n AS top_n FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                    ORDER BY lang_n DESC, lang) AS rn
+        FROM pl) WHERE rn = 1
+    ),
+    base AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             CAST(sum(n_ch) AS BIGINT) AS n_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(is_dup) AS BIGINT) AS n_dups
+      FROM r GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens, n_chars, n_langs, top_lang,
+           round(top_n / CAST(n_docs AS DOUBLE), 6) AS top_lang_share,
+           round(n_dups / CAST(n_docs AS DOUBLE), 6) AS exact_dup_rate,
+           round(n_chars / CAST(n_docs AS DOUBLE), 6) AS mean_chars
+    FROM base JOIN top USING (source)
+    ORDER BY source
+    """,
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet (Datasheets-for-Datasets applied):
+    volume, language concentration, exact-dup rate, mean length — the
+    dataset-card table a curation run publishes next to the corpus.
+    One scan + fingerprint window + combinable per-source rollup
+    (operators/corpus.py:corpus_datasheet)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        corpus_datasheet,
+    )
+
+    return corpus_datasheet(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "q_shard_balance",
+    f"""
+    WITH s AS (SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents),
+    r AS (SELECT *, row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+            AS rn FROM s),
+    a AS (
+      SELECT CASE WHEN (rn - 1) % 16 < 8 THEN (rn - 1) % 16
+                  ELSE 15 - ((rn - 1) % 16) END AS shard,
+             n_tokens
+      FROM r
+    ),
+    g AS (
+      SELECT CAST(shard AS INT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM a GROUP BY shard
+    )
+    SELECT shard, n_docs, n_tokens,
+           round(n_tokens * 8 / CAST((SELECT sum(n_tokens) FROM g)
+             AS DOUBLE), 6) AS balance
+    FROM g ORDER BY shard
+    """,
+)
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard packing: docs dealt onto 8 shards in SNAKE
+    order of descending token count (the one-pass LPT approximation
+    that keeps trainer data-loader ranks finishing together). Global
+    rank via ranged_global_rank — range-sampled two-phase offsets,
+    never a single-task sort (operators/sampling.py:shard_balance)."""
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        shard_balance,
+    )
+
+    return shard_balance(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
+@_q(
+    "q_er_clusters",
+    """
+    WITH RECURSIVE s AS (
+      SELECT c_custkey AS sid, c_name AS str, length(c_name) AS n
+      FROM customer
+    ),
+    vi AS (SELECT sid, str, unnest(range(0, n + 1)) AS i FROM s),
+    v AS (
+      SELECT DISTINCT sid,
+             CASE WHEN i = 0 THEN str
+                  ELSE substr(str, 1, CAST(i AS INT) - 1)
+                       || substr(str, CAST(i AS INT) + 1)
+             END AS var
+      FROM vi
+    ),
+    cand AS (
+      SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+      FROM v a JOIN v b ON a.var = b.var AND a.sid < b.sid
+    ),
+    p AS (
+      SELECT id_a, id_b FROM cand
+      JOIN s sa ON sa.sid = id_a
+      JOIN s sb ON sb.sid = id_b
+      JOIN customer ca ON ca.c_custkey = id_a
+      JOIN customer cb ON cb.c_custkey = id_b
+      WHERE levenshtein(sa.str, sb.str) <= 1
+        AND ca.c_mktsegment = cb.c_mktsegment
+        AND ca.c_nationkey = cb.c_nationkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    cc AS (SELECT node, min(lab) AS entity_id FROM reach GROUP BY node),
+    lab AS (
+      SELECT c_custkey AS rid, coalesce(cc.entity_id, c_custkey) AS entity_id
+      FROM customer LEFT JOIN cc ON cc.node = c_custkey
+    ),
+    sz AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+           FROM lab GROUP BY entity_id)
+    SELECT rid, entity_id, n_members FROM lab JOIN sz USING (entity_id)
+    """,
+)
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution APPLIED: match pairs under the full
+    Fellegi-Sunter decision rule — lev<=1 name (deletion-signature
+    equi-join, exact and never all-pairs) AND agreement on segment +
+    nation — transitively closed into entities (union-find / min-label
+    CC on the matched-pair graph only), one row per record with its
+    canonical entity id and entity size: the record-dedup action after
+    record_linkage's detection (operators/dedup.py:er_clusters)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import er_clusters
+
+    return er_clusters(
+        _t(spark, sf_dir, "customer"),
+        "c_custkey",
+        "c_name",
+        agree_cols=("c_mktsegment", "c_nationkey"),
+    )
+
+
+@_q(
+    "q_leakproof_split",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM lsh_pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+    l AS (
+      SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    ),
+    h AS (
+      SELECT doc_id, cluster_id,
+             ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS hv
+      FROM l
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN hv < 90 THEN 'train' WHEN hv < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def q_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: membership assigned per
+    NEAR-DUP CLUSTER (MinHash-LSH pairs -> connected components), so
+    two near-duplicates can never land on opposite sides of the cut —
+    the decontamination-correct variant of split_assign (which leaks
+    eval content whenever the corpus has near-dups)
+    (operators/sampling.py:leakproof_split)."""
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        leakproof_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return leakproof_split(d, minhash_lsh_pairs(d, 3, 16, 4, 0.5))
+
+
+@_q(
+    "q_media_dedup",
+    """
+    WITH r AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS fmt,
+             CASE WHEN doc_id % 2 = 0 THEN doc_id % 112
+                  ELSE doc_id % 8 END AS cls,
+             CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 36 END AS n_bytes
+      FROM documents
+    ),
+    pd AS (SELECT fmt, cls, count(*) AS n, min(n_bytes) AS n_bytes
+           FROM r GROUP BY fmt, cls)
+    SELECT fmt,
+           CAST(sum(n) AS BIGINT) AS n_blobs,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(n * n_bytes) AS BIGINT) AS bytes_total,
+           CAST(sum(n_bytes) AS BIGINT) AS bytes_stored,
+           round(1 - sum(n_bytes) / CAST(sum(n * n_bytes) AS DOUBLE), 6)
+             AS savings_ratio
+    FROM pd GROUP BY fmt ORDER BY fmt
+    """,
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-blob exact dedup savings per media format: md5 over the
+    BINARY column (JVM-side, computed where the blob lives), distinct-
+    digest counts, content-addressed-store savings — the multimodal
+    sibling of text dedup_exact. The oracle recomputes the expected
+    duplicate classes by arithmetic on the synthesis moduli (PNG blobs
+    are a function of doc_id mod 112, WAV of doc_id mod 8) — verifying
+    the binary hash path end-to-end
+    (transforms/multimodal.py:media_dedup_stats)."""
+    from kommunedata_data_pipeline_spark.transforms.multimodal import (
+        media_dedup_stats,
+    )
+
+    return media_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+_MATRYOSHKA_PRE_DOT = (
+    "list_sum(list_transform(range(1, 17), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_embedding[i] AS DOUBLE)))"
+)
+_MATRYOSHKA_PRE_NE = (
+    "sqrt(list_sum(list_transform(e.embedding[1:16], "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_MATRYOSHKA_PRE_NQ = (
+    "sqrt(list_sum(list_transform(q.q_embedding[1:16], "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@_q(
+    "q_matryoshka_rerank",
+    f"""
+    WITH qs AS (SELECT vec_id AS query_id, embedding AS q_embedding
+                FROM embeddings WHERE vec_id < 8),
+    s1 AS (
+      SELECT q.query_id, e.vec_id, e.embedding, q.q_embedding,
+             round({_MATRYOSHKA_PRE_DOT}
+                   / ({_MATRYOSHKA_PRE_NE} * {_MATRYOSHKA_PRE_NQ}), 5)
+               AS prefix_sim
+      FROM embeddings e CROSS JOIN qs q
+      WHERE e.vec_id <> q.query_id
+    ),
+    short AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY prefix_sim DESC, vec_id) AS srn
+        FROM s1) WHERE srn <= 20
+    ),
+    r2 AS (
+      SELECT query_id, vec_id, prefix_sim,
+             round({_DOT_SQL.replace("q.q_embedding", "short.q_embedding")
+                           .replace("e.embedding", "short.embedding")}
+                   / ({_NORM_E_SQL.replace("e.embedding", "short.embedding")}
+                      * {_NORM_Q_SQL.replace("q.q_embedding",
+                                             "short.q_embedding")}), 5)
+               AS cosine_sim
+      FROM short
+    )
+    SELECT query_id, vec_id, prefix_sim, cosine_sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM r2) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval: shortlist-20 per query on the
+    FIRST 16 embedding dims only (an MRL prefix is a coarse
+    representation — stage 1 reads a quarter of the vector bytes),
+    exact full-dim rerank of the shortlist to top-5. The dim-sliced
+    sibling of PQ's ADC->exact two-stage; (round5 sim, vec_id) total
+    order in both stages
+    (operators/similarity.py:matryoshka_rerank)."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        matryoshka_rerank,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return matryoshka_rerank(e, qs, prefix_dims=16, shortlist=20, k=5)
+
+
+@_q(
+    "q_luhn_pii",
+    """
+    WITH c AS (
+      SELECT c_nationkey,
+             lpad(CAST(c_custkey AS VARCHAR), 12, '0')
+               || CAST(c_custkey % 10 AS VARCHAR) AS cand
+      FROM customer
+    ),
+    v AS (
+      SELECT c_nationkey,
+             list_sum(list_transform(range(1, length(cand) + 1), i ->
+               CASE WHEN i % 2 = 0 THEN
+                 CASE WHEN CAST(substr(reverse(cand), CAST(i AS INT), 1)
+                             AS INT) * 2 > 9
+                      THEN CAST(substr(reverse(cand), CAST(i AS INT), 1)
+                             AS INT) * 2 - 9
+                      ELSE CAST(substr(reverse(cand), CAST(i AS INT), 1)
+                             AS INT) * 2 END
+               ELSE CAST(substr(reverse(cand), CAST(i AS INT), 1) AS INT)
+               END)) % 10 AS checksum
+      FROM c
+    )
+    SELECT CAST(c_nationkey AS INT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN checksum = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_luhn_valid,
+           round(sum(CASE WHEN checksum = 0 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS valid_ratio
+    FROM v GROUP BY c_nationkey ORDER BY nationkey
+    """,
+)
+def q_luhn_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated identifier detection (the precision upgrade
+    over q_pii_scrub's regex-only pass): candidate 13-digit identifiers
+    derived from customer keys, validated with the Luhn mod-10 check
+    (ISO/IEC 7812 — what separates a real card/IMEI-style number from
+    a random digit run), counted per nation. Pure integer expression
+    over the reversed digit sequence — no UDF
+    (functions/strings.py:luhn_checksum)."""
+    from kommunedata_data_pipeline_spark.functions.strings import (
+        luhn_checksum,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.concat(
+            F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+            (F.col("c_custkey") % 10).cast("string"),
+        ).alias("cand"),
+    )
+    valid = (luhn_checksum(F.col("cand")) == 0).cast("int")
+    return (
+        c.groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(valid).cast("bigint").alias("n_luhn_valid"),
+        )
+        .withColumn(
+            "valid_ratio",
+            F.round(F.col("n_luhn_valid") / F.col("n_candidates"), 6),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@_q(
+    "q_zone_map_skip",
+    """
+    WITH f1 AS (SELECT o_orderkey // 4096 AS fid, o_orderdate AS v
+                FROM orders),
+    g1 AS (SELECT fid, count(*) AS n_rows, min(v) AS f_min, max(v) AS f_max
+           FROM f1 GROUP BY fid),
+    a1 AS (
+      SELECT 'by_key' AS layout,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN f_max < TIMESTAMP '1997-01-01 00:00:00'
+                        OR f_min > TIMESTAMP '1997-12-31 23:59:59'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_files_skipped,
+             CAST(sum(n_rows) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN f_max < TIMESTAMP '1997-01-01 00:00:00'
+                        OR f_min > TIMESTAMP '1997-12-31 23:59:59'
+                      THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_skipped
+      FROM g1
+    ),
+    f2 AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS fid,
+                  o_orderdate AS v
+           FROM orders),
+    g2 AS (SELECT fid, count(*) AS n_rows, min(v) AS f_min, max(v) AS f_max
+           FROM f2 GROUP BY fid),
+    a2 AS (
+      SELECT 'by_date' AS layout,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN f_max < TIMESTAMP '1997-01-01 00:00:00'
+                        OR f_min > TIMESTAMP '1997-12-31 23:59:59'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_files_skipped,
+             CAST(sum(n_rows) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN f_max < TIMESTAMP '1997-01-01 00:00:00'
+                        OR f_min > TIMESTAMP '1997-12-31 23:59:59'
+                      THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_skipped
+      FROM g2
+    )
+    SELECT layout, n_files, n_files_skipped, n_rows, n_rows_skipped,
+           round(n_rows_skipped / CAST(n_rows AS DOUBLE), 6)
+             AS row_skip_ratio
+    FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+    ORDER BY layout
+    """,
+)
+def q_zone_map_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file-statistics) pruning audit: for two
+    candidate physical layouts of the orders table — key-clustered
+    (insertion order) vs date-clustered files — how many files/rows a
+    one-year date predicate could skip on footer stats alone. The
+    measurement behind every sort-key/partition/Z-order decision:
+    skip_ratio IS the scan cost saved at 100 TB, and the key-clustered
+    layout prunes ~nothing because every file straddles the date range
+    (operators/layout.py:zone_map_skip_stats)."""
+    from kommunedata_data_pipeline_spark.operators.layout import (
+        zone_map_skip_stats,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return zone_map_skip_stats(
+        o,
+        {
+            "by_key": F.floor(F.col("o_orderkey") / 4096),
+            "by_date": F.year("o_orderdate") * 12 + F.month("o_orderdate"),
+        },
+        "o_orderdate",
+        F.lit("1997-01-01 00:00:00").cast("timestamp"),
+        F.lit("1997-12-31 23:59:59").cast("timestamp"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

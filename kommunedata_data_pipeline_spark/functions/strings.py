@@ -72,3 +72,34 @@ def md5_bigint(col: Column, offset: int = 0) -> Column:
     ``('0x' || substr(md5(x), off+1, 8))::BIGINT``.
     """
     return F.conv(F.substring(F.md5(col), offset + 1, 8), 16, 10).cast("bigint")
+
+
+def luhn_checksum(digits: Column) -> Column:
+    """Luhn mod-10 checksum of a digit string (ISO/IEC 7812 — the
+    check standard behind credit-card / IMEI / national-id numbers):
+    from the RIGHTMOST digit, double every second digit, subtract 9
+    from any doubled value above 9, sum everything; a valid identifier
+    sums to 0 mod 10. Pure integer expression over the reversed char
+    sequence (aggregate over sequence — no UDF), exact in both
+    engines. DuckDB twin:
+    ``list_sum(list_transform(range(1, length(s)+1), i -> CASE WHEN
+    i % 2 = 0 THEN CASE WHEN substr(reverse(s),i,1)::INT * 2 > 9 THEN
+    substr(reverse(s),i,1)::INT * 2 - 9 ELSE
+    substr(reverse(s),i,1)::INT * 2 END ELSE
+    substr(reverse(s),i,1)::INT END)) % 10``."""
+    rev = F.reverse(digits)
+    return (
+        F.aggregate(
+            F.sequence(F.lit(1), F.length(digits)),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                i % 2 == 0,
+                F.when(
+                    rev.substr(i, F.lit(1)).cast("int") * 2 > 9,
+                    rev.substr(i, F.lit(1)).cast("int") * 2 - 9,
+                ).otherwise(rev.substr(i, F.lit(1)).cast("int") * 2),
+            ).otherwise(rev.substr(i, F.lit(1)).cast("int")),
+        )
+        % 10
+    )

@@ -1469,3 +1469,125 @@ def surprisal_gate(
         .cast("bigint")
         .alias("n_drop_high"),
     )
+
+
+def tokenizer_fertility(
+    documents: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE-ish tokens per
+    whitespace word (fertility — how many subwords the tokenizer
+    spends per word) and characters per BPE token (compression) — the
+    standard multi-lingual tokenizer-efficiency readout (a tokenizer
+    trained on English typically shows 2-3× the fertility on
+    underrepresented scripts, which silently multiplies their training
+    cost per byte).
+
+    One combinable aggregate over three per-row integer counts
+    (whitespace words, BPE-regex tokens, chars) — exact BIGINT sums,
+    two divisions on the per-lang result rows. Output: one row per
+    lang (lang, n_docs, n_words, n_bpe_tokens, n_chars, fertility,
+    chars_per_token)."""
+    from ..functions.text import bpe_token_count, token_count
+
+    t = F.col(text_col)
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(token_count(t).cast("bigint")).alias("n_words"),
+            F.sum(bpe_token_count(t).cast("bigint")).alias("n_bpe_tokens"),
+            F.sum(F.length(t).cast("bigint")).alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def corpus_datasheet(
+    documents: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus datasheet (Gebru et al. "Datasheets for
+    Datasets" applied to a text corpus): one row per source with the
+    numbers every dataset card publishes — volume (docs / tokens /
+    chars), language concentration (share of the dominant language),
+    exact-duplicate rate (normalized-text fingerprint), and mean
+    document length. The one-stop audit table a curation run emits
+    next to the corpus itself.
+
+    Scale shape: ONE pass computes per-row counts + fingerprint; the
+    dup flag is a fingerprint-partitioned window (same shape as
+    dedup_exact); everything then collapses into a per-source
+    combinable aggregate plus a tiny per-(source, lang) max for the
+    dominant-language share. No joins against corpus-sized sides.
+    Output: (source, n_docs, n_tokens, n_chars, n_langs, top_lang,
+    top_lang_share, exact_dup_rate, mean_chars)."""
+    from ..functions.text import fingerprint, token_count
+
+    t = F.col(text_col)
+    wfp = Window.partitionBy(fingerprint(t))
+    rows = documents.select(
+        "source",
+        "lang",
+        token_count(t).alias("n_toks"),
+        F.length(t).alias("n_ch"),
+        (F.row_number().over(wfp.orderBy("doc_id")) > 1)
+        .cast("int")
+        .alias("is_dup"),
+    )
+    per_lang = rows.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("lang_n")
+    )
+    wl = Window.partitionBy("source").orderBy(
+        F.col("lang_n").desc(), F.col("lang").asc()
+    )
+    top = (
+        per_lang.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("lang_n").alias("top_n"),
+        )
+    )
+    base = rows.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_toks").cast("bigint")).alias("n_tokens"),
+        F.sum(F.col("n_ch").cast("bigint")).alias("n_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("is_dup").cast("bigint").alias("n_dups"),
+    )
+    return (
+        base.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "n_langs",
+            "top_lang",
+            F.round(F.col("top_n") / F.col("n_docs"), 6).alias(
+                "top_lang_share"
+            ),
+            F.round(F.col("n_dups") / F.col("n_docs"), 6).alias(
+                "exact_dup_rate"
+            ),
+            F.round(F.col("n_chars") / F.col("n_docs"), 6).alias(
+                "mean_chars"
+            ),
+        )
+        .orderBy("source")
+    )

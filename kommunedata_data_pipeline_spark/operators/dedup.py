@@ -1620,3 +1620,75 @@ def sorted_neighborhood_pairs(
             lev.cast("int").alias("lev"),
         )
     )
+
+
+def er_clusters(
+    records: DataFrame,
+    id_col: str,
+    str_col: str,
+    agree_cols: tuple = (),
+) -> DataFrame:
+    """Entity resolution APPLIED (the step after `linkage_scores` /
+    `deletion_neighborhood_join` emit match pairs — reference
+    precedent: detection always feeds an action, scraper.py:181-267):
+    transitively close the match-pair graph into entities and emit one
+    row per record with its entity id and entity size. Two records are
+    the same entity iff connected through a chain of MATCH decisions —
+    lev<=1 on the name AND exact agreement on every ``agree_cols``
+    attribute (the Fellegi-Sunter decision rule `linkage_scores`
+    weights; without the agreement fields a dense keyspace like TPC-H
+    digit names transitively collapses into one giant degenerate
+    entity). entity_id = min member id (the canonical-record
+    convention); records matching nothing are singleton entities.
+
+    Scale shape: candidate pairs come from the deletion-signature
+    equi-join (exact for lev<=1, never all-pairs); agreement filtering
+    happens on the pair stream (two broadcast-sized attribute joins
+    against the record table); the connected components run on the
+    MATCHED-pair graph only (`dup_clusters` — union-find below the
+    small-graph cutoff, min-label propagation with checkpointed
+    lineage above it); the corpus-sized work is one left join of
+    records against the clustered-node labels. Output:
+    (rid, entity_id, n_members)."""
+    pairs = deletion_neighborhood_join(records, id_col, str_col).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    if agree_cols:
+        attrs = records.select(
+            F.col(id_col).alias("__k"), *[F.col(c) for c in agree_cols]
+        )
+        a = attrs.select(
+            F.col("__k").alias("doc_a"),
+            *[F.col(c).alias(f"__a_{c}") for c in agree_cols],
+        )
+        b = attrs.select(
+            F.col("__k").alias("doc_b"),
+            *[F.col(c).alias(f"__b_{c}") for c in agree_cols],
+        )
+        pairs = pairs.join(a, "doc_a").join(b, "doc_b")
+        for c in agree_cols:
+            pairs = pairs.where(F.col(f"__a_{c}") == F.col(f"__b_{c}"))
+        pairs = pairs.select("doc_a", "doc_b")
+    # the pair stream is consumed 2-3 times downstream (the CC's
+    # small-graph count, the CC itself) — pin it so the deletion join
+    # runs once, not per consumer
+    try:
+        pairs = pairs.localCheckpoint(eager=False)
+    except Exception:
+        pairs = pairs.persist()
+    clusters = dup_clusters(pairs).select(
+        F.col("doc_id").alias("rid"), F.col("cluster_id").alias("entity_id")
+    )
+    labeled = (
+        records.select(F.col(id_col).alias("rid"))
+        .join(clusters, "rid", "left")
+        .withColumn(
+            "entity_id", F.coalesce(F.col("entity_id"), F.col("rid"))
+        )
+    )
+    sizes = labeled.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return labeled.join(sizes, "entity_id").select(
+        "rid", "entity_id", "n_members"
+    )

@@ -178,3 +178,73 @@ def plan_compaction(
         "first_file",
         "last_file",
     )
+
+
+def zone_map_skip_stats(
+    df: DataFrame,
+    layouts: dict,
+    value_col: str,
+    lo,
+    hi,
+    rows_per_file: int = 4096,
+) -> DataFrame:
+    """Zone-map (min/max file-statistics) skip audit: for each
+    candidate physical LAYOUT — a named expression that buckets rows
+    into files, e.g. insertion order vs date partitioning — compute
+    per-file min/max of ``value_col`` and report how many files (and
+    rows) a ``lo <= value_col <= hi`` predicate could skip without
+    reading them. This is the measurement behind every layout decision
+    (sort keys, partition columns, Z-order): parquet/iceberg/delta
+    pruning reads ONLY footer stats, so skip_ratio here IS the scan
+    cost saved at 100 TB — a layout whose files all straddle the
+    predicate range prunes nothing no matter how selective the filter.
+
+    A file can be skipped iff its zone is disjoint from the predicate
+    interval: f_max < lo OR f_min > hi. One groupBy per layout over
+    (layout_key DIV rows_per_file is the caller's business — the
+    ``layouts`` values are complete file-id expressions); counts are
+    exact integers, the ratio is one division. Output: one row per
+    layout (layout, n_files, n_files_skipped, n_rows, n_rows_skipped,
+    row_skip_ratio)."""
+    outs = []
+    for name, file_expr in layouts.items():
+        per_file = (
+            df.select(
+                file_expr.alias("file_id"), F.col(value_col).alias("v")
+            )
+            .groupBy("file_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("v").alias("f_min"),
+                F.max("v").alias("f_max"),
+            )
+        )
+        lo_c = lo if isinstance(lo, Column) else F.lit(lo)
+        hi_c = hi if isinstance(hi, Column) else F.lit(hi)
+        skipped = (F.col("f_max") < lo_c) | (F.col("f_min") > hi_c)
+        outs.append(
+            per_file.agg(
+                F.lit(name).alias("layout"),
+                F.count(F.lit(1)).cast("bigint").alias("n_files"),
+                F.sum(skipped.cast("bigint")).cast("bigint").alias(
+                    "n_files_skipped"
+                ),
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+                F.sum(F.when(skipped, F.col("n_rows")).otherwise(0))
+                .cast("bigint")
+                .alias("n_rows_skipped"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionAll(o)
+    return u.select(
+        "layout",
+        "n_files",
+        "n_files_skipped",
+        "n_rows",
+        "n_rows_skipped",
+        F.round(F.col("n_rows_skipped") / F.col("n_rows"), 6).alias(
+            "row_skip_ratio"
+        ),
+    ).orderBy("layout")

@@ -486,3 +486,97 @@ def curriculum_schedule(
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         F.round(F.min("quality"), 6).alias("min_quality"),
     )
+
+
+def leakproof_split(
+    documents: DataFrame,
+    pairs: DataFrame,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: assign the split per
+    NEAR-DUP CLUSTER, not per document, so two near-duplicates can
+    never land on opposite sides of the cut (per-doc hash splits —
+    `split_assign` — silently leak eval content into training whenever
+    the corpus has near-dups; this is the decontamination-correct
+    variant every published pipeline audit calls out).
+
+    ``pairs`` is any near-dup pair stream (doc_a, doc_b) — MinHash-LSH,
+    SimHash, embedding-cosine. Clusters come from `dup_clusters`
+    (connected components, cluster_id = min member); docs in no pair
+    are their own singleton cluster. Membership is then a pure
+    function of md5(cluster_id) — stable under corpus growth exactly
+    like `split_assign`, but at cluster granularity.
+
+    Scale shape: the CC runs on the pair graph only (pairs-sized, not
+    corpus-sized); the corpus-sized work is one left join against the
+    (small) clustered-node set plus the narrow hash. Output:
+    (doc_id, cluster_id, split)."""
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(pairs)
+    h = sample_hash(F.col("cluster_id").cast("string"))
+    return (
+        documents.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        )
+        .withColumn(
+            "split",
+            F.when(h < train_pct, "train")
+            .when(h < train_pct + val_pct, "val")
+            .otherwise("test"),
+        )
+    )
+
+
+def shard_balance(
+    documents: DataFrame,
+    n_shards: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-balanced shard packing: order docs by token count
+    descending and deal them onto ``n_shards`` shards in SNAKE
+    (boustrophedon) order — pass 1 deals shards 0..s-1, pass 2 deals
+    s-1..0, … . The deterministic one-pass approximation of
+    longest-processing-time bin packing: each pass pairs a large deal
+    with a small one, so shard token totals stay within one document
+    of each other — the property that keeps every trainer data-loader
+    rank finishing together instead of idling on the smallest shard.
+
+    Exactness: the global rank is `ranged_global_rank` (range-sampled
+    two-phase offsets — no single-task global sort, no distribution
+    assumption); the snake position is pure integer arithmetic on the
+    rank, identical in both engines. Output: one row per shard
+    (shard, n_docs, n_tokens, balance) with balance =
+    shard_tokens · n_shards / total_tokens (1.0 = perfect)."""
+    from .dedup import ranged_global_rank
+
+    scored = documents.select(
+        "doc_id", token_count(F.col(text_col)).alias("n_tokens")
+    ).withColumn("neg_t", -F.col("n_tokens"))
+    ranked = ranged_global_rank(scored, ["neg_t", "doc_id"])
+    pos = (F.col("rn") - 1) % (2 * n_shards)
+    shard = F.when(pos < n_shards, pos).otherwise(2 * n_shards - 1 - pos)
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        ranked.withColumn("shard", shard.cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("total", F.sum("n_tokens").over(w))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") * n_shards / F.col("total"), 6).alias(
+                "balance"
+            ),
+        )
+        .orderBy("shard")
+    )

@@ -1296,3 +1296,70 @@ def prototype_classify(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("label", "predicted")
     )
+
+
+def matryoshka_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    prefix_dims: int = 16,
+    shortlist: int = 20,
+    k: int = 5,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Matryoshka two-stage retrieval (Kusupati et al. 2022 MRL
+    embeddings): stage 1 scores the corpus with the FIRST
+    ``prefix_dims`` dimensions only (an MRL-trained embedding packs a
+    coarse representation into every prefix) and shortlists
+    ``shortlist`` candidates per query; stage 2 re-ranks only the
+    shortlist with full-dimension cosine and keeps top ``k``. The
+    dim-sliced sibling of PQ's two-stage ADC→exact retrieval: stage 1
+    reads prefix_dims/D of the vector bytes — at 100 TB that is the
+    difference between scanning 25 GB and 100 GB per query batch, and
+    a columnar layout that stores prefixes separately prunes the scan
+    for real.
+
+    Determinism: both stages rank by (round5 cosine DESC, vec_id) —
+    the whole cosine family's total order; the stage-1 cut is
+    therefore engine-stable and the oracle replays it exactly.
+    Output: (query_id, vec_id, prefix_sim, cosine_sim, rank)."""
+    pre = F.slice(F.col("embedding"), 1, prefix_dims)
+    qpre = F.slice(F.col("q_embedding"), 1, prefix_dims)
+    joined = embeddings.crossJoin(
+        F.broadcast(queries.select(query_id, "q_embedding"))
+    ).where(F.col("vec_id") != F.col(query_id))
+    stage1 = joined.select(
+        F.col(query_id),
+        "vec_id",
+        "embedding",
+        "q_embedding",
+        F.round(cosine(pre, qpre), 5).alias("prefix_sim"),
+    )
+    w1 = Window.partitionBy(query_id).orderBy(
+        F.col("prefix_sim").desc(), F.col("vec_id").asc()
+    )
+    short = stage1.withColumn("srn", F.row_number().over(w1)).where(
+        F.col("srn") <= shortlist
+    )
+    rer = short.select(
+        F.col(query_id),
+        "vec_id",
+        "prefix_sim",
+        F.round(cosine(F.col("embedding"), F.col("q_embedding")), 5).alias(
+            "cosine_sim"
+        ),
+    )
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id,
+            "vec_id",
+            "prefix_sim",
+            "cosine_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy(query_id, "rank")
+    )

@@ -744,3 +744,196 @@ def stump_split_finder(
         .orderBy("err", "feature", "threshold_bin")
         .limit(k)
     )
+
+
+def auc_exact(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact tie-aware ROC AUC over ``scored(score, label)`` — the
+    classifier-audit statistic next to `calibration_bins` (is the
+    ranking any good?) and `pr_curve` (where to cut it). Computed via
+    the Mann-Whitney identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) with
+    AVERAGE ranks on ties, so tied scores contribute exactly 0.5 per
+    crossing pair — the textbook-exact value, not a trapezoid
+    approximation.
+
+    Exactness discipline: ranks live in DOUBLED integer units
+    (rank2 = 2·cum_before + cnt + 1 — twice the average rank of a tie
+    group, always an integer), so the whole computation is integer
+    sums until the single final division; both engines emit the
+    identical rounded double. ``score_col`` must be integer-valued.
+
+    Scale shape: one groupBy collapses the corpus to the DISTINCT
+    score table; the cumulative window runs over that bucket table
+    (value-histogram-sized, not corpus-sized — same bucket-offset
+    discipline as token_budget_select); the final reduce is one row.
+    Output: one row (n_pos, n_neg, auc)."""
+    g = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(label_col).cast("bigint")).alias("pos"),
+    )
+    wb = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "rank2",
+        2 * F.coalesce(F.sum("cnt").over(wb), F.lit(0).cast("bigint"))
+        + F.col("cnt")
+        + 1,
+    )
+    agg = ranked.agg(
+        F.sum("pos").cast("bigint").alias("np"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("nn"),
+        F.sum(F.col("pos") * F.col("rank2")).cast("bigint").alias("r2"),
+    )
+    auc = F.when(
+        (F.col("np") > 0) & (F.col("nn") > 0),
+        (
+            F.col("r2") / F.lit(2.0)
+            - F.col("np") * (F.col("np") + 1) / F.lit(2.0)
+        )
+        / (F.col("np") * F.col("nn")),
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+    )
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Precision/recall/F1 at EVERY distinct score threshold (predict
+    positive when score >= t) — the exact PR curve a gate-threshold
+    choice reads, not a sampled approximation. Emits one row per
+    distinct score, descending, with cumulative-from-the-top tp/fp.
+
+    Scale shape: the corpus collapses to the distinct-score histogram
+    in one combinable groupBy; the cumulative window runs over that
+    bucket table only. All counts are exact integers; the three ratios
+    are single divisions rounded on emission.
+    Output: (threshold, tp, fp, fn, precision, recall, f1)."""
+    g = scored.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(label_col).cast("bigint")).alias("pos"),
+    )
+    wt = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = (
+        g.withColumn("tp", F.sum("pos").over(wt))
+        .withColumn("fp", F.sum(F.col("cnt") - F.col("pos")).over(wt))
+        .withColumn("tot_pos", F.sum("pos").over(wall))
+    )
+    prec = F.col("tp") / (F.col("tp") + F.col("fp"))
+    rec = F.when(
+        F.col("tot_pos") > 0, F.col("tp") / F.col("tot_pos")
+    )
+    f1 = F.when(
+        (F.col("tp") > 0),
+        2 * F.col("tp") / (F.col("tp") + F.col("fp") + F.col("tot_pos")),
+    ).otherwise(F.lit(0.0))
+    return c.select(
+        "threshold",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        (F.col("tot_pos") - F.col("tp")).cast("bigint").alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy(F.col("threshold").desc())
+
+
+def ridge_closed_form(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    lam: float = 1.0,
+) -> DataFrame:
+    """Closed-form ridge regression y ~ b0 + b1·x with the penalty on
+    the SLOPE only (the intercept is never shrunk — standard
+    practice): solve [[n, sx], [sx, sxx+λ]]·[b0, b1] = [sy, sxy] by
+    2×2 Cramer. The linear-trainer sibling of `logreg_newton_step`
+    (same five-combinable-sums shape, no iteration at all).
+
+    ``x_col``/``y_col`` must be integer-valued so the five sufficient
+    statistics are exact BIGINTs in both engines; the determinant and
+    betas are a handful of double ops on the one-row aggregate,
+    rounded on emission. A singular design (constant x and λ=0) emits
+    NULL betas rather than dividing by zero — the logreg NULL
+    contract. Output: one row (n, beta0, beta1, lambda)."""
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(x_col).cast("bigint")).alias("sx"),
+        F.sum(F.col(x_col).cast("bigint") * F.col(x_col).cast("bigint")).alias("sxx"),
+        F.sum(F.col(y_col).cast("bigint")).alias("sy"),
+        F.sum(F.col(x_col).cast("bigint") * F.col(y_col).cast("bigint")).alias("sxy"),
+    )
+    det = F.col("n") * (F.col("sxx") + F.lit(lam)) - F.col("sx") * F.col("sx")
+    b0 = F.when(
+        det != 0,
+        (F.col("sy") * (F.col("sxx") + F.lit(lam)) - F.col("sx") * F.col("sxy"))
+        / det,
+    )
+    b1 = F.when(
+        det != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / det,
+    )
+    return agg.select(
+        "n",
+        F.round(b0, 6).alias("beta0"),
+        F.round(b1, 6).alias("beta1"),
+        F.lit(float(lam)).alias("lambda"),
+    )
+
+
+def cohens_kappa(
+    rated: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two categorical raters over
+    ``rated(a, b)`` — chance-corrected agreement, the standard
+    annotation-quality audit (e.g. heuristic language-ID vs the
+    labeled lang column: how much better than chance is the
+    heuristic?). κ = (p_o − p_e) / (1 − p_e) with p_o = diagonal mass
+    and p_e = Σ_c row_c·col_c / n².
+
+    Scale shape: the corpus collapses to the |classes|² confusion
+    table in one combinable groupBy; marginals and the expected-
+    agreement sum are aggregates over that tiny table. All counts
+    exact integers; κ is one division on the one-row result, NULL for
+    the degenerate p_e = 1 case (both raters constant).
+    Output: one row (n, n_agree, po, pe, kappa)."""
+    cm = rated.groupBy(
+        F.col(a_col).alias("ra"), F.col(b_col).alias("rb")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ma = cm.groupBy("ra").agg(F.sum("cnt").alias("row_n"))
+    mb = cm.groupBy("rb").agg(F.sum("cnt").alias("col_n"))
+    ex = (
+        ma.join(mb, ma.ra == mb.rb)
+        .agg(F.sum(F.col("row_n") * F.col("col_n")).alias("s_e"))
+    )
+    base = cm.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    j = base.crossJoin(F.broadcast(ex))
+    po = F.col("n_agree") / F.col("n")
+    pe = F.col("s_e") / (F.col("n") * F.col("n"))
+    kappa = F.when(pe < 1, (po - pe) / (1 - pe))
+    return j.select(
+        "n",
+        "n_agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"),
+    )

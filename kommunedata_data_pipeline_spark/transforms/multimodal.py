@@ -294,3 +294,57 @@ def synthetic_frame_sample(documents: DataFrame, n_frames: int = 4) -> DataFrame
             yield pd.DataFrame(rows, columns=cols)
 
     return documents.select("doc_id").mapInPandas(batches, FRAMES_SCHEMA)
+
+
+def media_dedup_stats(documents: DataFrame) -> DataFrame:
+    """Binary-blob exact dedup savings per media format — the
+    multimodal sibling of text `dedup_exact`: hash the raw bytes
+    (md5 over the BINARY column, computed where the blob lives — no
+    decode, no Python in the hot path once blobs exist), count
+    distinct blobs per format, and report the bytes a content-
+    addressed store saves. The first question any image/audio corpus
+    ingest answers ("30% of these crawled images are byte-identical").
+
+    Plan: blob synthesis is the usual fused Arrow pass
+    (`synthetic_media`); everything after is JVM-side — md5(binary),
+    per-format combinable aggregate with a count-distinct over the
+    32-hex digest. Blobs never shuffle: only (fmt, digest, n_bytes)
+    rows do. Output: one row per fmt (fmt, n_blobs, n_unique,
+    bytes_total, bytes_stored, savings_ratio)."""
+    from pyspark.sql import functions as F
+
+    media = synthetic_media(documents)
+    rows = media.select(
+        F.md5(F.col("content")).alias("digest"),
+        F.length(F.col("content")).alias("n_bytes"),
+        # JVM-side magic-byte sniff (hex of the first 4 bytes): the
+        # SQL twin of sniff_format for the two formats synthesized here
+        F.when(F.hex(F.substring(F.col("content"), 1, 4)) == "89504E47", "png")
+        .otherwise("wav")
+        .alias("fmt"),
+    )
+    per_digest = rows.groupBy("fmt", "digest").agg(
+        F.count(F.lit(1)).alias("n"), F.min("n_bytes").alias("n_bytes")
+    )
+    return (
+        per_digest.groupBy("fmt")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_blobs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+            F.sum(F.col("n") * F.col("n_bytes")).cast("bigint").alias(
+                "bytes_total"
+            ),
+            F.sum("n_bytes").cast("bigint").alias("bytes_stored"),
+        )
+        .select(
+            "fmt",
+            "n_blobs",
+            "n_unique",
+            "bytes_total",
+            "bytes_stored",
+            F.round(
+                1 - F.col("bytes_stored") / F.col("bytes_total"), 6
+            ).alias("savings_ratio"),
+        )
+        .orderBy("fmt")
+    )
