@@ -11331,6 +11331,286 @@ def q_zone_map_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_padding_waste",
+    f"""
+    WITH t AS (SELECT len({_TOKS_SQL}) AS n FROM documents),
+    b AS (
+      SELECT n,
+             CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                  WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                  WHEN n <= 1024 THEN 1024 ELSE 2048 END AS bucket
+      FROM t
+    ),
+    g AS (
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(sum(bucket - least(n, bucket)) AS BIGINT) AS n_padding,
+             CAST(sum(n - least(n, bucket)) AS BIGINT) AS n_truncated
+      FROM b GROUP BY bucket
+    )
+    SELECT bucket, n_docs, n_tokens, n_padding, n_truncated,
+           round(n_padding / CAST(n_docs * bucket AS DOUBLE), 6)
+             AS pad_ratio
+    FROM g ORDER BY bucket
+    """,
+)
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: per power-of-two bucket, the
+    padding tokens a fixed-length batcher burns and the truncation
+    loss beyond the largest bucket — the measurement that justifies
+    (or kills) sequence packing vs plain bucketing. Pure integer CASE
+    chain + one combinable aggregate
+    (operators/sampling.py:padding_waste)."""
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        padding_waste,
+    )
+
+    return padding_waste(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "q_negative_sampling",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS token FROM documents),
+    v AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY token
+      ORDER BY cnt DESC, token LIMIT 50
+    ),
+    p AS (
+      SELECT token, cnt,
+             CAST(floor(1e9 * pow(CAST(cnt AS DOUBLE), 0.75)) AS BIGINT)
+               AS p9
+      FROM v
+    ),
+    s AS (SELECT CAST(sum(p9) AS BIGINT) AS tot9 FROM p)
+    SELECT token, cnt,
+           CAST((p9 * CAST(1000000 AS BIGINT)) // tot9 AS BIGINT)
+             AS quota_micro
+    FROM p CROSS JOIN s
+    ORDER BY cnt DESC, token
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling distribution: top-50 vocab with
+    quota ∝ count^0.75 (Mikolov's Zipf-head smoothing), integerized
+    to floor(1e9·c^α) BEFORE the normalizing sum so the quota is pure
+    integer division — the alias-sampler input table a trainer builds
+    (operators/sampling.py:negative_sampling_table)."""
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        negative_sampling_table,
+    )
+
+    return negative_sampling_table(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "q_label_propagation",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM lsh_pairs
+    ),
+    l0 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN lang END AS label,
+             CASE WHEN doc_id % 3 = 0 THEN 0 END AS round_assigned
+      FROM documents
+    ),
+    v1 AS (
+      SELECT e.src AS doc_id, l.label, count(*) AS n
+      FROM edges e JOIN l0 l ON l.doc_id = e.dst
+      WHERE l.label IS NOT NULL GROUP BY e.src, l.label
+    ),
+    w1 AS (
+      SELECT doc_id, label AS new_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY n DESC, label) AS rn FROM v1) WHERE rn = 1
+    ),
+    l1 AS (
+      SELECT l0.doc_id,
+             coalesce(l0.label, w1.new_label) AS label,
+             coalesce(l0.round_assigned,
+                      CASE WHEN w1.new_label IS NOT NULL THEN 1 END)
+               AS round_assigned
+      FROM l0 LEFT JOIN w1 ON w1.doc_id = l0.doc_id
+    ),
+    v2 AS (
+      SELECT e.src AS doc_id, l.label, count(*) AS n
+      FROM edges e JOIN l1 l ON l.doc_id = e.dst
+      WHERE l.label IS NOT NULL GROUP BY e.src, l.label
+    ),
+    w2 AS (
+      SELECT doc_id, label AS new_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY n DESC, label) AS rn FROM v2) WHERE rn = 1
+    )
+    SELECT l1.doc_id,
+           coalesce(l1.label, w2.new_label) AS label,
+           CAST(coalesce(l1.round_assigned,
+                    CASE WHEN w2.new_label IS NOT NULL THEN 2 END)
+             AS INT) AS round_assigned
+    FROM l1 LEFT JOIN w2 ON w2.doc_id = l1.doc_id
+    """,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the MinHash-LSH near-dup
+    graph: docs with doc_id%3=0 are audited seeds (their lang label),
+    two synchronous majority-vote rounds spread labels to unlabeled
+    neighbours (count DESC, label ASC total order — engine-identical
+    rounds); the curation move that amplifies a small audited label
+    set across near-duplicates (operators/graph.py:label_propagation)."""
+    from kommunedata_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    nodes = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("lang")).alias("seed_label"),
+    )
+    return label_propagation(nodes, minhash_lsh_pairs(d, 3, 16, 4, 0.5), 2)
+
+
+def _kcenter_oracle_sql(k: int = 5) -> str:
+    """Unrolled greedy k-center in DuckDB: round i computes every
+    vector's min integer-micro distance to the selected set s_{{i-1}}
+    (correlated scalar subquery) and picks the (max mind, min vec_id)
+    row. Generated by loop so the per-round SQL cannot drift between
+    rounds."""
+    d2 = _pq_d2u_sql("e.embedding", "s.embedding", 64)
+    parts = [
+        """c1 AS (SELECT vec_id, embedding, 1 AS pick,
+              CAST(NULL AS BIGINT) AS radius_micro
+       FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    s1 AS (SELECT vec_id, embedding FROM c1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""m{i} AS (
+      SELECT e.vec_id, min({d2}) AS mind
+      FROM embeddings e, s{i - 1} s
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM s{i - 1})
+      GROUP BY e.vec_id),
+    c{i} AS (
+      SELECT emb.vec_id, emb.embedding, {i} AS pick, m.mind AS radius_micro
+      FROM (SELECT vec_id, mind FROM m{i}
+            ORDER BY mind DESC, vec_id LIMIT 1) m
+      JOIN embeddings emb USING (vec_id)),
+    s{i} AS (SELECT vec_id, embedding FROM s{i - 1}
+             UNION ALL SELECT vec_id, embedding FROM c{i})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT pick, vec_id, radius_micro FROM c{i}" for i in range(1, k + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT CAST(pick AS INT) AS pick, vec_id, radius_micro"
+        + f"\n    FROM ({union}) ORDER BY pick\n    "
+    )
+
+
+@_q("q_kcenter_coreset", _kcenter_oracle_sql(5))
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez farthest-point traversal,
+    k=5): the diversity-selection dual of semantic dedup — pick the
+    maximally spread embedding subset (annotation-budget / active-
+    learning selection). Integer-micro distances end to end, so both
+    engines replay the identical greedy trajectory; each round is one
+    map-side corpus pass against a broadcast <=k center set
+    (operators/similarity.py:kcenter_coreset)."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    return kcenter_coreset(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+_QROUTE_RULES_SQL = """
+      SELECT doc_id, length(text) AS n_chars,
+             CASE WHEN len(w) < 5 THEN 'min_tokens'
+                  WHEN length(text) < 20 THEN 'min_chars'
+                  WHEN 5 * len(list_distinct(w)) < 2 * len(w)
+                    THEN 'repetition' END AS reason
+      FROM (SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents)
+"""
+
+
+@_q(
+    "q_stream_quality_route",
+    f"""
+    WITH r AS ({_QROUTE_RULES_SQL})
+    SELECT doc_id, n_chars,
+           CASE WHEN reason IS NULL THEN 'kept' ELSE 'dead_letter' END
+             AS route,
+           reason
+    FROM r ORDER BY doc_id
+    """,
+)
+def q_stream_quality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quality gate with a dead-letter side output: the doc
+    corpus arrives as a 3-batch file stream; each micro-batch routes
+    kept docs to the landing sink and rule-failing docs to a reject
+    sink WITH the first failing rule as the reason (the reference's
+    dead-letter discipline, C5/S18, made streaming). Stateless, so
+    batching provably cannot change either landed set; both sinks are
+    exactly-once (streaming/ingest.py:quality_route_ingest)."""
+    import shutil
+    import tempfile
+
+    from kommunedata_data_pipeline_spark.streaming.ingest import (
+        quality_route_ingest,
+        run_writer_available_now,
+    )
+
+    base = tempfile.mkdtemp(
+        prefix="kdp-qroute-",
+        dir="/dev/shm" if __import__("os").path.isdir("/dev/shm") else None,
+    )
+    try:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        stage = _stage_id_batches(d, "doc_id", base)
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        run_writer_available_now(
+            quality_route_ingest(
+                stream, f"{base}/kept", f"{base}/rejects"
+            ),
+            f"{base}/ckpt",
+            durations_key="q_stream_quality_route_sink",
+        )
+        kept = (
+            spark.read.parquet(f"{base}/kept")
+            .select(
+                "doc_id",
+                "n_chars",
+                F.lit("kept").alias("route"),
+                F.lit(None).cast("string").alias("reason"),
+            )
+        )
+        rejects = spark.read.parquet(f"{base}/rejects").select(
+            "doc_id",
+            "n_chars",
+            F.lit("dead_letter").alias("route"),
+            "reason",
+        )
+        routed = kept.unionAll(rejects).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return routed.orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -461,3 +461,79 @@ def ancestor_pairs_doubling(
         return pairs.where(F.col("dist") <= max_depth)
     finally:
         spark.conf.set(key, prev)
+
+
+def label_propagation(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    n_rounds: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation over an undirected pair graph
+    (Zhu & Ghahramani 2002, in its deterministic majority-vote form):
+    ``nodes`` is (doc_id, seed_label) with seed_label NULL for
+    unlabeled nodes; each synchronous round, every still-unlabeled
+    node adopts the MAJORITY label among its labeled neighbours (ties
+    broken on the lexicographically smallest label); seeds never
+    change. ``n_rounds`` bounds propagation depth — the curation use
+    is spreading a small audited label set (spam / quality / domain)
+    across the near-dup graph, where components are shallow.
+
+    Determinism: the vote is (count DESC, label ASC) per node — a
+    total order, so both engines replay identical rounds. Unlabeled
+    nodes with no labeled neighbour stay NULL (reported with
+    round_assigned NULL).
+
+    Scale shape per round: one equi-join of current labels onto the
+    edge list + one (node, label) count groupBy + one argmax window
+    partitioned by node; labels checkpoint-pinned per round (the
+    iterative-DataFrame lineage discipline). Output: (doc_id, label,
+    round_assigned)."""
+    from pyspark.sql import Window
+
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = nodes.select(
+        F.col("doc_id"),
+        F.col("seed_label").alias("label"),
+        F.when(F.col("seed_label").isNotNull(), 0)
+        .cast("int")
+        .alias("round_assigned"),
+    ).localCheckpoint(eager=False)
+    for r in range(1, n_rounds + 1):
+        votes = (
+            edges.join(
+                labels.where(F.col("label").isNotNull()).select(
+                    F.col("doc_id").alias("dst"), "label"
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wv = Window.partitionBy("doc_id").orderBy(
+            F.col("n").desc(), F.col("label").asc()
+        )
+        winner = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("doc_id", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winner, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("label"), F.col("new_label")).alias(
+                    "label"
+                ),
+                F.coalesce(
+                    F.col("round_assigned"),
+                    F.when(F.col("new_label").isNotNull(), r).cast("int"),
+                ).alias("round_assigned"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

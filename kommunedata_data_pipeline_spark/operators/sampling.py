@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.strings import md5_bigint
-from ..functions.text import token_count
+from ..functions.text import token_count, tokens
 
 
 def sample_hash(key: Column, mod: int = 100) -> Column:
@@ -579,4 +579,99 @@ def shard_balance(
             ),
         )
         .orderBy("shard")
+    )
+
+
+def padding_waste(
+    documents: DataFrame,
+    buckets: tuple = (64, 128, 256, 512, 1024, 2048),
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batching audit: assign every document to the
+    smallest bucket length >= its token count (docs beyond the largest
+    bucket are truncated to it) and report per bucket the docs, real
+    tokens, PADDING tokens a fixed-length batcher would burn, and the
+    truncation loss — the numbers that decide bucket boundaries for a
+    trainer's batch packer (padding is pure wasted FLOPs; truncation
+    is lost data; `pack_sequences` is the packing alternative this
+    audit justifies or kills).
+
+    Pure integer arithmetic per row (a CASE chain over the fixed
+    bucket tuple — no log2/float), one combinable aggregate. Output:
+    one row per occupied bucket (bucket, n_docs, n_tokens, n_padding,
+    n_truncated, pad_ratio)."""
+    n = token_count(F.col(text_col))
+    b = F.lit(buckets[-1])
+    for edge in reversed(buckets[:-1]):
+        b = F.when(n <= edge, edge).otherwise(b)
+    rows = documents.select(
+        b.cast("bigint").alias("bucket"),
+        n.cast("bigint").alias("n_toks"),
+    )
+    kept = F.least(F.col("n_toks"), F.col("bucket"))
+    return (
+        rows.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("bucket") - kept).cast("bigint").alias("n_padding"),
+            F.sum(F.col("n_toks") - kept).cast("bigint").alias("n_truncated"),
+        )
+        .withColumn(
+            "pad_ratio",
+            F.round(
+                F.col("n_padding")
+                / (F.col("n_docs") * F.col("bucket")),
+                6,
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def negative_sampling_table(
+    documents: DataFrame,
+    vocab_size: int = 50,
+    alpha: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """word2vec-style negative-sampling distribution: the top
+    ``vocab_size`` tokens with sampling quota ∝ count^alpha (Mikolov's
+    0.75 smoothing — down-weights the Zipf head so negatives aren't
+    all stopwords), integerized to micro-units. The table a trainer's
+    alias-sampler is built from.
+
+    Exactness: counts are exact integers; pow() runs ONCE per vocab
+    row (bounded by vocab_size, the accepted ln()/pow() exposure class
+    of q_naive_bayes / q_domain_temperature — never per-token) and is
+    integerized to floor(1e9·c^α) BEFORE the normalizing sum (the
+    q_domain_temperature discipline: the sum is then an exact BIGINT,
+    immune to double-addition order), so the quota is pure integer
+    division (p9 · 1e6) div Σp9 — bounded while c^α < ~5.6e3·1e9/1e6,
+    i.e. vocab counts below ~10^17^(4/3); far beyond any corpus. The
+    vocab cut is pinned by (count DESC, token ASC).
+    Output: (token, cnt, quota_micro)."""
+    toks = documents.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(vocab_size)
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p9 = F.floor(
+        F.lit(1e9) * F.pow(F.col("cnt").cast("double"), F.lit(float(alpha)))
+    ).cast("bigint")
+    return (
+        vocab.withColumn("p9", p9)
+        .withColumn("tot9", F.sum("p9").over(w))
+        .selectExpr(
+            "token",
+            "cnt",
+            "CAST((p9 * CAST(1000000 AS BIGINT)) DIV tot9 AS BIGINT)"
+            " AS quota_micro",
+        )
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
     )

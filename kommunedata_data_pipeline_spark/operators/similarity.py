@@ -1363,3 +1363,77 @@ def matryoshka_rerank(
         )
         .orderBy(query_id, "rank")
     )
+
+
+def kcenter_coreset(
+    embeddings: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal, the classic 2-approximation): start from the lowest
+    vec_id, then k-1 times pick the vector FARTHEST from the selected
+    set (max over the corpus of min distance to any selected center;
+    ties on min vec_id). The diversity-selection dual of semantic
+    dedup — instead of dropping redundant points, pick the maximally
+    spread subset (active-learning / annotation-budget selection).
+
+    Exactness: every distance is `_d2_micro` (BIGINT 1e-5 units), so
+    min/max/argmax are integer comparisons with a vec_id tiebreak —
+    both engines replay the identical greedy trajectory. The reported
+    radius_micro of each pick is its distance to the PREVIOUSLY
+    selected set (the coverage radius the k-center bound speaks about;
+    the seed's is NULL).
+
+    Scale shape: k-1 rounds, each ONE map-side pass over the corpus
+    against a broadcast <=k-row center set (no corpus-sized shuffle at
+    all — the argmax is a 1-row reduce), with the center set
+    checkpoint-pinned per round (the dup_clusters iterative
+    discipline). k is a constant (annotation budgets are small);
+    corpus size only enters linearly per round."""
+    base = embeddings.select("vec_id", "embedding")
+    w0 = Window.orderBy("vec_id")
+    sel = (
+        base.orderBy("vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "embedding",
+            F.lit(1).alias("pick"),
+            F.lit(None).cast("bigint").alias("radius_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for i in range(2, k + 1):
+        centers = sel.select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+        )
+        dists = (
+            base.crossJoin(F.broadcast(centers))
+            .select(
+                "vec_id",
+                "embedding",
+                _d2_micro(F.col("embedding"), F.col("c_vec")).alias("d2u"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.first("embedding").alias("embedding"),
+                F.min("d2u").alias("mind"),
+            )
+        )
+        wpick = Window.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+        nxt = (
+            dists.withColumn("rn", F.row_number().over(wpick))
+            .where(F.col("rn") == 1)
+            .select(
+                "vec_id",
+                "embedding",
+                F.lit(i).alias("pick"),
+                F.col("mind").alias("radius_micro"),
+            )
+        )
+        sel = sel.unionAll(nxt).localCheckpoint(eager=False)
+    return sel.select(
+        F.col("pick").cast("int").alias("pick"),
+        "vec_id",
+        "radius_micro",
+    ).orderBy("pick")

@@ -309,3 +309,60 @@ def decontaminate_ingest(
         kept.write.mode("append").parquet(out_path)
 
     return doc_stream.writeStream.foreachBatch(process_batch)
+
+
+def quality_route_ingest(
+    doc_stream: DataFrame,
+    kept_path: str,
+    rejects_path: str,
+):
+    """Streaming quality gate with a DEAD-LETTER side output — the
+    streaming composition of the batch rule gate
+    (operators/corpus.py:quality_rules_report) with the reference's
+    dead-letter discipline (C5/S18, sources/sinks.py: failures are
+    ROUTED, never dropped): every micro-batch splits into kept docs
+    (landing at ``kept_path``) and rejected docs landing at
+    ``rejects_path`` WITH the first failing rule as the reject reason,
+    so the reject stream is auditable and replayable the way a
+    dead-letter queue is.
+
+    Rules (the integer-exact subset of the rule battery, priority
+    order = reason on multi-fails): min_tokens (< 5), min_chars
+    (< 20), repetition (duplicate-token fraction > 0.6, exact integer
+    test 5·n_distinct < 2·n_tokens).
+
+    Stateless, so batching provably cannot change either landed set
+    (the decontaminate_ingest argument); both sinks are exactly-once
+    via the ST2 anti-join against their own landed catalogs. Replay
+    lands zero rows on both paths."""
+    from ..functions.text import tokens
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..sources.sinks import load_catalog
+
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+        if batch.isEmpty():
+            return
+        w = tokens(F.lower(F.col("text")))
+        n = F.size(w)
+        nd = F.size(F.array_distinct(w))
+        reason = (
+            F.when(n < 5, "min_tokens")
+            .when(F.length("text") < 20, "min_chars")
+            .when(5 * nd < 2 * n, "repetition")
+        )
+        routed = batch.select(
+            "doc_id", F.length("text").alias("n_chars"), reason.alias("reason")
+        )
+        for path, frame in (
+            (kept_path, routed.where(F.col("reason").isNull()).drop("reason")),
+            (rejects_path, routed.where(F.col("reason").isNotNull())),
+        ):
+            landed = load_catalog(spark, path, ["doc_id"])
+            out = frame
+            if landed is not None:
+                out = out.join(landed, ["doc_id"], "left_anti")
+            out.write.mode("append").parquet(path)
+
+    return doc_stream.writeStream.foreachBatch(process_batch)

@@ -373,3 +373,157 @@ def test_corpus_datasheet_row_per_source_and_exact_dup_rate(spark):
     assert s1["top_lang"] == "en" and abs(s1["top_lang_share"] - 2 / 3) < 1e-6
     assert abs(s1["exact_dup_rate"] - 1 / 3) < 1e-6
     assert out["s2"]["n_docs"] == 1 and out["s2"]["exact_dup_rate"] == 0.0
+
+
+# ------------------------------------------------------------ padding waste
+
+
+def test_padding_waste_buckets_and_truncation(spark):
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        padding_waste,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a " * 70), (2, "b " * 200), (3, "c " * 3000)],
+        "doc_id long, text string",
+    )
+    out = {r["bucket"]: r for r in padding_waste(df).collect()}
+    assert set(out) == {128, 256, 2048}
+    assert out[128]["n_padding"] == 58 and out[128]["n_truncated"] == 0
+    assert out[256]["n_padding"] == 56
+    assert out[2048]["n_padding"] == 0 and out[2048]["n_truncated"] == 952
+    assert abs(out[128]["pad_ratio"] - 58 / 128) < 1e-6
+
+
+# -------------------------------------------------------- negative sampling
+
+
+def test_negative_sampling_replica(spark):
+    import math
+
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        negative_sampling_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c")], "doc_id long, text string"
+    )
+    rows = {r["token"]: r for r in negative_sampling_table(df, 3).collect()}
+    p9 = {t: math.floor(1e9 * c**0.75) for t, c in [("a", 4), ("b", 2), ("c", 1)]}
+    tot = sum(p9.values())
+    for t, c in [("a", 4), ("b", 2), ("c", 1)]:
+        assert rows[t]["cnt"] == c
+        assert rows[t]["quota_micro"] == (p9[t] * 1_000_000) // tot
+    # quotas sum to <= 1e6 and the head is down-weighted vs raw frequency
+    assert sum(r["quota_micro"] for r in rows.values()) <= 1_000_000
+    assert rows["a"]["quota_micro"] / 1e6 < 4 / 7
+
+
+# ------------------------------------------------------- label propagation
+
+
+def test_label_propagation_rounds_and_ties(spark):
+    from kommunedata_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # chain: 1(seed 'en') - 2 - 3 ; isolated 4 ; 5 with two seed
+    # neighbours 'da'(6) and 'en'(1) -> tie -> 'da' < 'en' wins? no:
+    # count tie 1-1, label ASC -> 'da'
+    nodes = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, None), (4, None), (5, None), (6, "da")],
+        "doc_id long, seed_label string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (1, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: (r["label"], r["round_assigned"])
+        for r in label_propagation(nodes, pairs, n_rounds=2).collect()
+    }
+    assert got[1] == ("en", 0) and got[6] == ("da", 0)
+    assert got[2] == ("en", 1)        # 1-hop from seed
+    assert got[3] == ("en", 2)        # 2-hop, second round
+    assert got[4] == (None, None)     # unreachable stays unlabeled
+    assert got[5] == ("da", 1)        # tie 'da' vs 'en' -> label ASC
+
+
+# ------------------------------------------------------------- k-center
+
+
+def test_kcenter_matches_numpy_greedy_and_radii_decrease(spark):
+    import numpy as np
+
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+    from kommunedata_data_pipeline_spark.sources.readers import load_table
+
+    e = load_table(spark, SF_SMALL, "embeddings").where(F.col("vec_id") < 60)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in e.collect()}
+    got = [(r["pick"], r["vec_id"], r["radius_micro"])
+           for r in kcenter_coreset(e, k=5).collect()]
+
+    def d2u(a, b):
+        return math.floor(float(((a - b) ** 2).sum()) * 100000.0 + 0.5)
+
+    sel = [min(vecs)]
+    expect = [(1, sel[0], None)]
+    for i in range(2, 6):
+        best = None
+        for v in sorted(vecs):
+            if v in sel:
+                continue
+            mind = min(d2u(vecs[v], vecs[c]) for c in sel)
+            if best is None or mind > best[1] or (mind == best[1] and v < best[0]):
+                best = (v, mind)
+        sel.append(best[0])
+        expect.append((i, best[0], best[1]))
+    assert got == expect
+    radii = [r for _, _, r in got[1:]]
+    assert radii == sorted(radii, reverse=True)  # greedy radii non-increasing
+
+
+# ------------------------------------------------------------ stream route
+
+
+def test_quality_route_ingest_matches_batch_rules_and_replays_empty(spark, tmp_path):
+    from kommunedata_data_pipeline_spark.streaming.ingest import (
+        quality_route_ingest,
+        run_writer_available_now,
+    )
+
+    docs = [
+        (1, "one two"),                                  # min_tokens
+        (2, "a b c d e"),                                # min_chars (9 < 20)
+        (3, "yes yes yes yes yes yes definitely yes"),   # repetition
+        (4, "a perfectly reasonable sentence with plenty of distinct words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stage = str(tmp_path / "stage")
+    df.repartition(2).write.parquet(stage)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    kept_p, rej_p = str(tmp_path / "kept"), str(tmp_path / "rej")
+    run_writer_available_now(
+        quality_route_ingest(stream, kept_p, rej_p), str(tmp_path / "ck")
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(kept_p).collect()}
+    rej = {r["doc_id"]: r["reason"] for r in spark.read.parquet(rej_p).collect()}
+    assert kept == {4}
+    assert rej == {1: "min_tokens", 2: "min_chars", 3: "repetition"}
+    # replay: same data through a fresh stream lands zero new rows
+    stream2 = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    run_writer_available_now(
+        quality_route_ingest(stream2, kept_p, rej_p), str(tmp_path / "ck2")
+    )
+    assert spark.read.parquet(kept_p).count() == 1
+    assert spark.read.parquet(rej_p).count() == 3
