@@ -11611,6 +11611,133 @@ def q_stream_quality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.orderBy("doc_id")
 
 
+@_q(
+    "q_rank_sum_test",
+    """
+    WITH g AS (
+      SELECT n_chars AS s, count(*) AS cnt,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c1
+      FROM documents GROUP BY n_chars
+    ),
+    r AS (
+      SELECT s, cnt, c1,
+             2 * coalesce(sum(cnt) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS rank2
+      FROM g
+    ),
+    a AS (
+      SELECT CAST(sum(cnt - c1) AS BIGINT) AS n0,
+             CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c1 * rank2) AS BIGINT) AS r1_2,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+      FROM r
+    )
+    SELECT n0, n1,
+           round(r1_2 / 2.0 - n1 * (n1 + 1) / 2.0, 1) AS u1,
+           round(CASE WHEN n0 > 0 AND n1 > 0 AND
+                 (n0 * n1 / 12.0 * (((n0 + n1) + 1)
+                    - tie3 / ((n0 + n1) * ((n0 + n1) - 1)))) > 0
+                 THEN ((r1_2 / 2.0 - n1 * (n1 + 1) / 2.0)
+                       - n0 * n1 / 2.0)
+                      / sqrt(n0 * n1 / 12.0 * (((n0 + n1) + 1)
+                          - tie3 / ((n0 + n1) * ((n0 + n1) - 1))))
+                 END, 4) AS z
+    FROM a
+    """,
+)
+def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (tie-corrected normal
+    approximation): does the en-language length distribution
+    stochastically dominate the rest? The nonparametric A/B sibling of
+    q_ab_ztest — doubled-integer average ranks over the distinct-score
+    bucket table, exact BIGINT tie correction, one sqrt at the end
+    (operators/statistics.py:rank_sum_test)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        rank_sum_test,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("grp"),
+    )
+    return rank_sum_test(d, "score", "grp")
+
+
+@_q(
+    "q_freshness_weights",
+    """
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS mxd FROM events),
+    aged AS (
+      SELECT event_type, datediff('day', CAST(ts AS DATE), mxd) AS age
+      FROM events CROSS JOIN mx
+    ),
+    pa AS (SELECT event_type, age, CAST(count(*) AS BIGINT) AS n
+           FROM aged GROUP BY event_type, age),
+    pw AS (
+      SELECT event_type, n,
+             CAST(floor(1e9 * pow(2.0, -CAST(age AS DOUBLE) / 30.0))
+               AS BIGINT) AS w9
+      FROM pa
+    ),
+    pt AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(sum(n * w9) AS BIGINT) AS wsum9
+      FROM pw GROUP BY event_type
+    ),
+    t AS (SELECT CAST(sum(wsum9) AS BIGINT) AS tot9 FROM pt)
+    SELECT event_type, n_events, wsum9 AS weight_sum_micro9,
+           round(wsum9 / tot9, 6) AS share
+    FROM pt CROSS JOIN t ORDER BY event_type
+    """,
+)
+def q_freshness_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed sampling quotas per event type: weight
+    2^(-age_days/30) relative to the newest event, integerized BEFORE
+    summation (floor(1e9·w), pow once per distinct age) — the
+    "prefer recent data" mixing step, exact in both engines
+    (operators/timeseries.py:freshness_weights)."""
+    from kommunedata_data_pipeline_spark.operators.timeseries import (
+        freshness_weights,
+    )
+
+    return freshness_weights(_t(spark, sf_dir, "events"), half_life_days=30)
+
+
+@_q(
+    "q_stratified_kfold",
+    """
+    WITH s AS (
+      SELECT lang AS stratum, doc_id AS rid,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT stratum,
+             row_number() OVER (PARTITION BY stratum ORDER BY h, rid) - 1
+               AS rnk
+      FROM s
+    )
+    SELECT stratum, CAST(rnk % 5 AS INT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM r GROUP BY stratum, fold ORDER BY stratum, fold
+    """,
+)
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold assignment: hash-ordered round-robin within
+    every language stratum, so each fold carries the corpus class
+    balance and per-stratum fold sizes differ by at most 1. The
+    within-stratum rank derives from ONE ranged_global_rank over
+    (stratum, hash, id) — no per-stratum single-task window even under
+    stratum skew (operators/sampling.py:stratified_kfold)."""
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        stratified_kfold,
+    )
+
+    return stratified_kfold(_t(spark, sf_dir, "documents"), "lang", k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

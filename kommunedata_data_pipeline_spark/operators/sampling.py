@@ -675,3 +675,41 @@ def negative_sampling_table(
         )
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
     )
+
+
+def stratified_kfold(
+    documents: DataFrame,
+    strata_col: str = "lang",
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stratified k-fold assignment: within every stratum, documents
+    are hash-ordered (md5 — deterministic, corpus-growth-stable order
+    like every sampler here) and dealt round-robin onto ``k`` folds,
+    so each fold carries the SAME class balance as the corpus and
+    per-stratum fold sizes differ by at most 1 — the property plain
+    hash splits (`split_assign`) only achieve in expectation.
+
+    Scale shape: the within-stratum rank is derived from ONE
+    `ranged_global_rank` over (stratum, hash, id) — range-sampled
+    two-phase offsets, no per-stratum single-task window (a skewed
+    stratum would serialize one) — minus the stratum's min rank (a
+    tiny per-stratum aggregate joined back). Output: one row per
+    (stratum, fold): (stratum, fold, n_docs)."""
+    from .dedup import ranged_global_rank
+    from ..functions.strings import md5_bigint
+
+    s = documents.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(id_col).alias("rid"),
+        md5_bigint(F.col(id_col).cast("string")).alias("h"),
+    )
+    ranked = ranged_global_rank(s, ["stratum", "h", "rid"])
+    base = ranked.groupBy("stratum").agg(F.min("rn").alias("rn0"))
+    return (
+        ranked.join(base, "stratum")
+        .withColumn("fold", ((F.col("rn") - F.col("rn0")) % k).cast("int"))
+        .groupBy("stratum", "fold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("stratum", "fold")
+    )

@@ -937,3 +937,65 @@ def cohens_kappa(
         F.round(pe, 6).alias("pe"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def rank_sum_test(
+    scored: DataFrame,
+    score_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Wilcoxon two-sample) over
+    ``scored(score, group)`` with group ∈ {0, 1} — the NONPARAMETRIC
+    A/B readout next to `ab_proportions_ztest` (proportions) and
+    `auc_exact` (the same U statistic read as ranking quality): does
+    group 1's score distribution stochastically dominate group 0's?
+    Uses AVERAGE ranks on ties and the tie-corrected normal
+    approximation  σ² = n0·n1/12 · [(n+1) − Σ(t³−t)/(n(n−1))]
+    (no continuity correction — documented, matched by the oracle).
+
+    Exactness: ranks in DOUBLED integer units (the auc_exact
+    discipline), the tie-correction sum Σ(t³−t) is an exact BIGINT
+    over the distinct-score table, and the four inputs to z are all
+    integers — one sqrt/division on the one-row result. ``score_col``
+    must be integer-valued. Degenerate cases (an empty group, or all
+    scores tied so σ = 0) emit NULL z.
+
+    Scale shape: the corpus collapses to the distinct-score histogram
+    in one combinable groupBy; everything after runs on that bucket
+    table. Output: one row (n0, n1, u1, z)."""
+    g = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(group_col).cast("bigint")).alias("c1"),
+    )
+    wb = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "rank2",
+        2 * F.coalesce(F.sum("cnt").over(wb), F.lit(0).cast("bigint"))
+        + F.col("cnt")
+        + 1,
+    )
+    agg = ranked.agg(
+        F.sum(F.col("cnt") - F.col("c1")).cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("c1") * F.col("rank2")).cast("bigint").alias("r1_2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).cast("bigint").alias("tie3"),
+    )
+    n = F.col("n0") + F.col("n1")
+    u1 = F.col("r1_2") / 2.0 - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n0") * F.col("n1") / 2.0
+    var = (
+        F.col("n0") * F.col("n1") / 12.0
+        * ((n + 1) - F.col("tie3") / (n * (n - 1)))
+    )
+    z = F.when(
+        (F.col("n0") > 0) & (F.col("n1") > 0) & (var > 0),
+        (u1 - mu) / F.sqrt(var),
+    )
+    return agg.select(
+        "n0",
+        "n1",
+        F.round(u1, 1).alias("u1"),
+        F.round(z, 4).alias("z"),
+    )

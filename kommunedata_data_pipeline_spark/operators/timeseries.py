@@ -549,3 +549,65 @@ def cusum_changepoint(
             ).alias("peak_cusum"),
         )
     )
+
+
+def freshness_weights(
+    events: DataFrame,
+    half_life_days: int = 30,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Recency-decayed sampling quotas per event type: every event
+    gets weight 2^(-age_days / half_life) relative to the newest event
+    in the table, and each type's share of the total decayed mass is
+    its freshness-weighted sampling quota — the "prefer recent data"
+    mixing step (a crawl snapshot mix, a news-corpus refresh) made
+    deterministic and exactly oracle-able.
+
+    Exactness: age is a CALENDAR-day integer (datediff of dates — no
+    float epoch math); the decay pow() runs once per DISTINCT age (the
+    bounded-transcendental exposure class of q_naive_bayes — ages are
+    a few thousand values, never per-event) and is integerized to
+    floor(1e9 · 2^(-age/h)) BEFORE any summation, so every sum and the
+    final shares are pure integer arithmetic + one division.
+
+    Scale shape: max-ts is a one-row aggregate broadcast back; events
+    collapse to the (type, age) table in one combinable groupBy; the
+    weight table is ages-sized. Output: one row per type
+    (event_type, n_events, weight_sum_micro9, share)."""
+    mx = events.agg(F.max(F.to_date(F.col(ts_col))).alias("mxd"))
+    aged = events.crossJoin(F.broadcast(mx)).select(
+        F.col(type_col).alias("event_type"),
+        F.datediff(F.col("mxd"), F.to_date(F.col(ts_col))).alias("age"),
+    )
+    per_age = aged.groupBy("event_type", "age").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w9 = F.floor(
+        F.lit(1e9)
+        * F.pow(
+            F.lit(2.0),
+            -F.col("age").cast("double") / F.lit(float(half_life_days)),
+        )
+    ).cast("bigint")
+    per_type = (
+        per_age.withColumn("w9", w9)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum(F.col("n") * F.col("w9")).cast("bigint").alias("wsum9"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_type.withColumn("tot9", F.sum("wsum9").over(wall))
+        .select(
+            "event_type",
+            "n_events",
+            F.col("wsum9").alias("weight_sum_micro9"),
+            F.round(F.col("wsum9") / F.col("tot9"), 6).alias("share"),
+        )
+        .orderBy("event_type")
+    )

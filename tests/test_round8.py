@@ -527,3 +527,88 @@ def test_quality_route_ingest_matches_batch_rules_and_replays_empty(spark, tmp_p
     )
     assert spark.read.parquet(kept_p).count() == 1
     assert spark.read.parquet(rej_p).count() == 3
+
+
+# ---------------------------------------------------------------- rank sum
+
+
+def test_rank_sum_matches_scipy_free_replica(spark):
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        rank_sum_test,
+    )
+
+    data = [(3, 0), (5, 0), (5, 1), (7, 1), (9, 1), (2, 0), (5, 0)]
+    df = spark.createDataFrame(data, "score int, grp int")
+    r = rank_sum_test(df, "score", "grp").collect()[0]
+    # average ranks: 2->1, 3->2, 5->(3+4+5)/3=4, 7->6, 9->7
+    ranks = {2: 1.0, 3: 2.0, 5: 4.0, 7: 6.0, 9: 7.0}
+    r1 = sum(ranks[s] for s, g in data if g == 1)
+    n1 = 3
+    n0 = 4
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert r["n0"] == n0 and r["n1"] == n1
+    assert abs(r["u1"] - u1) < 1e-9
+    n = n0 + n1
+    tie3 = sum(t**3 - t for t in [1, 1, 3, 1, 1])
+    var = n0 * n1 / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (u1 - n0 * n1 / 2) / math.sqrt(var)
+    assert abs(r["z"] - round(z, 4)) < 1e-9
+
+
+def test_rank_sum_all_tied_is_null_z(spark):
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        rank_sum_test,
+    )
+
+    df = spark.createDataFrame(
+        [(5, 0), (5, 1), (5, 0)], "score int, grp int"
+    )
+    assert rank_sum_test(df, "score", "grp").collect()[0]["z"] is None
+
+
+# ------------------------------------------------------------- freshness
+
+
+def test_freshness_weights_decay_and_shares(spark):
+    import datetime as dt
+    import math as m
+
+    from kommunedata_data_pipeline_spark.operators.timeseries import (
+        freshness_weights,
+    )
+
+    base = dt.datetime(2026, 1, 31)
+    rows = [
+        (1, base, "new"),
+        (2, base - dt.timedelta(days=30), "old"),
+        (3, base - dt.timedelta(days=30), "old"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r["event_type"]: r for r in freshness_weights(df, 30).collect()}
+    w_new = m.floor(1e9 * 1.0)
+    w_old = m.floor(1e9 * 2 ** (-1.0))
+    assert out["new"]["weight_sum_micro9"] == w_new
+    assert out["old"]["weight_sum_micro9"] == 2 * w_old
+    tot = w_new + 2 * w_old
+    assert abs(out["new"]["share"] - w_new / tot) < 1e-6
+    # a 30-day-old event weighs exactly half a fresh one (integerized)
+    assert abs(w_old - w_new / 2) <= 1
+
+
+# ---------------------------------------------------------------- k-fold
+
+
+def test_stratified_kfold_balance_within_one(spark):
+    from kommunedata_data_pipeline_spark.operators.sampling import (
+        stratified_kfold,
+    )
+
+    d = load_table(spark, SF_SMALL, "documents")
+    rows = stratified_kfold(d, "lang", k=5).collect()
+    per_stratum: dict = {}
+    for r in rows:
+        per_stratum.setdefault(r["stratum"], []).append(r["n_docs"])
+    for stratum, counts in per_stratum.items():
+        assert max(counts) - min(counts) <= 1, stratum
+    total = sum(r["n_docs"] for r in rows)
+    assert total == d.count()
