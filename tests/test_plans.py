@@ -692,3 +692,56 @@ def test_curriculum_schedule_partitioned_rank(spark):
     p = _plan(spark, "q_curriculum_schedule")
     assert "CartesianProduct" not in p
     assert "hashpartitioning(quality" in p
+
+
+def test_r8_metric_queries_no_python_no_cartesian(spark):
+    # the eval-metric family must stay fully JVM-side: histogram groupBy +
+    # bucket-table window, no Python, no nested-loop joins
+    for name in (
+        "q_auc_exact",
+        "q_pr_curve",
+        "q_ridge_regression",
+        "q_cohens_kappa",
+        "q_rank_sum_test",
+    ):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_er_and_leakproof_candidate_joins_stay_equi(spark):
+    # ER/leakproof ride the deletion-signature / LSH band equi-joins; the
+    # agreement filter and split hash must not introduce a nested loop
+    for name in ("q_er_clusters", "q_leakproof_split"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_shard_balance_and_kfold_rank_is_partitioned(spark):
+    # the ranged_global_rank window must be partitioned by the stamped
+    # partition id — a bare 'Window [' sort over the corpus would be the
+    # single-task degenerate the r7 advice flagged
+    for name in ("q_shard_balance", "q_stratified_kfold"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        # the only unpartitioned window allowed is over the tiny offsets
+        # (pid) table / the final all-rows total; the per-row rank window
+        # carries the __pid partition spec
+        assert "partitionspec" in p.lower() or "__pid" in p, name
+
+
+def test_matryoshka_two_stage_broadcast_scan(spark):
+    p = _plan(spark, "q_matryoshka_rerank")
+    # query set broadcasts; corpus never nested-loops
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_luhn_zone_map_jvm_side(spark):
+    for name in ("q_luhn_pii", "q_zone_map_skip", "q_padding_waste",
+                 "q_negative_sampling", "q_freshness_weights"):
+        p = _plan(spark, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
