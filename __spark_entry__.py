@@ -11738,6 +11738,112 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_kfold(_t(spark, sf_dir, "documents"), "lang", k=5)
 
 
+@_q(
+    "q_partition_skew",
+    """
+    WITH b1 AS (
+      SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+               % 32 AS bucket
+      FROM orders
+    ),
+    g1 AS (SELECT bucket, count(*) AS n FROM b1 GROUP BY bucket),
+    a1 AS (
+      SELECT 'o_custkey' AS key_name,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_buckets_hit,
+             CAST(max(n) AS BIGINT) AS max_bucket
+      FROM g1
+    ),
+    b2 AS (
+      SELECT ('0x' || substr(md5(CAST(o_orderstatus AS VARCHAR)), 1, 8))::BIGINT
+               % 32 AS bucket
+      FROM orders
+    ),
+    g2 AS (SELECT bucket, count(*) AS n FROM b2 GROUP BY bucket),
+    a2 AS (
+      SELECT 'o_orderstatus' AS key_name,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_buckets_hit,
+             CAST(max(n) AS BIGINT) AS max_bucket
+      FROM g2
+    )
+    SELECT key_name, n_rows, n_buckets_hit, max_bucket,
+           round(max_bucket / (n_rows / CAST(n_buckets_hit AS DOUBLE)), 6)
+             AS skew_ratio,
+           round(max_bucket / CAST(n_rows AS DOUBLE), 6) AS top_share
+    FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+    ORDER BY key_name
+    """,
+)
+def q_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit: hash-bucket occupancy (max/mean ratio,
+    top-bucket share) for two candidate join/agg keys — the
+    high-cardinality o_custkey shards evenly while the 3-value
+    o_orderstatus serializes one reducer; the measurement behind every
+    salting / AQE-skew decision
+    (operators/layout.py:partition_skew_audit)."""
+    from kommunedata_data_pipeline_spark.operators.layout import (
+        partition_skew_audit,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return partition_skew_audit(
+        o,
+        {
+            "o_custkey": F.col("o_custkey"),
+            "o_orderstatus": F.col("o_orderstatus"),
+        },
+        n_buckets=32,
+    )
+
+
+@_q(
+    "q_dict_encoding_audit",
+    """
+    WITH c1 AS (
+      SELECT CAST(o_orderpriority AS VARCHAR) AS v FROM orders
+    ),
+    p1 AS (SELECT v, count(*) AS n FROM c1 GROUP BY v),
+    a1 AS (
+      SELECT 'o_orderpriority' AS column,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(length(v) * n) AS BIGINT) AS raw_bytes,
+             CAST(sum(length(v)) + 4 * sum(n) AS BIGINT) AS dict_bytes
+      FROM p1
+    ),
+    c2 AS (SELECT CAST(o_orderkey AS VARCHAR) AS v FROM orders),
+    p2 AS (SELECT v, count(*) AS n FROM c2 GROUP BY v),
+    a2 AS (
+      SELECT 'o_orderkey' AS column,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(length(v) * n) AS BIGINT) AS raw_bytes,
+             CAST(sum(length(v)) + 4 * sum(n) AS BIGINT) AS dict_bytes
+      FROM p2
+    )
+    SELECT "column", n_rows, n_distinct, raw_bytes, dict_bytes,
+           round(dict_bytes / CAST(raw_bytes AS DOUBLE), 6) AS est_ratio
+    FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+    ORDER BY "column"
+    """,
+)
+def q_dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encodability audit: exact cardinality + estimated
+    dict-encoding ratio per column — the 5-value o_orderpriority
+    dict-encodes to a fraction of raw bytes while the unique
+    o_orderkey would EXPAND under a dictionary; the storage-layout
+    decision next to zone maps and Z-order
+    (operators/layout.py:dict_encoding_audit)."""
+    from kommunedata_data_pipeline_spark.operators.layout import (
+        dict_encoding_audit,
+    )
+
+    return dict_encoding_audit(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority", "o_orderkey"]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -248,3 +248,106 @@ def zone_map_skip_stats(
             "row_skip_ratio"
         ),
     ).orderBy("layout")
+
+
+def partition_skew_audit(
+    df: DataFrame,
+    key_cols: dict,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Shuffle-partition skew audit: for each candidate shuffle key,
+    hash rows into ``n_buckets`` buckets (md5 — engine-stable, the
+    same family Spark's HashPartitioner plays at runtime) and report
+    the max/mean bucket ratio and the largest bucket's share — the
+    measurement behind every salting / AQE-skew-join decision: a key
+    whose max/mean is 5x serializes the reduce stage no matter how
+    many executors the cluster has.
+
+    ``key_cols`` maps audit name -> key Column. One groupBy per key
+    over narrow (bucket) rows; counts exact integers, ratios single
+    divisions. Output: one row per key (key_name, n_rows, n_buckets,
+    max_bucket, skew_ratio, top_share)."""
+    from ..functions.strings import md5_bigint
+
+    outs = []
+    for name, col in key_cols.items():
+        b = (
+            df.select(
+                F.pmod(md5_bigint(col.cast("string")), F.lit(n_buckets))
+                .alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        outs.append(
+            b.agg(
+                F.lit(name).alias("key_name"),
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_buckets_hit"),
+                F.max("n").cast("bigint").alias("max_bucket"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionAll(o)
+    return u.select(
+        "key_name",
+        "n_rows",
+        "n_buckets_hit",
+        "max_bucket",
+        F.round(
+            F.col("max_bucket")
+            / (F.col("n_rows") / F.col("n_buckets_hit")),
+            6,
+        ).alias("skew_ratio"),
+        F.round(F.col("max_bucket") / F.col("n_rows"), 6).alias("top_share"),
+    ).orderBy("key_name")
+
+
+def dict_encoding_audit(
+    df: DataFrame,
+    cols: list,
+) -> DataFrame:
+    """Dictionary-encodability audit per column: exact distinct count,
+    total/average value bytes, and the estimated dictionary-encoding
+    ratio (distinct values stored once + fixed-width codes vs raw
+    bytes) — the storage-layout decision next to zone maps and
+    Z-order: a 100 TB column at 0.1% cardinality dict-encodes ~100x,
+    one at 90% cardinality shouldn't be dict-encoded at all.
+
+    Estimate: dict_bytes = Σ distinct value lengths + 4·n (int32
+    codes); ratio = dict_bytes / raw_bytes. Exact integers throughout
+    (lengths and counts), one division on emission. One groupBy per
+    column over (value) — combinable; columns audited independently.
+    Output: (column, n_rows, n_distinct, raw_bytes, dict_bytes,
+    est_ratio)."""
+    outs = []
+    for c in cols:
+        v = df.select(F.col(c).cast("string").alias("v"))
+        per = v.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+        outs.append(
+            per.agg(
+                F.lit(c).alias("column"),
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                F.sum(F.length("v") * F.col("n")).cast("bigint").alias(
+                    "raw_bytes"
+                ),
+                (F.sum(F.length("v")) + 4 * F.sum("n"))
+                .cast("bigint")
+                .alias("dict_bytes"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionAll(o)
+    return u.select(
+        "column",
+        "n_rows",
+        "n_distinct",
+        "raw_bytes",
+        "dict_bytes",
+        F.round(F.col("dict_bytes") / F.col("raw_bytes"), 6).alias(
+            "est_ratio"
+        ),
+    ).orderBy("column")

@@ -612,3 +612,43 @@ def test_stratified_kfold_balance_within_one(spark):
         assert max(counts) - min(counts) <= 1, stratum
     total = sum(r["n_docs"] for r in rows)
     assert total == d.count()
+
+
+# ------------------------------------------------------------ layout audits
+
+
+def test_partition_skew_flags_low_cardinality_key(spark):
+    from kommunedata_data_pipeline_spark.operators.layout import (
+        partition_skew_audit,
+    )
+
+    rows = [(i, i, "HOT" if i % 10 else "COLD") for i in range(1000)]
+    df = spark.createDataFrame(rows, "rid long, good long, bad string")
+    out = {
+        r["key_name"]: r
+        for r in partition_skew_audit(
+            df, {"good": F.col("good"), "bad": F.col("bad")}, 32
+        ).collect()
+    }
+    assert out["good"]["n_rows"] == 1000
+    # 2-value key hits <= 2 buckets; the hot one holds 90% of rows
+    assert out["bad"]["n_buckets_hit"] <= 2
+    assert out["bad"]["top_share"] >= 0.9
+    # high-cardinality key spreads: top bucket well under 20%
+    assert out["good"]["top_share"] < 0.2
+    assert out["bad"]["skew_ratio"] >= out["good"]["skew_ratio"]
+
+
+def test_dict_encoding_audit_exact_byte_math(spark):
+    from kommunedata_data_pipeline_spark.operators.layout import (
+        dict_encoding_audit,
+    )
+
+    df = spark.createDataFrame(
+        [("aa",), ("aa",), ("bb",), ("bb",)], "v string"
+    )
+    r = dict_encoding_audit(df, ["v"]).collect()[0]
+    assert r["n_rows"] == 4 and r["n_distinct"] == 2
+    assert r["raw_bytes"] == 8            # 4 values x 2 chars
+    assert r["dict_bytes"] == 4 + 16      # 2 distinct x 2 + 4 codes x 4
+    assert abs(r["est_ratio"] - 20 / 8) < 1e-6   # tiny values EXPAND
