@@ -11844,6 +11844,122 @@ def q_dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_delete_amplification",
+    """
+    WITH f1 AS (
+      SELECT CAST(ts AS DATE) AS fid,
+             CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END AS is_del
+      FROM events
+    ),
+    g1 AS (SELECT fid, count(*) AS n_rows, sum(is_del) AS n_del
+           FROM f1 GROUP BY fid),
+    a1 AS (
+      SELECT 'by_date' AS layout,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN n_del > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_files_touched,
+             CAST(sum(n_rows) AS BIGINT) AS n_rows,
+             CAST(sum(n_del) AS BIGINT) AS n_rows_deleted,
+             CAST(sum(CASE WHEN n_del > 0 THEN n_rows - n_del ELSE 0 END)
+               AS BIGINT) AS n_rows_rewritten
+      FROM g1
+    ),
+    f2 AS (
+      SELECT user_id // 256 AS fid,
+             CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END AS is_del
+      FROM events
+    ),
+    g2 AS (SELECT fid, count(*) AS n_rows, sum(is_del) AS n_del
+           FROM f2 GROUP BY fid),
+    a2 AS (
+      SELECT 'by_user' AS layout,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN n_del > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_files_touched,
+             CAST(sum(n_rows) AS BIGINT) AS n_rows,
+             CAST(sum(n_del) AS BIGINT) AS n_rows_deleted,
+             CAST(sum(CASE WHEN n_del > 0 THEN n_rows - n_del ELSE 0 END)
+               AS BIGINT) AS n_rows_rewritten
+      FROM g2
+    )
+    SELECT layout, n_files, n_files_touched, n_rows, n_rows_deleted,
+           n_rows_rewritten,
+           round(n_rows_rewritten / CAST(n_rows_deleted AS DOUBLE), 6)
+             AS amplification
+    FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+    ORDER BY layout
+    """,
+)
+def q_delete_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cost audit: copy-on-write delete of one
+    user cohort (user_id % 97 = 0) against two physical layouts —
+    date-clustered files are ALL touched (every file holds every
+    user's rows; amplification = rewrite nearly the whole table) while
+    user-clustered files confine the rewrite to the deleted users'
+    own files. The clustering-by-delete-key / deletion-vector decision
+    measurement (operators/layout.py:delete_amplification_audit)."""
+    from kommunedata_data_pipeline_spark.operators.layout import (
+        delete_amplification_audit,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return delete_amplification_audit(
+        e,
+        F.col("user_id") % 97 == 0,
+        {
+            "by_date": F.to_date(F.col("ts")),
+            "by_user": F.floor(F.col("user_id") / 256),
+        },
+    )
+
+
+@_q(
+    "q_gmm_em_step",
+    f"""
+    WITH g AS (
+      SELECT n_chars AS x, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY n_chars
+    ),
+    r AS (
+      SELECT x, cnt,
+             CAST(floor(1e6 / (1.0 + exp(-(
+               ((CAST(x AS DOUBLE) - 500.0) * (CAST(x AS DOUBLE) - 500.0)
+                - (CAST(x AS DOUBLE) - 1500.0) * (CAST(x AS DOUBLE) - 1500.0))
+               / (2.0 * 400.0 * 400.0) + ln(1.0))))) AS BIGINT) AS r6
+      FROM g
+    ),
+    a AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt * r6) AS BIGINT) AS sr,
+             CAST(sum(cnt * r6 * x) AS BIGINT) AS srx,
+             CAST(sum(cnt * (1000000 - r6)) AS BIGINT) AS sq,
+             CAST(sum(cnt * (1000000 - r6) * x) AS BIGINT) AS sqx
+      FROM r
+    )
+    SELECT n,
+           round(sqx / CAST(sq AS DOUBLE), 6) AS mu0_new,
+           round(srx / CAST(sr AS DOUBLE), 6) AS mu1_new,
+           round(sr / (1e6 * n), 6) AS pi1_new
+    FROM a
+    """,
+)
+def q_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM step of a two-component equal-variance Gaussian mixture
+    over document lengths (mu 500/1500, sigma 400, pi 0.5) — the
+    soft-assignment member of the trainer-step family next to
+    q_kmeans_step (hard) and q_logreg_step (supervised):
+    responsibilities via the logistic identity ONCE per distinct
+    length, integerized to floor(1e6 r) BEFORE the weighted M-step
+    sums (operators/statistics.py:gmm_em_step)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        gmm_em_step,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return gmm_em_step(d, "n_chars", mu0=500.0, mu1=1500.0, sigma=400.0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -88,7 +88,10 @@ def luhn_checksum(digits: Column) -> Column:
     substr(reverse(s),i,1)::INT * 2 END ELSE
     substr(reverse(s),i,1)::INT END)) % 10``."""
     rev = F.reverse(digits)
-    return (
+    # guard the empty string: sequence(1, 0) would auto-step DOWN (the
+    # same descending-sequence trap the r7 advice flagged on the
+    # sorted-neighborhood probe) — no digits means no checksum (NULL)
+    return F.when(F.length(digits) > 0, (
         F.aggregate(
             F.sequence(F.lit(1), F.length(digits)),
             F.lit(0),
@@ -102,4 +105,4 @@ def luhn_checksum(digits: Column) -> Column:
             ).otherwise(rev.substr(i, F.lit(1)).cast("int")),
         )
         % 10
-    )
+    ))

@@ -351,3 +351,70 @@ def dict_encoding_audit(
             "est_ratio"
         ),
     ).orderBy("column")
+
+
+def delete_amplification_audit(
+    df: DataFrame,
+    delete_pred,
+    layouts: dict,
+) -> DataFrame:
+    """Right-to-be-forgotten cost audit: for each candidate physical
+    LAYOUT (a file-id expression), how many files a copy-on-write
+    delete of ``delete_pred`` rows must REWRITE, and the write
+    amplification (rows rewritten per row actually deleted) — the
+    measurement behind deletion-vector vs rewrite decisions and behind
+    clustering the table by the delete key: deleting 0.1% of rows from
+    files clustered by date touches every file (amplification ~1000x),
+    from files clustered by the delete key touches only theirs (~1x).
+
+    One groupBy per layout over (file_id, is_delete); exact integer
+    counts, one division. Output: one row per layout (layout, n_files,
+    n_files_touched, n_rows, n_rows_deleted, n_rows_rewritten,
+    amplification)."""
+    outs = []
+    for name, file_expr in layouts.items():
+        per_file = (
+            df.select(
+                file_expr.alias("file_id"),
+                delete_pred.cast("int").alias("is_del"),
+            )
+            .groupBy("file_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("is_del").alias("n_del"),
+            )
+        )
+        touched = F.col("n_del") > 0
+        outs.append(
+            per_file.agg(
+                F.lit(name).alias("layout"),
+                F.count(F.lit(1)).cast("bigint").alias("n_files"),
+                F.sum(touched.cast("bigint")).cast("bigint").alias(
+                    "n_files_touched"
+                ),
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+                F.sum("n_del").cast("bigint").alias("n_rows_deleted"),
+                # a copy-on-write delete rewrites every SURVIVING row of
+                # a touched file
+                F.sum(
+                    F.when(touched, F.col("n_rows") - F.col("n_del"))
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_rows_rewritten"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionAll(o)
+    return u.select(
+        "layout",
+        "n_files",
+        "n_files_touched",
+        "n_rows",
+        "n_rows_deleted",
+        "n_rows_rewritten",
+        F.round(
+            F.col("n_rows_rewritten") / F.col("n_rows_deleted"), 6
+        ).alias("amplification"),
+    ).orderBy("layout")

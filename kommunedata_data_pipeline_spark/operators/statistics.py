@@ -999,3 +999,62 @@ def rank_sum_test(
         F.round(u1, 1).alias("u1"),
         F.round(z, 4).alias("z"),
     )
+
+
+def gmm_em_step(
+    df: DataFrame,
+    x_col: str,
+    mu0: float,
+    mu1: float,
+    sigma: float,
+    pi1_micro: int = 500000,
+) -> DataFrame:
+    """One EM step of a two-component equal-variance 1-D Gaussian
+    mixture over integer ``x_col`` — the soft-assignment sibling of
+    `logreg_newton_step` (supervised) and the k-means step
+    (hard assignment): E-step responsibilities via the logistic
+    identity r = sigmoid((x−μ0)² − (x−μ1)²)/(2σ²) + ln(π1/π0)),
+    M-step updated means/weight from responsibility-weighted sums.
+
+    Exactness discipline: responsibilities are computed ONCE PER
+    DISTINCT x (the corpus collapses to the value histogram first) and
+    integerized to floor(1e6·r) BEFORE any weighted sum, so the M-step
+    runs on exact BIGINTs — partition-order-independent and engine-
+    identical up to the accepted bounded-transcendental exposure
+    (one exp/ln per distinct value, the q_naive_bayes class).
+    Output: one row (n, mu0_new, mu1_new, pi1_new)."""
+    import math
+
+    g = df.groupBy(F.col(x_col).alias("x")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    xd = F.col("x").cast("double")
+    z = (
+        ((xd - F.lit(float(mu0))) * (xd - F.lit(float(mu0)))
+         - (xd - F.lit(float(mu1))) * (xd - F.lit(float(mu1))))
+        / F.lit(2.0 * float(sigma) * float(sigma))
+        + F.lit(math.log(pi1_micro / (1_000_000 - pi1_micro)))
+    )
+    r6 = F.floor(F.lit(1e6) / (F.lit(1.0) + F.exp(-z))).cast("bigint")
+    w = g.withColumn("r6", r6)
+    agg = w.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("r6")).cast("bigint").alias("sr"),
+        F.sum(F.col("cnt") * F.col("r6") * F.col("x"))
+        .cast("bigint")
+        .alias("srx"),
+        F.sum(F.col("cnt") * (1_000_000 - F.col("r6")))
+        .cast("bigint")
+        .alias("sq"),
+        F.sum(F.col("cnt") * (1_000_000 - F.col("r6")) * F.col("x"))
+        .cast("bigint")
+        .alias("sqx"),
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("sqx") / F.col("sq"), 6).alias("mu0_new"),
+        F.round(F.col("srx") / F.col("sr"), 6).alias("mu1_new"),
+        F.round(F.col("sr") / (F.lit(1e6) * F.col("n")), 6).alias(
+            "pi1_new"
+        ),
+    )

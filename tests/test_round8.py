@@ -652,3 +652,73 @@ def test_dict_encoding_audit_exact_byte_math(spark):
     assert r["raw_bytes"] == 8            # 4 values x 2 chars
     assert r["dict_bytes"] == 4 + 16      # 2 distinct x 2 + 4 codes x 4
     assert abs(r["est_ratio"] - 20 / 8) < 1e-6   # tiny values EXPAND
+
+
+def test_luhn_empty_string_is_null(spark):
+    from kommunedata_data_pipeline_spark.functions.strings import (
+        luhn_checksum,
+    )
+
+    df = spark.createDataFrame([("",), ("0",)], "s string")
+    got = [r["c"] for r in df.select(luhn_checksum(F.col("s")).alias("c")).collect()]
+    assert got == [None, 0]
+
+
+# --------------------------------------------------------- delete ampl.
+
+
+def test_delete_amplification_clustered_vs_scattered(spark):
+    from kommunedata_data_pipeline_spark.operators.layout import (
+        delete_amplification_audit,
+    )
+
+    # 3 scattered files vs user-clustered files; delete key u=7 rows
+    # (rid = 10k+7) land in every rid%3 file but exactly one u-file
+    rows = [(i, i % 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "rid long, u long")
+    out = {
+        r["layout"]: r
+        for r in delete_amplification_audit(
+            df,
+            F.col("u") == 7,
+            {"scattered": F.col("rid") % 3, "clustered": F.col("u")},
+        ).collect()
+    }
+    sc, cl = out["scattered"], out["clustered"]
+    assert sc["n_rows_deleted"] == cl["n_rows_deleted"] == 10
+    assert sc["n_files_touched"] == 3          # every file holds a u=7 row
+    assert cl["n_files_touched"] == 1          # only the u=7 file
+    assert cl["n_rows_rewritten"] == 0         # that file is ALL deletes
+    assert sc["n_rows_rewritten"] == 90
+    assert abs(sc["amplification"] - 9.0) < 1e-9
+    assert cl["amplification"] == 0.0
+
+
+# ----------------------------------------------------------------- GMM EM
+
+
+def test_gmm_em_step_matches_numpy_replica(spark):
+    import math as m
+
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        gmm_em_step,
+    )
+
+    xs = [100, 400, 500, 900, 1400, 1500, 1600, 2000, 500, 1500]
+    df = spark.createDataFrame([(x,) for x in xs], "x int")
+    row = gmm_em_step(df, "x", mu0=500.0, mu1=1500.0, sigma=400.0).collect()[0]
+
+    def r6(x):
+        z = ((x - 500.0) ** 2 - (x - 1500.0) ** 2) / (2 * 400.0 * 400.0)
+        return m.floor(1e6 / (1.0 + m.exp(-z)))
+
+    sr = sum(r6(x) for x in xs)
+    srx = sum(r6(x) * x for x in xs)
+    sq = sum(1_000_000 - r6(x) for x in xs)
+    sqx = sum((1_000_000 - r6(x)) * x for x in xs)
+    assert row["n"] == 10
+    assert abs(row["mu0_new"] - round(sqx / sq, 6)) < 1e-9
+    assert abs(row["mu1_new"] - round(srx / sr, 6)) < 1e-9
+    assert abs(row["pi1_new"] - round(sr / 1e7, 6)) < 1e-9
+    # the step moves the means toward their clusters' mass
+    assert row["mu0_new"] < 1000 < row["mu1_new"]
