@@ -11960,6 +11960,153 @@ def q_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gmm_em_step(d, "n_chars", mu0=500.0, mu1=1500.0, sigma=400.0)
 
 
+@_q(
+    "q_ngram_lang_id",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lang, doc_id % 3 = 0 AS seed, {_NORM_SQL} AS t
+      FROM documents
+    ),
+    tr AS (
+      SELECT doc_id, lang, seed,
+             list_distinct(CASE WHEN length(t) >= 3
+               THEN list_transform(range(1, length(t) - 1),
+                                   i -> substr(t, CAST(i AS INT), 3))
+               ELSE [t] END) AS tris
+      FROM norm
+    ),
+    st AS (SELECT lang, unnest(tris) AS tri FROM tr WHERE seed),
+    pc AS (SELECT lang, tri, count(*) AS cnt FROM st GROUP BY lang, tri),
+    prof AS (
+      SELECT lang AS p_lang, tri FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                    ORDER BY cnt DESC, tri) AS rn
+        FROM pc) WHERE rn <= 50
+    ),
+    tt AS (SELECT doc_id, lang, unnest(tris) AS tri FROM tr WHERE NOT seed),
+    sc AS (SELECT doc_id, lang, p_lang, count(*) AS score
+           FROM tt JOIN prof USING (tri) GROUP BY doc_id, lang, p_lang),
+    best AS (
+      SELECT doc_id, p_lang AS predicted FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, p_lang) AS rn
+        FROM sc) WHERE rn = 1
+    ),
+    lab AS (
+      SELECT t.doc_id, t.lang, coalesce(b.predicted, 'unknown') AS predicted
+      FROM (SELECT doc_id, lang FROM tr WHERE NOT seed) t
+      LEFT JOIN best b ON b.doc_id = t.doc_id
+    )
+    SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM lab GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+)
+def q_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (Cavnar-Trenkle profiles): top-50
+    trigram profiles from the labeled seed third of the corpus,
+    distinct-overlap argmax classification of the rest, confusion
+    table vs true labels — the published n-gram upgrade over the
+    stopword-voting heuristic (q_lang_guess), same broadcast-profile
+    plan shape (operators/corpus.py:ngram_lang_id)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        ngram_lang_id,
+    )
+
+    return ngram_lang_id(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") % 3 == 0
+    )
+
+
+def _mmr_oracle_sql(lam: float = 0.7, shortlist: int = 20, k: int = 5) -> str:
+    """Unrolled greedy MMR in DuckDB (loop-generated, the kcenter
+    discipline). The redundancy complement embeds repr(1-lam) so the
+    double constant is bit-identical to Spark's F.lit(1.0 - lam)."""
+    cos = f"round({_DOT_SQL} / ({_NORM_E_SQL} * {_NORM_Q_SQL}), 5)"
+    cos_ab = (
+        "round(list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(a.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(b.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 5)"
+    )
+    parts = [
+        f"""qs AS (SELECT vec_id AS query_id, embedding AS q_embedding
+       FROM embeddings WHERE vec_id < 8),
+    sc AS (
+      SELECT q.query_id, e.vec_id, e.embedding, {cos} AS sim
+      FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.query_id),
+    cands AS (
+      SELECT query_id, vec_id, embedding, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS srn
+        FROM sc) WHERE srn <= {shortlist}),
+    pair AS (
+      SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb, {cos_ab} AS sim_ab
+      FROM cands a JOIN cands b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+    c1 AS (
+      SELECT query_id, vec_id, sim AS cosine_sim, sim AS mmr_score, 1 AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, vec_id) AS rn
+            FROM cands) WHERE rn = 1),
+    sel1 AS (SELECT query_id, vec_id FROM c1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""m{i} AS (
+      SELECT c.query_id, c.vec_id, c.sim,
+             {lam!r} * c.sim - {1.0 - lam!r} * max(p.sim_ab) AS mmr
+      FROM cands c
+      JOIN pair p ON p.query_id = c.query_id AND p.va = c.vec_id
+      JOIN sel{i - 1} s ON s.query_id = p.query_id AND s.vec_id = p.vb
+      WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} s2
+                        WHERE s2.query_id = c.query_id
+                          AND s2.vec_id = c.vec_id)
+      GROUP BY c.query_id, c.vec_id, c.sim),
+    c{i} AS (
+      SELECT query_id, vec_id, sim AS cosine_sim,
+             round(mmr, 5) AS mmr_score, {i} AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY mmr DESC, vec_id) AS rn
+            FROM m{i}) WHERE rn = 1),
+    sel{i} AS (SELECT query_id, vec_id FROM sel{i - 1}
+               UNION ALL SELECT query_id, vec_id FROM c{i})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT query_id, vec_id, cosine_sim, mmr_score, rank FROM c{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + "\n    SELECT query_id, vec_id, cosine_sim, mmr_score,"
+        + "\n           CAST(rank AS INT) AS rank"
+        + f"\n    FROM ({union}) ORDER BY query_id, rank\n    "
+    )
+
+
+@_q("q_mmr_rerank", _mmr_oracle_sql(0.7, 20, 5))
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-rank (Carbonell &
+    Goldstein): per query, greedy top-5 maximizing 0.7 relevance -
+    0.3 redundancy over a cosine top-20 shortlist — the re-rank that
+    stops near-dup-heavy retrieval returning five copies of one
+    paragraph. One corpus-sized shortlist stage; every MMR round runs
+    on the constant-size shortlist pair table; round5/vec_id total
+    order in both engines (operators/similarity.py:mmr_rerank)."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return mmr_rerank(e, qs, lam=0.7, shortlist=20, k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -1591,3 +1591,84 @@ def corpus_datasheet(
         )
         .orderBy("source")
     )
+
+
+def ngram_lang_id(
+    documents: DataFrame,
+    seed_pred: Column,
+    profile_size: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-trigram language identification (Cavnar & Trenkle
+    1994 profile method, the published upgrade over stopword voting):
+    build per-language profiles — the ``profile_size`` most frequent
+    character trigrams of the SEED docs (labeled, ``seed_pred``) —
+    then classify every non-seed doc by distinct-trigram overlap with
+    each profile (argmax, ties on lang ascending; zero overlap
+    everywhere → 'unknown'). Emits the confusion table against the
+    true labels — the audit that says whether the classifier is good
+    enough to gate on.
+
+    All integer: profile cut pinned by (count DESC, trigram ASC),
+    scores are distinct-overlap counts. Scale shape: ONE distinct
+    (doc, trigram) stream; profiles are |langs|·profile_size rows
+    (broadcast); score = one equi-join on trigram + per-(doc, lang)
+    count + per-doc argmax window; confusion is a tiny rollup.
+    Output: (lang, predicted, n)."""
+    from ..functions.text import normalized_text
+
+    norm = normalized_text(F.col(text_col))
+    tris = F.array_distinct(
+        F.when(
+            F.length(norm) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.length(norm) - 2),
+                lambda i: norm.substr(i, F.lit(3)),
+            ),
+        ).otherwise(F.array(norm)),
+    )
+    base = documents.select(
+        "doc_id", "lang", seed_pred.alias("__seed"), tris.alias("tris")
+    )
+    seed_tris = base.where(F.col("__seed")).select(
+        "lang", F.explode("tris").alias("tri")
+    )
+    wprof = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("tri").asc()
+    )
+    profiles = (
+        seed_tris.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wprof))
+        .where(F.col("rn") <= profile_size)
+        .select(F.col("lang").alias("p_lang"), "tri")
+    )
+    test = base.where(~F.col("__seed")).select(
+        "doc_id", "lang", F.explode("tris").alias("tri")
+    )
+    scores = (
+        test.join(F.broadcast(profiles), "tri")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("p_lang").asc()
+    )
+    best = (
+        scores.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("p_lang").alias("predicted"))
+    )
+    labeled = (
+        base.where(~F.col("__seed"))
+        .select("doc_id", "lang")
+        .join(best.select("doc_id", "predicted"), "doc_id", "left")
+        .withColumn(
+            "predicted", F.coalesce(F.col("predicted"), F.lit("unknown"))
+        )
+    )
+    return (
+        labeled.groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("lang", "predicted")
+    )

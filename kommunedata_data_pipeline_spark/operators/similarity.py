@@ -1437,3 +1437,126 @@ def kcenter_coreset(
         "vec_id",
         "radius_micro",
     ).orderBy("pick")
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    lam: float = 0.7,
+    shortlist: int = 20,
+    k: int = 5,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): per query, greedily pick k results maximizing
+    λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s) — relevance traded
+    against redundancy, the diversity re-rank every RAG/retrieval
+    stack wants when the corpus is near-dup-heavy (plain top-k returns
+    five copies of the same paragraph; MMR returns one plus four
+    genuinely different hits).
+
+    Determinism: all similarities are round5 cosines; the MMR score is
+    one double expression over two round5 values (identical operand
+    bits → identical IEEE result in both engines), ties broken on
+    vec_id — both engines replay the same greedy trajectory.
+
+    Scale shape: ONE corpus-sized stage (the broadcast-query shortlist
+    top-``shortlist`` window); everything after runs on the
+    shortlist×shortlist pair table — CONSTANT size per query
+    regardless of corpus size — through k-1 checkpoint-pinned argmax
+    rounds. Output: (query_id, vec_id, cosine_sim, mmr_score, rank)
+    with rank 1's mmr_score = its plain relevance."""
+    joined = embeddings.crossJoin(
+        F.broadcast(queries.select(query_id, "q_embedding"))
+    ).where(F.col("vec_id") != F.col(query_id))
+    scored = joined.select(
+        F.col(query_id),
+        "vec_id",
+        "embedding",
+        F.round(cosine(F.col("embedding"), F.col("q_embedding")), 5).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    cands = (
+        scored.withColumn("srn", F.row_number().over(w))
+        .where(F.col("srn") <= shortlist)
+        .select(query_id, "vec_id", "embedding", "sim")
+        .localCheckpoint(eager=False)
+    )
+    a = cands.alias("a")
+    b = cands.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col(f"a.{query_id}") == F.col(f"b.{query_id}"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col(f"a.{query_id}").alias(query_id),
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")), 5
+            ).alias("sim_ab"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wq = Window.partitionBy(query_id).orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    sel = (
+        cands.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == 1)
+        .select(
+            query_id,
+            "vec_id",
+            F.col("sim").alias("cosine_sim"),
+            F.col("sim").alias("mmr_score"),
+            F.lit(1).alias("rank"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for i in range(2, k + 1):
+        chosen = sel.select(query_id, F.col("vec_id").alias("vb"))
+        remaining = cands.join(
+            sel.select(query_id, "vec_id"), [query_id, "vec_id"], "left_anti"
+        )
+        red = (
+            pair.join(chosen, [query_id, "vb"])
+            .groupBy(query_id, F.col("va").alias("vec_id"))
+            .agg(F.max("sim_ab").alias("max_red"))
+        )
+        scored_i = remaining.join(red, [query_id, "vec_id"]).select(
+            query_id,
+            "vec_id",
+            F.col("sim"),
+            (
+                F.lit(float(lam)) * F.col("sim")
+                - F.lit(1.0 - float(lam)) * F.col("max_red")
+            ).alias("mmr"),
+        )
+        wpick = Window.partitionBy(query_id).orderBy(
+            F.col("mmr").desc(), F.col("vec_id").asc()
+        )
+        nxt = (
+            scored_i.withColumn("rn", F.row_number().over(wpick))
+            .where(F.col("rn") == 1)
+            .select(
+                query_id,
+                "vec_id",
+                F.col("sim").alias("cosine_sim"),
+                F.round(F.col("mmr"), 5).alias("mmr_score"),
+                F.lit(i).alias("rank"),
+            )
+        )
+        sel = sel.unionAll(nxt).localCheckpoint(eager=False)
+    return sel.select(
+        query_id,
+        "vec_id",
+        "cosine_sim",
+        "mmr_score",
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy(query_id, "rank")

@@ -722,3 +722,58 @@ def test_gmm_em_step_matches_numpy_replica(spark):
     assert abs(row["pi1_new"] - round(sr / 1e7, 6)) < 1e-9
     # the step moves the means toward their clusters' mass
     assert row["mu0_new"] < 1000 < row["mu1_new"]
+
+
+# ----------------------------------------------------------- lang id / MMR
+
+
+def test_ngram_lang_id_separates_constructed_langs(spark):
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        ngram_lang_id,
+    )
+
+    aa = "aaab aaac aaad aaae"      # 'aa'-heavy trigrams
+    zz = "zzzy zzzx zzzw zzzv"      # 'zz'-heavy trigrams
+    rows = [
+        (0, "la", aa), (3, "la", aa + " aaaf"),        # seeds la
+        (6, "lz", zz), (9, "lz", zz + " zzzu"),        # seeds lz
+        (1, "la", "aaab aaac something"),              # test -> la
+        (2, "lz", "zzzy zzzx other"),                  # test -> lz
+        (4, "la", "qqq www eee"),                      # no overlap -> unknown
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        (r["lang"], r["predicted"]): r["n"]
+        for r in ngram_lang_id(df, F.col("doc_id") % 3 == 0).collect()
+    }
+    assert out[("la", "la")] == 1
+    assert out[("lz", "lz")] == 1
+    assert out[("la", "unknown")] == 1
+    assert sum(out.values()) == 3        # only non-seed docs are classified
+
+
+def test_mmr_rank1_is_top_sim_and_diversity_beats_redundancy(spark):
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    # query 0; vecs 1,2 nearly identical & most relevant; vec 3 less
+    # relevant but orthogonal-ish -> MMR rank2 should prefer 3 over 2
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.12, 0.0, 0.0]),
+        (2, [0.99, 0.125, 0.0, 0.0]),
+        (3, [0.6, -0.8, 0.0, 0.0]),
+        (4, [0.5, 0.86, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    mmr = {r["rank"]: r["vec_id"] for r in mmr_rerank(e, qs, 0.5, 4, 3).collect()}
+    plain = {r["rank"]: r["vec_id"] for r in brute_force_topk(e, qs, 3).collect()}
+    assert mmr[1] == plain[1] == 1       # rank 1 = plain relevance argmax
+    assert plain[2] == 2                 # plain top-k returns the near-copy
+    assert mmr[2] == 3                   # MMR skips it for the diverse hit
