@@ -12107,6 +12107,170 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(e, qs, lam=0.7, shortlist=20, k=5)
 
 
+_ER_CC_CTES = """s AS (
+      SELECT c_custkey AS sid, c_name AS str, length(c_name) AS n
+      FROM customer
+    ),
+    vi AS (SELECT sid, str, unnest(range(0, n + 1)) AS i FROM s),
+    v AS (
+      SELECT DISTINCT sid,
+             CASE WHEN i = 0 THEN str
+                  ELSE substr(str, 1, CAST(i AS INT) - 1)
+                       || substr(str, CAST(i AS INT) + 1)
+             END AS var
+      FROM vi
+    ),
+    cand AS (
+      SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+      FROM v a JOIN v b ON a.var = b.var AND a.sid < b.sid
+    ),
+    p AS (
+      SELECT id_a, id_b FROM cand
+      JOIN s sa ON sa.sid = id_a
+      JOIN s sb ON sb.sid = id_b
+      JOIN customer ca ON ca.c_custkey = id_a
+      JOIN customer cb ON cb.c_custkey = id_b
+      WHERE levenshtein(sa.str, sb.str) <= 1
+        AND ca.c_mktsegment = cb.c_mktsegment
+        AND ca.c_nationkey = cb.c_nationkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    cc AS (SELECT node, min(lab) AS entity_id FROM reach GROUP BY node),
+    lab AS (
+      SELECT c_custkey AS rid, coalesce(cc.entity_id, c_custkey) AS entity_id
+      FROM customer LEFT JOIN cc ON cc.node = c_custkey
+    )"""
+
+
+@_q(
+    "q_golden_record",
+    f"""
+    WITH RECURSIVE {_ER_CC_CTES}
+    SELECT entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(c_name) AS canonical_c_name,
+           min(c_mktsegment) AS c_mktsegment,
+           min(c_nationkey) AS c_nationkey,
+           round(max(c_acctbal), 2) AS max_c_acctbal
+    FROM lab JOIN customer ON c_custkey = rid
+    GROUP BY entity_id ORDER BY entity_id
+    """,
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship — the golden-record merge completing the MDM chain
+    (record_linkage detects, er_clusters resolves, THIS merges): one
+    row per entity with deterministic survivorship rules (min-string
+    canonical name, max numeric, agreement attributes carried — every
+    member agrees by construction of the match rule)
+    (operators/dedup.py:golden_records)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        golden_records,
+    )
+
+    return golden_records(
+        _t(spark, sf_dir, "customer"),
+        "c_custkey",
+        "c_name",
+        agree_cols=("c_mktsegment", "c_nationkey"),
+        value_cols=("c_acctbal",),
+    )
+
+
+@_q(
+    "q_ann_ndcg",
+    f"""
+    WITH qs AS (SELECT vec_id AS query_id, embedding AS q_embedding
+                FROM embeddings WHERE vec_id < 8),
+    ex AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_DOT_SQL} / ({_NORM_E_SQL} * {_NORM_Q_SQL}), 5)
+                          DESC, e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN qs q
+        WHERE e.vec_id <> q.query_id)
+      WHERE rank <= 5),
+    cents AS (
+      SELECT vec_id AS centroid_id, embedding AS c_embedding
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    asg AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_ivf_cos_sql('e.embedding', 'c.c_embedding')} DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    lists AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+    pr AS (
+      SELECT q.query_id, q.q_embedding, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {_ivf_cos_sql('q.q_embedding', 'c.c_embedding')} DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM qs q CROSS JOIN cents c
+    ),
+    ap AS (
+      SELECT query_id, vec_id, rank AS pos FROM (
+        SELECT p.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {_ivf_cos_sql('e.embedding', 'p.q_embedding')}
+                          DESC, e.vec_id) AS rank
+        FROM lists e
+        JOIN (SELECT query_id, q_embedding, centroid_id FROM pr WHERE rn <= 2) p
+          ON e.centroid_id = p.centroid_id
+        WHERE e.vec_id <> p.query_id)
+      WHERE rank <= 5),
+    rel AS (
+      SELECT ap.query_id, ap.pos,
+             coalesce(6 - ex.rank, 0) AS rel
+      FROM ap LEFT JOIN ex
+        ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id),
+    d AS (
+      SELECT query_id,
+             list_sum(list(CAST(rel AS DOUBLE)
+               / log2(CAST(pos AS DOUBLE) + 1) ORDER BY pos)) AS dcg
+      FROM rel GROUP BY query_id),
+    i AS (
+      SELECT list_sum(list_transform(range(1, 6), r ->
+               CAST(6 - r AS DOUBLE) / log2(CAST(r AS DOUBLE) + 1)))
+        AS idcg)
+    SELECT query_id, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+           round(dcg / idcg, 6) AS ndcg
+    FROM d CROSS JOIN i ORDER BY query_id
+    """,
+)
+def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 audit of the IVF path vs the exact ranking — the
+    position-aware upgrade over q_ann_recall's set overlap (gain
+    6−exact_rank, 1/log2(pos+1) discount); DCG/IDCG are SEQUENTIAL
+    pos-ordered folds so no unordered float summation exists
+    (operators/similarity.py:ann_ndcg_audit)."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        ann_ndcg_audit,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return ann_ndcg_audit(e, q, 5, n_centroids=16, nprobe=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

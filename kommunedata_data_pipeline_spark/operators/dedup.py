@@ -1692,3 +1692,38 @@ def er_clusters(
     return labeled.join(sizes, "entity_id").select(
         "rid", "entity_id", "n_members"
     )
+
+
+def golden_records(
+    records: DataFrame,
+    id_col: str,
+    str_col: str,
+    agree_cols: tuple = (),
+    value_cols: tuple = (),
+) -> DataFrame:
+    """Survivorship — the golden-record merge that completes the MDM
+    chain after `linkage_scores` (detect) and `er_clusters` (resolve):
+    one merged row per entity with deterministic survivorship rules —
+    canonical string = MIN member string (the stable-pick convention),
+    each ``value_cols`` numeric = MAX across members (most-complete-
+    value rule), the ``agree_cols`` attributes carried as-is (every
+    member agrees by construction of the match rule — that is exactly
+    what the agreement predicate guarantees transitively).
+
+    Scale shape: er_clusters' plan (pair-graph CC + one corpus-sized
+    label join) plus one combinable per-entity aggregate. Output:
+    (entity_id, n_members, canonical_<str_col>, <agree_cols...>,
+    max_<value_cols...>)."""
+    labeled = er_clusters(records, id_col, str_col, agree_cols).select(
+        F.col("rid").alias(id_col), "entity_id"
+    )
+    joined = records.join(labeled, id_col)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min(str_col).alias(f"canonical_{str_col}"),
+    ]
+    for c in agree_cols:
+        aggs.append(F.min(c).alias(c))
+    for c in value_cols:
+        aggs.append(F.round(F.max(c), 2).alias(f"max_{c}"))
+    return joined.groupBy("entity_id").agg(*aggs).orderBy("entity_id")

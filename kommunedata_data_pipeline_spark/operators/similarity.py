@@ -1560,3 +1560,62 @@ def mmr_rerank(
         "mmr_score",
         F.col("rank").cast("int").alias("rank"),
     ).orderBy(query_id, "rank")
+
+
+def ann_ndcg_audit(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """NDCG@k audit of the IVF approximate retrieval path against the
+    exact brute-force ranking — the position-aware upgrade over
+    `ann_recall_audit`'s set overlap: recall says WHETHER the true
+    hits were found, NDCG says whether they surfaced in the right
+    ORDER (gain k+1−exact_rank, discount 1/log2(pos+1), the standard
+    graded formulation with exact-rank-derived integer gains).
+
+    Determinism: gains are integers from engine-exact top-k sets; DCG
+    and IDCG are SEQUENTIAL folds over pos-sorted arrays (never an
+    unordered float sum — 5-term double addition order would be the
+    only nondeterminism, so it is removed); log2 runs k times per
+    query (the bounded-transcendental exposure class). Output:
+    (query_id, dcg, idcg, ndcg)."""
+    ex = brute_force_topk(embeddings, queries, k, query_id).select(
+        query_id, "vec_id", F.col("rank").alias("ex_rank")
+    )
+    ap = ivf_topk(
+        embeddings, queries, k, n_centroids, nprobe, query_id
+    ).select(query_id, "vec_id", F.col("rank").alias("pos"))
+    rel = ap.join(ex, [query_id, "vec_id"], "left").select(
+        query_id,
+        "pos",
+        F.coalesce(k + 1 - F.col("ex_rank"), F.lit(0)).alias("rel"),
+    )
+    folded = rel.groupBy(query_id).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("pos", "rel"))),
+            F.lit(0.0),
+            lambda acc, e: acc
+            + e["rel"].cast("double")
+            / F.log2(e["pos"].cast("double") + 1),
+        ).alias("dcg")
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.lit(k)),
+        F.lit(0.0),
+        lambda acc, r: acc
+        + (k + 1 - r).cast("double") / F.log2(r.cast("double") + 1),
+    )
+    return (
+        folded.withColumn("idcg", idcg)
+        .select(
+            query_id,
+            F.round(F.col("dcg"), 6).alias("dcg"),
+            F.round(F.col("idcg"), 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+        .orderBy(query_id)
+    )

@@ -777,3 +777,58 @@ def test_mmr_rank1_is_top_sim_and_diversity_beats_redundancy(spark):
     assert mmr[1] == plain[1] == 1       # rank 1 = plain relevance argmax
     assert plain[2] == 2                 # plain top-k returns the near-copy
     assert mmr[2] == 3                   # MMR skips it for the diverse hit
+
+
+# ------------------------------------------------------ NDCG / golden rec.
+
+
+def test_ann_ndcg_perfect_when_approx_equals_exact(spark):
+    import math as m
+
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        ann_ndcg_audit,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    qs = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    # nprobe = n_centroids makes IVF scan every list -> exact ranking
+    rows = ann_ndcg_audit(e, qs, 5, n_centroids=8, nprobe=8).collect()
+    idcg = sum((6 - r) / m.log2(r + 1) for r in range(1, 6))
+    assert len(rows) == 4
+    for r in rows:
+        assert abs(r["ndcg"] - 1.0) < 1e-6
+        assert abs(r["idcg"] - round(idcg, 6)) < 1e-9
+        assert abs(r["dcg"] - r["idcg"]) < 1e-5
+    # a lossy operating point cannot exceed 1 and reports per query
+    lossy = ann_ndcg_audit(e, qs, 5, n_centroids=16, nprobe=1).collect()
+    assert all(0.0 <= r["ndcg"] <= 1.0 for r in lossy)
+
+
+def test_golden_records_survivorship_rules(spark):
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        golden_records,
+    )
+
+    rows = [
+        (1, "kkkk0001", "A", 10.0),
+        (2, "kkkk0002", "A", 30.0),   # same entity as 1
+        (3, "kkkk0003", "B", 99.0),   # lev1 of 2 but segment differs
+        (4, "zzzz9999", "A", 7.0),    # singleton
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, name string, seg string, bal double"
+    )
+    out = {
+        r["entity_id"]: r
+        for r in golden_records(
+            df, "rid", "name", agree_cols=("seg",), value_cols=("bal",)
+        ).collect()
+    }
+    g = out[1]
+    assert g["n_members"] == 2
+    assert g["canonical_name"] == "kkkk0001"     # min-string rule
+    assert g["seg"] == "A" and g["max_bal"] == 30.0
+    assert out[3]["n_members"] == 1 and out[4]["max_bal"] == 7.0
