@@ -12271,6 +12271,105 @@ def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ndcg_audit(e, q, 5, n_centroids=16, nprobe=2)
 
 
+@_q(
+    "q_cc_index_update",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM lsh_pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_cc_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components: the stored label table covers
+    the old 80% of the near-dup graph; the 20%-touching pairs arrive
+    as a batch and are folded in via label-space contraction (CC runs
+    on the batch-sized contracted graph only; the historical edge list
+    is never re-read). Oracle = full CC rebuild over the union — the
+    update theorem this operator implements
+    (operators/dedup.py:cc_index_update)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        cc_index_update,
+        dup_clusters,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, 3, 16, 4, 0.5).select("doc_a", "doc_b")
+    try:
+        pairs = pairs.localCheckpoint(eager=False)
+    except Exception:
+        pairs = pairs.persist()
+    old = (F.col("doc_a") % 10 < 8) & (F.col("doc_b") % 10 < 8)
+    stored = dup_clusters(pairs.where(old))
+    return cc_index_update(stored, pairs.where(~old)).orderBy("doc_id")
+
+
+@_q(
+    "q_tfidf_knn",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, doc_id < 8 AS q, unnest(string_split(t, ' '))
+               AS term
+             FROM norm),
+    tf AS (SELECT doc_id, q, term, count(*) AS tf
+           FROM toks WHERE term <> '' GROUP BY doc_id, q, term),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*) AS n FROM documents),
+    idf AS (
+      SELECT term, CAST(floor(1e3 * ln(n / df)) AS BIGINT) AS idf3
+      FROM dfq CROSS JOIN nn WHERE df <= 50
+    ),
+    w AS (SELECT doc_id, q, term, tf * idf3 AS w FROM tf JOIN idf USING (term)),
+    norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+              FROM w GROUP BY doc_id),
+    qw AS (SELECT doc_id AS query_id, term, w AS wq FROM w WHERE q),
+    dots AS (
+      SELECT qw.query_id, w.doc_id, CAST(sum(wq * w.w) AS BIGINT) AS dot
+      FROM qw JOIN w USING (term)
+      WHERE qw.query_id <> w.doc_id
+      GROUP BY qw.query_id, w.doc_id
+    ),
+    sc AS (
+      SELECT d.query_id, d.doc_id,
+             round(d.dot / (sqrt(nq.n2) * sqrt(nd.n2)), 5) AS cosine_sim
+      FROM dots d
+      JOIN norms nq ON nq.doc_id = d.query_id
+      JOIN norms nd ON nd.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, cosine_sim, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, doc_id) AS rank
+          FROM sc)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine kNN via the inverted index: milli-integer
+    idf weights (ln once per term), integer dot/norms (no unordered
+    float sums), df-capped postings (the hot-key valve — exactly the
+    ~zero-idf terms), ONE term equi-join for candidates — the weighted
+    text-similarity search next to BM25 and shingle Jaccard
+    (operators/retrieval.py:tfidf_knn)."""
+    from kommunedata_data_pipeline_spark.operators.retrieval import (
+        tfidf_knn,
+    )
+
+    return tfidf_knn(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 8, k=5, df_cap=50
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

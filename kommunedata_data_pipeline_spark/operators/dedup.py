@@ -1727,3 +1727,61 @@ def golden_records(
     for c in value_cols:
         aggs.append(F.round(F.max(c), 2).alias(f"max_{c}"))
     return joined.groupBy("entity_id").agg(*aggs).orderBy("entity_id")
+
+
+def cc_index_update(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+) -> DataFrame:
+    """INCREMENTAL connected components — the graph-family member of
+    the index-update discipline (`minhash_index_update`,
+    `ann_index_update`): given the PERSISTED label table
+    (doc_id, cluster_id) of the already-ingested pair graph and a
+    fresh batch of pairs, produce the updated labels WITHOUT
+    recomputing CC over the historical graph. The standard
+    contraction trick: map the new edges into label space
+    (label(a), label(b)) — components already merged collapse to
+    self-loops and drop out — run CC on that CONTRACTED graph (sized
+    by the batch, not the history), and remap every stored label
+    through the resulting root map. New nodes (absent from the store)
+    enter as their own singleton labels first, so min-label semantics
+    are preserved globally: the merged component's root is the min
+    over all merged labels = the min doc_id of the whole component —
+    exactly what a full rebuild yields (pytest pins update ≡ rebuild,
+    including the two-old-components-merged-by-one-new-edge case).
+
+    Scale shape: two equi-joins of the batch against the label store
+    (AQE broadcasts a small batch against a huge store — the
+    production ingest shape), CC on the batch-sized contracted graph,
+    ONE store-sized equi-join for the remap. The history's edge list
+    is never touched. Output: (doc_id, cluster_id)."""
+    members = (
+        new_pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(new_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    fresh = members.join(labels, "doc_id", "left_anti").withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    all_labels = labels.unionAll(fresh).localCheckpoint(eager=False)
+    la = all_labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("la")
+    )
+    lb = all_labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("lb")
+    )
+    contracted = (
+        new_pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .where(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
+        .distinct()
+    )
+    roots = dup_clusters(contracted).select(
+        F.col("doc_id").alias("cluster_id"),
+        F.col("cluster_id").alias("root"),
+    )
+    return all_labels.join(roots, "cluster_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("root"), F.col("cluster_id")).alias("cluster_id"),
+    )

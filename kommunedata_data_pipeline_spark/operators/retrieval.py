@@ -93,3 +93,109 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(topk)
     )
+
+
+def tfidf_knn(
+    documents: DataFrame,
+    query_pred,
+    k: int = 5,
+    df_cap: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse TF-IDF cosine k-nearest-neighbours: for every QUERY doc
+    (``query_pred``), the ``k`` most similar corpus docs under
+    TF-IDF-weighted cosine — the inverted-index text-similarity search
+    that complements BM25 (query→doc relevance) and shingle Jaccard
+    (set overlap): weighted sparse vectors, so a shared RARE term
+    counts far more than shared boilerplate.
+
+    Exactness discipline: idf = floor(1e3·ln(N/df)) computed once per
+    term (bounded transcendental; milli-units keep Σw² comfortably
+    inside BIGINT — w ≤ tf·1e3·ln(N), so Σw² < 1e14 even at 1e9 docs
+    with tf 100); weights w = tf·idf_milli are exact
+    BIGINTs, so the dot product and squared norms are pure integer
+    sums — partition-order-independent — and only the final
+    cosine = dot/(|a||b|) is a double, rounded to 5 with a doc_id
+    tiebreak (the embedding-family total order).
+
+    Scale shape: one (doc, term, tf) aggregate; a document-frequency
+    cap drops terms in > ``df_cap`` docs (the quadratic-hot-key valve —
+    exactly the terms whose idf ≈ 0 anyway); candidates come from ONE
+    term equi-join of the query docs' postings against the corpus
+    postings; per-pair integer dot groupBy; norms joined back. Never
+    all-pairs. Output: (query_id, doc_id, cosine_sim, rank)."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id",
+        query_pred.alias("__q"),
+        F.explode(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "__q", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n"))
+    idf = (
+        dfreq.where(F.col("df") <= df_cap)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.floor(
+                F.lit(1e3) * F.log(F.col("n") / F.col("df"))
+            ).cast("bigint").alias("idf3"),
+        )
+    )
+    w = tf.join(idf, "term").select(
+        "doc_id",
+        "__q",
+        "term",
+        (F.col("tf") * F.col("idf3")).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    qw = w.where(F.col("__q")).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("w").alias("wq")
+    )
+    cw = w.select("doc_id", "term", "w")
+    dots = (
+        qw.join(cw, "term")
+        .where(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("wq") * F.col("w")).alias("dot"))
+    )
+    scored = (
+        dots.join(
+            norms.withColumnRenamed("doc_id", "query_id").withColumnRenamed(
+                "n2", "nq2"
+            ),
+            "query_id",
+        )
+        .join(norms, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("nq2")) * F.sqrt(F.col("n2"))),
+                5,
+            ).alias("cosine_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "cosine_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -832,3 +832,73 @@ def test_golden_records_survivorship_rules(spark):
     assert g["canonical_name"] == "kkkk0001"     # min-string rule
     assert g["seg"] == "A" and g["max_bal"] == 30.0
     assert out[3]["n_members"] == 1 and out[4]["max_bal"] == 7.0
+
+
+# ------------------------------------------------------- incremental CC
+
+
+def test_cc_index_update_equals_rebuild_including_merge(spark):
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        cc_index_update,
+        dup_clusters,
+    )
+
+    def pairs_df(ps):
+        return spark.createDataFrame(ps, "doc_a long, doc_b long")
+
+    # stored: components {1,2} and {5,6}; batch merges them via 2-5,
+    # extends with a brand-new node 9 attached to 6, and adds a
+    # disjoint new component {20,21}
+    stored = dup_clusters(pairs_df([(1, 2), (5, 6)]))
+    batch = pairs_df([(2, 5), (6, 9), (20, 21)])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cc_index_update(stored, batch).collect()
+    }
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(pairs_df([(1, 2), (5, 6), (2, 5), (6, 9), (20, 21)])).collect()
+    }
+    assert got == full
+    assert got[9] == 1 and got[20] == 20     # merged root is the global min
+
+
+def test_cc_index_update_empty_batch_is_identity(spark):
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        cc_index_update,
+        dup_clusters,
+    )
+
+    stored = dup_clusters(
+        spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    )
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cc_index_update(stored, empty).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+# ------------------------------------------------------------- tfidf knn
+
+
+def test_tfidf_knn_rare_term_beats_common_overlap(spark):
+    from kommunedata_data_pipeline_spark.operators.retrieval import (
+        tfidf_knn,
+    )
+
+    # query doc 0 shares the RARE term 'zyzzyva' with doc 10 and only
+    # corpus-wide common terms with doc 11 -> 10 must rank first
+    common = "the data table row value"
+    rows = [
+        (0, f"{common} zyzzyva"),
+        (10, f"other words here zyzzyva"),
+        (11, f"{common} unrelated"),
+    ] + [(100 + i, common + f" filler{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["rank"])
+        for r in tfidf_knn(df, F.col("doc_id") == 0, k=2, df_cap=50).collect()
+    ]
+    assert got[0] == (10, 1)
