@@ -745,3 +745,31 @@ def test_luhn_zone_map_jvm_side(spark):
         p = _plan(spark, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_r8_late_batch_no_cartesian_no_python(spark):
+    for name in (
+        "q_ngram_lang_id",
+        "q_golden_record",
+        "q_cc_index_update",
+        "q_tfidf_knn",
+        "q_delete_amplification",
+        "q_gmm_em_step",
+    ):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p or name == "q_cc_index_update", name
+        # cc_index_update's only Python is the union-find single task
+        # (mapInPandas) on the BATCH-sized contracted graph
+
+
+def test_mmr_and_ndcg_shortlist_constant_stages(spark):
+    # q_mmr_rerank's final plan reads the checkpoint-pinned selection
+    # (Scan ExistingRDD) so the broadcast stages live upstream of the
+    # truncated lineage; assert the no-cartesian invariant there and
+    # the broadcast shape on the un-checkpointed NDCG plan
+    p = _plan(spark, "q_mmr_rerank")
+    assert "CartesianProduct" not in p
+    p = _plan(spark, "q_ann_ndcg")
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
