@@ -12370,6 +12370,60 @@ def q_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_lsh_pr_audit",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50),
+    shc AS (SELECT doc_id, shingle FROM sh
+            WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shc a JOIN shc b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(CAST(n_common AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+    ),
+    pred AS (SELECT doc_a, doc_b FROM lsh_pairs),
+    h AS (SELECT count(*) AS n_hit FROM truth
+          WHERE EXISTS (SELECT 1 FROM pred p
+                        WHERE p.doc_a = truth.doc_a
+                          AND p.doc_b = truth.doc_b)),
+    a AS (
+      SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+             CAST((SELECT count(*) FROM pred) AS BIGINT) AS n_pred,
+             CAST((SELECT n_hit FROM h) AS BIGINT) AS n_hit
+    )
+    SELECT n_truth, n_pred, n_hit,
+           round(CASE WHEN n_pred > 0
+                 THEN n_hit / CAST(n_pred AS DOUBLE) END, 6) AS precision,
+           round(CASE WHEN n_truth > 0
+                 THEN n_hit / CAST(n_truth AS DOUBLE) END, 6) AS recall,
+           round(CASE WHEN n_pred > 0 AND n_truth > 0 AND n_hit > 0
+                 THEN 2.0 * n_hit / (n_pred + n_truth)
+                 ELSE 0.0 END, 6) AS f1
+    FROM a
+    """,
+)
+def q_lsh_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the shipped MinHash-LSH operating point
+    (16 hashes, 4 bands, est >= 0.5) against the EXACT shingle-Jaccard
+    >= 0.5 ground truth — the end-to-end detector audit combining
+    banding misses and estimator threshold flips; both pair streams
+    are the registered sub-quadratic plans
+    (operators/dedup.py:lsh_pr_audit)."""
+    from kommunedata_data_pipeline_spark.operators.dedup import lsh_pr_audit
+
+    return lsh_pr_audit(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -1785,3 +1785,60 @@ def cc_index_update(
         "doc_id",
         F.coalesce(F.col("root"), F.col("cluster_id")).alias("cluster_id"),
     )
+
+
+def lsh_pr_audit(
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    df_cap: int | None = 50,
+) -> DataFrame:
+    """Precision/recall audit of the MinHash-LSH near-dup detector
+    against the EXACT shingle-Jaccard ground truth at the same
+    threshold — the third leg of the dedup-audit family
+    (minhash_accuracy_audit measures estimator ERROR per pair,
+    blocking_recall_audit measures the sorted-neighborhood pass; this
+    measures the shipped LSH operating point end to end: banding
+    misses + estimator threshold flips, both directions).
+
+    Both pair generators are the registered sub-quadratic plans
+    (banded signature join / df-capped shingle join); the audit itself
+    is two full-outer-ish set joins on (doc_a, doc_b) and one
+    combinable count. Output: one row (n_truth, n_pred, n_hit,
+    precision, recall, f1)."""
+    truth = ngram_jaccard_pairs(documents, k, threshold, df_cap).select(
+        "doc_a", "doc_b"
+    )
+    pred = minhash_lsh_pairs(
+        documents, k, n_hashes, n_bands, threshold
+    ).select("doc_a", "doc_b")
+    hit = truth.join(pred, ["doc_a", "doc_b"], "left_semi")
+    agg = (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        .crossJoin(
+            F.broadcast(
+                pred.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+            )
+        )
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("n_hit") / F.col("n_pred"))
+    rec = F.when(F.col("n_truth") > 0, F.col("n_hit") / F.col("n_truth"))
+    f1 = F.when(
+        (F.col("n_pred") > 0) & (F.col("n_truth") > 0) & (F.col("n_hit") > 0),
+        2.0 * F.col("n_hit") / (F.col("n_pred") + F.col("n_truth")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_truth",
+        "n_pred",
+        "n_hit",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

@@ -136,6 +136,57 @@ def main() -> None:
 
         return media_dedup_stats(d)
 
+
+    def mmr_op(d, e, c):
+        from kommunedata_data_pipeline_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        qs = e.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        return mmr_rerank(e, qs, lam=0.7, shortlist=20, k=5)
+
+    def langid_op(d, e, c):
+        from kommunedata_data_pipeline_spark.operators.corpus import (
+            ngram_lang_id,
+        )
+
+        return ngram_lang_id(d, F.col("doc_id") % 3 == 0)
+
+    def ccupd_op(d, e, c):
+        from kommunedata_data_pipeline_spark.operators.dedup import (
+            cc_index_update,
+            dup_clusters,
+            minhash_lsh_pairs,
+        )
+
+        pairs = minhash_lsh_pairs(d, 3, 16, 4, 0.5).select(
+            "doc_a", "doc_b"
+        ).localCheckpoint(eager=False)
+        old = (F.col("doc_a") % 10 < 8) & (F.col("doc_b") % 10 < 8)
+        stored = dup_clusters(pairs.where(old))
+        return cc_index_update(stored, pairs.where(~old))
+
+    def tfidfknn_op(d, e, c):
+        from kommunedata_data_pipeline_spark.operators.retrieval import (
+            tfidf_knn,
+        )
+
+        return tfidf_knn(d, F.col("doc_id") % 1000 == 0, k=5, df_cap=50)
+
+    def golden_op(d, e, c):
+        from kommunedata_data_pipeline_spark.operators.dedup import (
+            golden_records,
+        )
+
+        return golden_records(
+            c, "c_custkey", "c_name",
+            agree_cols=("c_mktsegment", "c_nationkey"),
+            value_cols=("c_acctbal",),
+        )
+
     ops = (
         ("er_clusters", er_op),
         ("leakproof_split", leakproof_op),
@@ -144,6 +195,11 @@ def main() -> None:
         ("matryoshka_rerank", matryoshka_op),
         ("shard_balance", shard_op),
         ("media_dedup", media_op),
+        ("mmr_rerank", mmr_op),
+        ("ngram_lang_id", langid_op),
+        ("cc_index_update", ccupd_op),
+        ("tfidf_knn", tfidfknn_op),
+        ("golden_record", golden_op),
     )
 
     rows: list[tuple[str, int, int, float]] = []

@@ -902,3 +902,25 @@ def test_tfidf_knn_rare_term_beats_common_overlap(spark):
         for r in tfidf_knn(df, F.col("doc_id") == 0, k=2, df_cap=50).collect()
     ]
     assert got[0] == (10, 1)
+
+
+# -------------------------------------------------------------- LSH PR
+
+
+def test_lsh_pr_audit_counts_and_bounds(spark):
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        lsh_pr_audit,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, SF_SMALL, "documents")
+    r = lsh_pr_audit(d).collect()[0]
+    n_truth = ngram_jaccard_pairs(d, 3, 0.5, 50).count()
+    n_pred = minhash_lsh_pairs(d, 3, 16, 4, 0.5).count()
+    assert r["n_truth"] == n_truth and r["n_pred"] == n_pred
+    assert r["n_hit"] <= min(n_truth, n_pred)
+    if r["n_hit"]:
+        assert 0.0 < r["precision"] <= 1.0 and 0.0 < r["recall"] <= 1.0
+        p, rec = r["precision"], r["recall"]
+        assert abs(r["f1"] - 2 * p * rec / (p + rec)) < 1e-4
