@@ -12327,7 +12327,7 @@ def q_cc_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn AS (SELECT count(*) AS n FROM documents),
     idf AS (
       SELECT term, CAST(floor(1e3 * ln(n / df)) AS BIGINT) AS idf3
-      FROM dfq CROSS JOIN nn WHERE df <= 50
+      FROM dfq CROSS JOIN nn
     ),
     w AS (SELECT doc_id, q, term, tf * idf3 AS w FROM tf JOIN idf USING (term)),
     norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
@@ -12357,16 +12357,20 @@ def q_cc_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine kNN via the inverted index: milli-integer
     idf weights (ln once per term), integer dot/norms (no unordered
-    float sums), df-capped postings (the hot-key valve — exactly the
-    ~zero-idf terms), ONE term equi-join for candidates — the weighted
-    text-similarity search next to BM25 and shingle Jaccard
+    float sums), ONE term equi-join of the 8 query docs' postings
+    against the corpus postings. Registered UNCAPPED: the synthetic
+    corpus draws from a 31-term vocabulary, so a df cap is either
+    vacuous or empties the posting list — here the tiny query set
+    bounds the join instead; the df_cap valve exists in the operator
+    for query sets that scale with the corpus
     (operators/retrieval.py:tfidf_knn)."""
     from kommunedata_data_pipeline_spark.operators.retrieval import (
         tfidf_knn,
     )
 
     return tfidf_knn(
-        _t(spark, sf_dir, "documents"), F.col("doc_id") < 8, k=5, df_cap=50
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 8, k=5,
+        df_cap=None,
     )
 
 

@@ -99,7 +99,7 @@ def tfidf_knn(
     documents: DataFrame,
     query_pred,
     k: int = 5,
-    df_cap: int = 50,
+    df_cap: int | None = 50,
     text_col: str = "text",
 ) -> DataFrame:
     """Sparse TF-IDF cosine k-nearest-neighbours: for every QUERY doc
@@ -138,8 +138,9 @@ def tfidf_knn(
     )
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = documents.agg(F.count(F.lit(1)).alias("n"))
+    capped = dfreq.where(F.col("df") <= df_cap) if df_cap is not None else dfreq
     idf = (
-        dfreq.where(F.col("df") <= df_cap)
+        capped
         .crossJoin(F.broadcast(n_docs))
         .select(
             "term",

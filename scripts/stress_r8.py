@@ -174,7 +174,7 @@ def main() -> None:
             tfidf_knn,
         )
 
-        return tfidf_knn(d, F.col("doc_id") % 1000 == 0, k=5, df_cap=50)
+        return tfidf_knn(d, F.col("doc_id") < 8, k=5, df_cap=None)
 
     def golden_op(d, e, c):
         from kommunedata_data_pipeline_spark.operators.dedup import (
