@@ -1616,6 +1616,7 @@ def ngram_lang_id(
     count + per-doc argmax window; confusion is a tiny rollup.
     Output: (lang, predicted, n)."""
     from ..functions.text import normalized_text
+    from .dedup import _ensure_parallel
 
     norm = normalized_text(F.col(text_col))
     tris = F.array_distinct(
@@ -1627,11 +1628,23 @@ def ngram_lang_id(
             ),
         ).otherwise(F.array(norm)),
     )
-    base = documents.select(
+    # spread FIRST: the per-row trigram transform multiplies work by
+    # text length and the seed explode by ~n_chars rows — bound to a
+    # 1-partition parquet read both serialize on one core (the
+    # _ensure_parallel pathology, r6)
+    base = _ensure_parallel(documents).select(
         "doc_id", "lang", seed_pred.alias("__seed"), tris.alias("tris")
     )
-    seed_tris = base.where(F.col("__seed")).select(
-        "lang", F.explode("tris").alias("tri")
+    # explode_OUTER + post-filter, deliberately: a plain explode makes
+    # Catalyst infer `size(tris) > 0 AND tris IS NOT NULL` and push the
+    # ENTIRE trigram expression below the _ensure_parallel exchange into
+    # the 1-task scan stage (measured: 23 s of the 25 s wall at sf0.1);
+    # the outer variant generates no inferable child filter, so the
+    # heavy transform stays in the spread stage
+    seed_tris = (
+        base.where(F.col("__seed"))
+        .select("lang", F.explode_outer("tris").alias("tri"))
+        .where(F.col("tri").isNotNull())
     )
     wprof = Window.partitionBy("lang").orderBy(
         F.col("cnt").desc(), F.col("tri").asc()
@@ -1643,29 +1656,43 @@ def ngram_lang_id(
         .where(F.col("rn") <= profile_size)
         .select(F.col("lang").alias("p_lang"), "tri")
     )
-    test = base.where(~F.col("__seed")).select(
-        "doc_id", "lang", F.explode("tris").alias("tri")
+    # classification is MAP-SIDE: the |langs|x50 profile table collapses
+    # to ONE broadcast row of (lang, tris[]) arrays and each test doc
+    # scores every profile with an array_intersect — no corpus-sized
+    # trigram explode, no shuffle after the (seed-corpus-sized) profile
+    # build; the argmax fold keeps (score DESC, lang ASC) semantics
+    # including the all-zero -> 'unknown' case
+    prof_row = (
+        profiles.groupBy("p_lang")
+        .agg(F.collect_list("tri").alias("ptris"))
+        .groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("p_lang", "ptris"))
+            ).alias("profs")
+        )
     )
-    scores = (
-        test.join(F.broadcast(profiles), "tri")
-        .groupBy("doc_id", "lang", "p_lang")
-        .agg(F.count(F.lit(1)).alias("score"))
-    )
-    wbest = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("p_lang").asc()
-    )
-    best = (
-        scores.withColumn("rn", F.row_number().over(wbest))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "lang", F.col("p_lang").alias("predicted"))
+    best = F.aggregate(
+        F.col("profs"),
+        F.struct(
+            F.lit(0).cast("int").alias("score"),
+            F.lit("unknown").alias("predicted"),
+        ),
+        lambda acc, pr: F.when(
+            F.size(F.array_intersect(F.col("tris"), pr["ptris"]))
+            > acc["score"],
+            F.struct(
+                F.size(F.array_intersect(F.col("tris"), pr["ptris"]))
+                .cast("int")
+                .alias("score"),
+                pr["p_lang"].alias("predicted"),
+            ),
+        ).otherwise(acc),
     )
     labeled = (
         base.where(~F.col("__seed"))
-        .select("doc_id", "lang")
-        .join(best.select("doc_id", "predicted"), "doc_id", "left")
-        .withColumn(
-            "predicted", F.coalesce(F.col("predicted"), F.lit("unknown"))
-        )
+        .crossJoin(F.broadcast(prof_row))
+        .select("doc_id", "lang", best["predicted"].alias("predicted"))
     )
     return (
         labeled.groupBy("lang", "predicted")
