@@ -542,3 +542,79 @@ def test_winnowing_guarantee_for_any_shared_run(spark, run_len, pre, suf):
     assert any(
         (r["doc_a"], r["doc_b"]) == (1, 2) for r in pairs
     ), f"guarantee violated at run_len={run_len}, pre={pre}, suf={suf}"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(0, 100),  # split percentile: which edges are "stored"
+)
+def test_cc_index_update_equals_rebuild_for_any_split(spark, edges, pct):
+    """Incremental-CC soundness property: for ANY edge set and ANY
+    store/batch split of it, updating the stored labels with the batch
+    yields exactly the full-rebuild labels (same nodes, same min-label
+    roots) — merges across the split included."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        cc_index_update,
+        dup_clusters,
+    )
+
+    edges = list({(min(a, b), max(a, b)) for a, b in edges})
+    cut = (len(edges) * pct) // 100
+    stored_e, batch_e = edges[:cut], edges[cut:]
+
+    def df_of(ps):
+        if not ps:
+            return spark.createDataFrame([], "doc_a long, doc_b long")
+        return spark.createDataFrame(ps, "doc_a long, doc_b long")
+
+    stored = dup_clusters(df_of(stored_e))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cc_index_update(stored, df_of(batch_e)).collect()
+    }
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(df_of(edges)).collect()
+    }
+    assert got == full
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="abXY", min_size=0, max_size=6),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ranged_global_rank_is_exact_for_any_strings(spark, strings):
+    """ranged_global_rank == the global-window row_number for ANY
+    key distribution — including all-equal keys (ties broken by the
+    unique id) and heavily skewed prefixes (the r7-advice shape)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        ranged_global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "sid long, str string"
+    )
+    got = {
+        r["sid"]: r["rn"]
+        for r in ranged_global_rank(df, ["str", "sid"]).collect()
+    }
+    w = Window.orderBy("str", "sid")
+    expect = {
+        r["sid"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == expect
