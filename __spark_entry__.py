@@ -12428,6 +12428,71 @@ def q_lsh_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pr_audit(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "q_stream_cc_ingest",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM lsh_pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_stream_cc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING cluster-store maintenance: the LSH near-dup pair
+    stream arrives as a 3-batch file stream and each micro-batch folds
+    into the persisted label store via label-space contraction
+    (cc_index_update) — the CC member of the incremental-ingest family
+    next to the MinHash/ANN index ingests. Batch-invariant with NO
+    arrival-order contract at all (edge unions are commutative); the
+    landed store ≡ the full-rebuild CC oracle
+    (streaming/ingest.py:cc_label_ingest)."""
+    import shutil
+    import tempfile
+
+    from kommunedata_data_pipeline_spark.streaming.ingest import (
+        cc_label_ingest,
+        run_writer_available_now,
+    )
+
+    base = tempfile.mkdtemp(
+        prefix="kdp-ccing-",
+        dir="/dev/shm" if __import__("os").path.isdir("/dev/shm") else None,
+    )
+    try:
+        d = _t(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(d, 3, 16, 4, 0.5).select(
+            "doc_a", "doc_b"
+        )
+        stage = _stage_id_batches(pairs, "doc_a", base)
+        stream = (
+            spark.readStream.schema("doc_a bigint, doc_b bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        run_writer_available_now(
+            cc_label_ingest(stream, f"{base}/labels"),
+            f"{base}/ckpt",
+            durations_key="q_stream_cc_ingest_sink",
+        )
+        labels = (
+            spark.read.parquet(f"{base}/labels")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return labels.orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

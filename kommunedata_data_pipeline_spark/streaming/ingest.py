@@ -366,3 +366,48 @@ def quality_route_ingest(
             out.write.mode("append").parquet(path)
 
     return doc_stream.writeStream.foreachBatch(process_batch)
+
+
+def cc_label_ingest(
+    pair_stream: DataFrame,
+    labels_path: str,
+):
+    """Streaming cluster-store maintenance — the CC member of the
+    ingest family: micro-batches of near-dup PAIRS (the output stream
+    of any detector) fold into the persisted (doc_id, cluster_id)
+    label store via `operators.dedup.cc_index_update`'s label-space
+    contraction. Completes the incremental chain: the MinHash/ANN
+    ingests maintain the SIGNATURE indexes and land survivors; this
+    maintains the CLUSTER view those pairs imply.
+
+    Batch-invariance is STRONGER here than for the dedup ingests: CC
+    of a union of edges is split-invariant for ANY batching (no
+    id-order contract at all — edge sets are commutative; the
+    update==rebuild hypothesis property pins it for arbitrary splits).
+    Replay safety: folding the same pairs twice is idempotent (their
+    endpoints' labels already share the root, so the contracted graph
+    collapses to self-loops and the remap is the identity)."""
+    import os
+    import shutil
+    import uuid
+
+    from ..operators.dedup import cc_index_update
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_a", "doc_b").dropDuplicates(
+            ["doc_a", "doc_b"]
+        )
+        if batch.isEmpty():
+            return
+        labels = _load_index(
+            spark, labels_path, "doc_id bigint, cluster_id bigint"
+        )
+        updated = cc_index_update(labels, batch)
+        tmp = f"{labels_path}__next_{uuid.uuid4().hex[:8]}"
+        updated.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(labels_path):
+            shutil.rmtree(labels_path)
+        os.replace(tmp, labels_path)
+
+    return pair_stream.writeStream.foreachBatch(process_batch)

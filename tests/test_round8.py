@@ -924,3 +924,45 @@ def test_lsh_pr_audit_counts_and_bounds(spark):
         assert 0.0 < r["precision"] <= 1.0 and 0.0 < r["recall"] <= 1.0
         p, rec = r["precision"], r["recall"]
         assert abs(r["f1"] - 2 * p * rec / (p + rec)) < 1e-4
+
+
+# ------------------------------------------------------- streaming CC
+
+
+def test_cc_label_ingest_matches_batch_and_replays_idempotent(spark, tmp_path):
+    from kommunedata_data_pipeline_spark.operators.dedup import dup_clusters
+    from kommunedata_data_pipeline_spark.streaming.ingest import (
+        cc_label_ingest,
+        run_writer_available_now,
+    )
+
+    pairs = [(1, 2), (5, 6), (2, 5), (6, 9), (20, 21)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    stage = str(tmp_path / "stage")
+    df.repartition(2).write.parquet(stage)
+    labels_p = str(tmp_path / "labels")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("doc_a bigint, doc_b bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        run_writer_available_now(cc_label_ingest(stream, labels_p), ck)
+
+    run(str(tmp_path / "ck1"))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(labels_p).collect()
+    }
+    full = {
+        r["doc_id"]: r["cluster_id"] for r in dup_clusters(df).collect()
+    }
+    assert got == full
+    # replay the SAME pairs through a fresh stream: idempotent store
+    run(str(tmp_path / "ck2"))
+    again = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(labels_p).collect()
+    }
+    assert again == full
