@@ -12493,6 +12493,53 @@ def q_stream_cc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.orderBy("doc_id")
 
 
+@_q(
+    "q_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_d,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(28,2)) AS mon
+      FROM orders GROUP BY o_custkey
+    ),
+    mx AS (SELECT max(last_d) AS mxd FROM base),
+    feats AS (
+      SELECT o_custkey,
+             -datediff('day', last_d, mxd) AS neg_rec, freq, mon
+      FROM base CROSS JOIN mx
+    ),
+    n AS (SELECT count(*) AS nn FROM feats),
+    t1 AS (SELECT f.*, CAST(((row_number() OVER (ORDER BY neg_rec,
+                o_custkey) - 1) * 5) // nn + 1 AS INT) AS r_tile
+           FROM feats f CROSS JOIN n),
+    t2 AS (SELECT t1.*, CAST(((row_number() OVER (ORDER BY freq,
+                o_custkey) - 1) * 5) // nn + 1 AS INT) AS f_tile
+           FROM t1 CROSS JOIN n),
+    t3 AS (SELECT t2.*, CAST(((row_number() OVER (ORDER BY mon,
+                o_custkey) - 1) * 5) // nn + 1 AS INT) AS m_tile
+           FROM t2 CROSS JOIN n)
+    SELECT r_tile, f_tile, m_tile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(mon) AS DOUBLE) / count(*), 2) AS avg_monetary
+    FROM t3 GROUP BY r_tile, f_tile, m_tile
+    ORDER BY r_tile, f_tile, m_tile
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency/frequency/monetary
+    quintiles): exact DECIMAL revenue, explicit floor-tile formula over
+    ranged_global_rank per dimension (no ntile, no single-task global
+    window), per-(R,F,M)-cell sizes and average spend — the classic
+    analytics rollup (operators/aggregates.py:rfm_segments)."""
+    from kommunedata_data_pipeline_spark.operators.aggregates import (
+        rfm_segments,
+    )
+
+    return rfm_segments(_t(spark, sf_dir, "orders"), n_tiles=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")

@@ -7,7 +7,7 @@ shuffle-then-final-agg each.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -218,4 +218,72 @@ def merge_agg_states(states: DataFrame, keys: list[str]) -> DataFrame:
                 F.col("__total").cast("double") / F.col("n"), 4
             ).alias("avg_value"),
         )
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics
+    rollup: per customer Recency (days from their last order to the
+    corpus max date), Frequency (order count), Monetary (exact DECIMAL
+    revenue sum), each cut into ``n_tiles`` equal-frequency tiles, and
+    the segment table (r_tile, f_tile, m_tile) with sizes and average
+    monetary value.
+
+    Exactness discipline: monetary sums are DECIMAL(18,2) (order-
+    independent); every tile comes from the explicit floor-tile
+    formula floor((rn−1)·k/n) over a `ranged_global_rank` on
+    (metric, custkey) — the same no-global-window, no-ntile plan as
+    curriculum_schedule, exact in both engines. Higher tile = more
+    recent / more frequent / more spend. Output: one row per occupied
+    (r_tile, f_tile, m_tile): (..., n_customers, avg_monetary)."""
+    from ..operators.dedup import ranged_global_rank
+
+    base = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    )
+    mx = base.agg(F.max("last_d").alias("mxd"))
+    feats = base.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        (-F.datediff(F.col("mxd"), F.col("last_d"))).alias("neg_rec"),
+        "freq",
+        "mon",
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def tile(df: DataFrame, metric: str, out: str) -> DataFrame:
+        ranked = ranged_global_rank(df, [metric, "o_custkey"], "rn")
+        return ranked.withColumn("__n", F.count(F.lit(1)).over(wall)).select(
+            *df.columns,
+            (
+                F.floor((F.col("rn") - 1) * n_tiles / F.col("__n")) + 1
+            ).cast("int").alias(out),
+        )
+    t = tile(feats, "neg_rec", "r_tile")
+    t = tile(t, "freq", "f_tile")
+    t = tile(t, "mon", "m_tile")
+    return (
+        t.groupBy("r_tile", "f_tile", "m_tile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("mon").alias("__s"),
+        )
+        .select(
+            "r_tile",
+            "f_tile",
+            "m_tile",
+            "n_customers",
+            # avg from the EXACT decimal sum, divided in double (a
+            # decimal avg would round at engine-specific scales)
+            F.round(
+                F.col("__s").cast("double") / F.col("n_customers"), 2
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_tile", "f_tile", "m_tile")
     )

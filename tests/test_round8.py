@@ -966,3 +966,30 @@ def test_cc_label_ingest_matches_batch_and_replays_idempotent(spark, tmp_path):
         for r in spark.read.parquet(labels_p).collect()
     }
     assert again == full
+
+
+# ------------------------------------------------------------------- RFM
+
+
+def test_rfm_segments_tiles_partition_and_monotone_monetary(spark):
+    import importlib.util
+
+    from kommunedata_data_pipeline_spark.operators.aggregates import (
+        rfm_segments,
+    )
+    from kommunedata_data_pipeline_spark.sources.readers import load_table
+
+    o = load_table(spark, SF_SMALL, "orders")
+    rows = rfm_segments(o, n_tiles=5).collect()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r_tile"] <= 5 and 1 <= r["f_tile"] <= 5
+        assert 1 <= r["m_tile"] <= 5
+    # higher m_tile cells have higher average spend (marginalized)
+    by_m: dict = {}
+    for r in rows:
+        s, n = by_m.get(r["m_tile"], (0.0, 0))
+        by_m[r["m_tile"]] = (s + r["avg_monetary"] * r["n_customers"], n + r["n_customers"])
+    means = [by_m[m][0] / by_m[m][1] for m in sorted(by_m)]
+    assert means == sorted(means)
