@@ -12522,7 +12522,8 @@ def q_stream_cc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM t2 CROSS JOIN n)
     SELECT r_tile, f_tile, m_tile,
            CAST(count(*) AS BIGINT) AS n_customers,
-           round(CAST(sum(mon) AS DOUBLE) / count(*), 2) AS avg_monetary
+           floor(CAST(sum(mon) * 100 AS BIGINT) / count(*)) / 100.0
+             AS avg_monetary
     FROM t3 GROUP BY r_tile, f_tile, m_tile
     ORDER BY r_tile, f_tile, m_tile
     """,

@@ -279,10 +279,17 @@ def rfm_segments(
             "f_tile",
             "m_tile",
             "n_customers",
-            # avg from the EXACT decimal sum, divided in double (a
-            # decimal avg would round at engine-specific scales)
-            F.round(
-                F.col("__s").cast("double") / F.col("n_customers"), 2
+            # avg from the EXACT decimal sum via integer cents +
+            # floor: round(double, 2) hits the HALF_UP-vs-half-even
+            # divergence on last-cent halves (caught by the sf0.001
+            # oracle battery: 2537150.175 -> .18 vs .17); the floored
+            # cent is the same double in both engines
+            (
+                F.floor(
+                    (F.col("__s") * 100).cast("bigint")
+                    / F.col("n_customers")
+                )
+                / 100.0
             ).alias("avg_monetary"),
         )
         .orderBy("r_tile", "f_tile", "m_tile")
