@@ -253,13 +253,15 @@ def rfm_segments(
         "freq",
         "mon",
     )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    # the tile denominator is ONE number (the customer count) — compute
+    # it once as a 1-row aggregate and broadcast it, the same pattern as
+    # `mxd` above. A count-over-all window here would move the whole
+    # per-customer frame to a single task, three times.
+    ncust = feats.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
 
     def tile(df: DataFrame, metric: str, out: str) -> DataFrame:
         ranked = ranged_global_rank(df, [metric, "o_custkey"], "rn")
-        return ranked.withColumn("__n", F.count(F.lit(1)).over(wall)).select(
+        return ranked.crossJoin(F.broadcast(ncust)).select(
             *df.columns,
             (
                 F.floor((F.col("rn") - 1) * n_tiles / F.col("__n")) + 1

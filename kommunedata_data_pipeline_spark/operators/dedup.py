@@ -1501,6 +1501,11 @@ def winnowing_overlap_pairs(
     )
 
 
+# last persist()-fallback frame (Spark Connect path only) — see
+# ranged_global_rank: bounded to one cached frame per process
+_RANGED_RANK_FALLBACK_CACHE = None
+
+
 def ranged_global_rank(
     df: DataFrame,
     order_cols: list,
@@ -1520,7 +1525,10 @@ def ranged_global_rank(
     The stamped frame is lazily localCheckpoint-ed so the sampled
     range boundaries are pinned across its two uses (counts + rank);
     under Spark Connect builds without localCheckpoint it falls back
-    to persist() — both uses still see one materialization. Ties
+    to persist() — both uses still see one materialization, and the
+    previous call's fallback frame is unpersisted on the next call so
+    a long-lived Connect session holds at most ONE cached frame
+    (never an unbounded per-call leak). Ties
     cannot straddle partitions when ``order_cols`` ends in a unique
     id (callers pass one); RangePartitioner routes equal keys to one
     partition regardless."""
@@ -1532,10 +1540,17 @@ def ranged_global_rank(
     parted = df.repartitionByRange(
         max(n_parts, 1), *[F.col(c) for c in order_cols]
     ).withColumn("__pid", F.spark_partition_id())
+    global _RANGED_RANK_FALLBACK_CACHE
     try:
         parted = parted.localCheckpoint(eager=False)
     except Exception:
+        if _RANGED_RANK_FALLBACK_CACHE is not None:
+            try:
+                _RANGED_RANK_FALLBACK_CACHE.unpersist()
+            except Exception:
+                pass
         parted = parted.persist()
+        _RANGED_RANK_FALLBACK_CACHE = parted
     wb = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         parted.groupBy("__pid")

@@ -186,7 +186,6 @@ def zone_map_skip_stats(
     value_col: str,
     lo,
     hi,
-    rows_per_file: int = 4096,
 ) -> DataFrame:
     """Zone-map (min/max file-statistics) skip audit: for each
     candidate physical LAYOUT — a named expression that buckets rows
@@ -200,9 +199,9 @@ def zone_map_skip_stats(
     predicate range prunes nothing no matter how selective the filter.
 
     A file can be skipped iff its zone is disjoint from the predicate
-    interval: f_max < lo OR f_min > hi. One groupBy per layout over
-    (layout_key DIV rows_per_file is the caller's business — the
-    ``layouts`` values are complete file-id expressions); counts are
+    interval: f_max < lo OR f_min > hi. One groupBy per layout (the
+    ``layouts`` values are complete file-id expressions — bucketing
+    rows into files is the caller's business); counts are
     exact integers, the ratio is one division. Output: one row per
     layout (layout, n_files, n_files_skipped, n_rows, n_rows_skipped,
     row_skip_ratio)."""

@@ -126,7 +126,13 @@ def skyline_2d(
     survivor set instead of the corpus. The refine is the classic sorted
     cumulative-min pass: sort by (max desc, min asc, id), keep a row iff
     its ``min_col`` beats every preceding row's. No false drops: the
-    prefilter only removes rows with a strictly-higher-bin dominator."""
+    prefilter only removes rows with a strictly-higher-bin dominator.
+
+    Caveat: the refine window is unpartitioned over the SURVIVOR set —
+    frontier-sized in practice, but an adversarial input where the
+    frontier is O(n) (perfectly anti-correlated dimensions) makes the
+    refine a single-task sort; pick ``bin_width`` so survivors stay
+    small, or pre-aggregate such inputs."""
     b = df.select(
         id_col,
         max_col,

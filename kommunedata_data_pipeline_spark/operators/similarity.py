@@ -1391,7 +1391,6 @@ def kcenter_coreset(
     discipline). k is a constant (annotation budgets are small);
     corpus size only enters linearly per round."""
     base = embeddings.select("vec_id", "embedding")
-    w0 = Window.orderBy("vec_id")
     sel = (
         base.orderBy("vec_id")
         .limit(1)
@@ -1420,10 +1419,13 @@ def kcenter_coreset(
                 F.min("d2u").alias("mind"),
             )
         )
-        wpick = Window.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+        # the per-round argmax is a TakeOrdered limit-1 (per-partition
+        # top-1 then a 1-row driver-side merge) — NOT a global window,
+        # which would shuffle the corpus-sized dists frame (embeddings
+        # included) onto one task every round
         nxt = (
-            dists.withColumn("rn", F.row_number().over(wpick))
-            .where(F.col("rn") == 1)
+            dists.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
             .select(
                 "vec_id",
                 "embedding",

@@ -781,18 +781,22 @@ def auc_exact(
         + F.col("cnt")
         + 1,
     )
+    # pos*rank2 in DECIMAL(38,0) and a double np*nn denominator: the
+    # bigint products silently wrap in non-ANSI Spark once the corpus
+    # passes ~2e9 rows (100 TB contract); decimal sums are exact
     agg = ranked.agg(
         F.sum("pos").cast("bigint").alias("np"),
         F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("nn"),
-        F.sum(F.col("pos") * F.col("rank2")).cast("bigint").alias("r2"),
+        F.sum(F.col("pos").cast("decimal(19,0)") * F.col("rank2"))
+        .alias("r2"),
     )
     auc = F.when(
         (F.col("np") > 0) & (F.col("nn") > 0),
         (
-            F.col("r2") / F.lit(2.0)
-            - F.col("np") * (F.col("np") + 1) / F.lit(2.0)
+            F.col("r2").cast("double") / F.lit(2.0)
+            - F.col("np").cast("double") * (F.col("np") + 1) / F.lit(2.0)
         )
-        / (F.col("np") * F.col("nn")),
+        / (F.col("np").cast("double") * F.col("nn")),
     )
     return agg.select(
         F.col("np").alias("n_pos"),
@@ -916,9 +920,17 @@ def cohens_kappa(
     ).agg(F.count(F.lit(1)).alias("cnt"))
     ma = cm.groupBy("ra").agg(F.sum("cnt").alias("row_n"))
     mb = cm.groupBy("rb").agg(F.sum("cnt").alias("col_n"))
+    # marginal products in DECIMAL(38,0): bigint*bigint silently wraps
+    # in non-ANSI Spark once n exceeds ~3e9 rows — relevant at the
+    # 100 TB contract; decimal keeps the sum exact (and NULLs, never
+    # wraps, past 1e38)
     ex = (
         ma.join(mb, ma.ra == mb.rb)
-        .agg(F.sum(F.col("row_n") * F.col("col_n")).alias("s_e"))
+        .agg(
+            F.sum(
+                F.col("row_n").cast("decimal(19,0)") * F.col("col_n")
+            ).alias("s_e")
+        )
     )
     base = cm.agg(
         F.sum("cnt").cast("bigint").alias("n"),
@@ -928,7 +940,12 @@ def cohens_kappa(
     )
     j = base.crossJoin(F.broadcast(ex))
     po = F.col("n_agree") / F.col("n")
-    pe = F.col("s_e") / (F.col("n") * F.col("n"))
+    # double denominator: n*n as bigint wraps at n > ~3e9; the double
+    # product is exact for n < 2^26 and within 1 ulp beyond — pe is a
+    # 6-dp statistic either way
+    pe = F.col("s_e").cast("double") / (
+        F.col("n").cast("double") * F.col("n")
+    )
     kappa = F.when(pe < 1, (po - pe) / (1 - pe))
     return j.select(
         "n",
@@ -974,20 +991,29 @@ def rank_sum_test(
         + F.col("cnt")
         + 1,
     )
+    # products in DECIMAL(38,0): c1*rank2 wraps bigint at n > ~2e9 and
+    # cnt^3 at a tie group > ~2e6 rows in non-ANSI Spark — decimal is
+    # exact (and NULLs, never wraps, past 1e38). Divisions below run in
+    # double, exact for corpora < 2^53 rows.
+    dec = "decimal(19,0)"
     agg = ranked.agg(
         F.sum(F.col("cnt") - F.col("c1")).cast("bigint").alias("n0"),
         F.sum("c1").cast("bigint").alias("n1"),
-        F.sum(F.col("c1") * F.col("rank2")).cast("bigint").alias("r1_2"),
+        F.sum(F.col("c1").cast(dec) * F.col("rank2")).alias("r1_2"),
         F.sum(
-            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
-        ).cast("bigint").alias("tie3"),
+            F.col("cnt").cast(dec) * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie3"),
     )
-    n = F.col("n0") + F.col("n1")
-    u1 = F.col("r1_2") / 2.0 - F.col("n1") * (F.col("n1") + 1) / 2.0
-    mu = F.col("n0") * F.col("n1") / 2.0
+    n = F.col("n0").cast("double") + F.col("n1")
+    u1 = (
+        F.col("r1_2").cast("double") / 2.0
+        - F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0
+    )
+    mu = F.col("n0").cast("double") * F.col("n1") / 2.0
     var = (
-        F.col("n0") * F.col("n1") / 12.0
-        * ((n + 1) - F.col("tie3") / (n * (n - 1)))
+        F.col("n0").cast("double") * F.col("n1") / 12.0
+        * ((n + 1) - F.col("tie3").cast("double") / (n * (n - 1)))
     )
     z = F.when(
         (F.col("n0") > 0) & (F.col("n1") > 0) & (var > 0),

@@ -109,9 +109,13 @@ def _dedup_ingest(
         # materialize before the old dir is replaced.
         tmp = f"{index_path}__next_{uuid.uuid4().hex[:8]}"
         updated.write.mode("overwrite").parquet(tmp)
+        # crash-safe: old store renamed aside before the new one moves
+        # in — a recoverable copy exists at every instant
+        bak = f"{index_path}__bak_{uuid.uuid4().hex[:8]}"
         if os.path.exists(index_path):
-            shutil.rmtree(index_path)
+            os.replace(index_path, bak)
         os.replace(tmp, index_path)
+        shutil.rmtree(bak, ignore_errors=True)
 
     return stream.writeStream.foreachBatch(process_batch)
 
@@ -406,8 +410,14 @@ def cc_label_ingest(
         updated = cc_index_update(labels, batch)
         tmp = f"{labels_path}__next_{uuid.uuid4().hex[:8]}"
         updated.write.mode("overwrite").parquet(tmp)
+        # crash-safe swap: rename the old store ASIDE first, move the
+        # new one in, THEN delete the backup — a recoverable copy
+        # exists at every point (rmtree-before-replace would lose the
+        # whole persisted cluster store on a crash between the two)
+        bak = f"{labels_path}__bak_{uuid.uuid4().hex[:8]}"
         if os.path.exists(labels_path):
-            shutil.rmtree(labels_path)
+            os.replace(labels_path, bak)
         os.replace(tmp, labels_path)
+        shutil.rmtree(bak, ignore_errors=True)
 
     return pair_stream.writeStream.foreachBatch(process_batch)

@@ -127,7 +127,7 @@ def test_cohens_kappa_perfect_and_constant(spark):
     perfect = spark.createDataFrame(
         [("x", "x"), ("y", "y"), ("x", "x")], "ra string, rb string"
     )
-    assert cohens_kappa(perfect, "ra", "rb").collect()[0]["kappa"] != 1.0 or True
+    assert cohens_kappa(perfect, "ra", "rb").collect()[0]["kappa"] == 1.0
     # both raters constant & agreeing -> pe=1, kappa undefined -> NULL
     const = spark.createDataFrame([("x", "x")] * 5, "ra string, rb string")
     assert cohens_kappa(const, "ra", "rb").collect()[0]["kappa"] is None
