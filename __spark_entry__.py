@@ -9984,6 +9984,80 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_calibration_bins_hist",
+    """
+    WITH s AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS sy,
+             sum(n_chars) AS sx,
+             sum(n_chars * n_chars) AS sxx,
+             sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS sxy
+      FROM documents),
+    b AS (
+      SELECT round(2.0 * (sxx * (2*sy - n) - sx * (2*sxy - sx))
+                   / (n * sxx - sx * sx), 6) AS b0,
+             round(2.0 * (n * (2*sxy - sx) - sx * (2*sy - n))
+                   / (n * sxx - sx * sx), 6) AS b1
+      FROM s),
+    scored AS (
+      SELECT d.doc_id,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label,
+             CAST(floor((b.b0 + b.b1 * d.n_chars) * 1000000.0) AS BIGINT)
+               AS score_u
+      FROM documents d CROSS JOIN b),
+    g AS (
+      SELECT score_u AS sc, count(*) AS cnt, sum(label) AS pos
+      FROM scored GROUP BY score_u),
+    r AS (
+      SELECT sc, cnt, pos,
+             coalesce(sum(cnt) OVER (ORDER BY sc ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             sum(cnt) OVER () AS ntot
+      FROM g)
+    SELECT CAST((cb * 10) // ntot + 1 AS INT) AS bin,
+           CAST(sum(cnt) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           round(CAST(sum(pos) AS DOUBLE) / sum(cnt), 6) AS pos_rate,
+           round((CAST(sum(sc * cnt) AS DOUBLE) / sum(cnt)) / 1000000.0, 6)
+             AS avg_score
+    FROM r GROUP BY 1 ORDER BY bin
+    """,
+)
+def q_calibration_bins_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB reliability table: same logreg micro-unit scores as
+    q_calibration_bins, but equal-frequency bins at HISTOGRAM grain —
+    the corpus collapses to the distinct-score histogram in one
+    combinable groupBy, bin boundaries come from cumulative counts
+    over that bounded table (integer DIV arithmetic, exact in both
+    engines), and no per-doc global sort exists anywhere in the plan.
+    Ties never split across bins, so bin sizes deviate from n/n_bins
+    by at most the largest tie group — the exact-ntile twin
+    (q_calibration_bins) is the audit-scale cross-check
+    (operators/statistics.py:calibration_bins_hist)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        calibration_bins_hist,
+        logreg_newton_step,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    betas = logreg_newton_step(
+        d, F.col("n_chars"), (F.col("lang") == "en").cast("int")
+    ).select("b0", "b1")
+    scored = d.crossJoin(F.broadcast(betas)).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("label"),
+        F.floor(
+            (F.col("b0") + F.col("b1") * F.col("n_chars")) * 1000000.0
+        )
+        .cast("bigint")
+        .alias("score_u"),
+    )
+    return calibration_bins_hist(
+        scored, score_col="score_u", label_col="label"
+    )
+
+
+@_q(
     "q_domain_temperature",
     """
     WITH c AS (SELECT source, count(*) AS n_docs FROM documents

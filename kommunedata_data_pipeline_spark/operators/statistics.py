@@ -643,9 +643,10 @@ def calibration_bins(
     (score, id) is a total order both engines replay identically.
 
     Scale note: equal-frequency binning via an unpartitioned ntile is
-    a global sort — correct here and at audit-sized inputs; at 100 TB
-    the same table runs on approx_percentile bin BOUNDARIES (map-side
-    combinable) with the per-bin aggregate unchanged.
+    a global sort — correct here and at audit-sized inputs, and kept
+    as the exact-ntile ORACLE TWIN of `calibration_bins_hist`, which
+    is the 100 TB path (histogram-grain bins, one combinable groupBy,
+    no global sort of per-doc data).
     Output: (bin 1..n_bins, n, n_pos, pos_rate, avg_score)."""
     w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
     return (
@@ -664,6 +665,75 @@ def calibration_bins(
             F.round((F.col("s_u") / F.col("n")) / 1000000.0, 6).alias(
                 "avg_score"
             ),
+        )
+        .orderBy("bin")
+    )
+
+
+def calibration_bins_hist(
+    scored: DataFrame,
+    score_col: str = "score_u",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table at 100 TB — the scalable sibling of
+    `calibration_bins`: instead of an unpartitioned ntile (a global
+    sort of every per-doc score onto one task), the corpus collapses
+    to the DISTINCT-SCORE histogram in one map-side-combinable groupBy
+    (the auc_exact / pr_curve shape), equal-frequency bin boundaries
+    come from cumulative counts over that bounded histogram, and the
+    per-bin aggregate is a second combinable groupBy over histogram
+    rows.
+
+    Bin contract (deliberately histogram-grain, exact in both
+    engines): a distinct score whose strictly-smaller-scores
+    cumulative count is c lands in bin (c·n_bins) DIV n + 1 — i.e.
+    the bin of its FIRST row under the exact ntile order. Ties never
+    split across bins (ntile splits them), so bin sizes deviate from
+    n/n_bins by at most the largest tie group — the price of removing
+    the global sort, stated here and matched exactly by the oracle.
+    All arithmetic is integer (DIV, not float division), so both
+    engines compute identical bins at any scale.
+
+    Output: (bin, n, n_pos, pos_rate, avg_score) — same schema as
+    `calibration_bins`; bins with no score group assigned are absent
+    (occupied bins only, like the exact twin)."""
+    g = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(label_col).cast("bigint")).alias("pos"),
+    )
+    wb = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    binned = (
+        g.withColumn(
+            "cb", F.coalesce(F.sum("cnt").over(wb), F.lit(0).cast("bigint"))
+        )
+        .withColumn("ntot", F.sum("cnt").over(wall))
+        .selectExpr(
+            "s",
+            "cnt",
+            "pos",
+            f"cast((cb * {n_bins}) div ntot + 1 as int) as bin",
+        )
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.sum(F.col("s").cast("decimal(19,0)") * F.col("cnt"))
+            .alias("s_u"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+            F.round(
+                (F.col("s_u").cast("double") / F.col("n")) / 1000000.0, 6
+            ).alias("avg_score"),
         )
         .orderBy("bin")
     )

@@ -24,6 +24,16 @@ from test_oracle import _canon  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
+# Non-vacuousness gate (tfidf_knn lesson, r8): a 0-row green is a
+# silent semantic miss — an operator whose candidate generation quietly
+# empties out (an over-tight df-cap, a wrong band key) hashes equal to
+# its equally-empty oracle. Every registered query must return >0 rows
+# at sf0.01 unless DELIBERATELY empty and allowlisted here with the
+# reason stated.
+EMPTY_OK = {
+    # (none today — every registered query returns rows at sf0.01)
+}
+
 
 def main() -> None:
     filters = sys.argv[1:]
@@ -54,15 +64,23 @@ def main() -> None:
         try:
             spark_pd = fn(spark, SF_DIR).toPandas()
             if name not in oracles:
-                print(f"  {name}: rows-only ({len(spark_pd)} rows) "
+                vac = "" if (len(spark_pd) > 0 or name in EMPTY_OK) \
+                    else " VACUOUS(0 rows)"
+                if vac:
+                    n_fail += 1
+                print(f"  {name}: rows-only ({len(spark_pd)} rows){vac} "
                       f"[{time.perf_counter()-t0:.1f}s]")
                 continue
             duck_pd = con.execute(oracles[name]).df()
             ok_rows = len(spark_pd) == len(duck_pd)
             ok_cols = sorted(spark_pd.columns) == sorted(duck_pd.columns)
             ok_vals = ok_rows and ok_cols and _canon(spark_pd) == _canon(duck_pd)
-            status = "OK" if (ok_rows and ok_cols and ok_vals) else (
+            ok_nonvac = len(spark_pd) > 0 or name in EMPTY_OK
+            status = "OK" if (
+                ok_rows and ok_cols and ok_vals and ok_nonvac
+            ) else (
                 f"FAIL rows={ok_rows} cols={ok_cols} vals={ok_vals}"
+                + ("" if ok_nonvac else " VACUOUS(0 rows)")
             )
         except Exception as exc:  # surface, keep going
             status = f"ERROR {type(exc).__name__}: {exc}"[:200]

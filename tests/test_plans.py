@@ -773,3 +773,112 @@ def test_mmr_and_ndcg_shortlist_constant_stages(spark):
     p = _plan(spark, "q_ann_ndcg")
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+# ----------------------------------------------------- window-spec lint
+
+
+def _empty_partition_windows(df):
+    """Walk the OPTIMIZED logical plan and return the order-spec head
+    column (expr-id stripped) of every Window node whose partition
+    spec is EMPTY — the single-task global-window shape. '' = a window
+    with no order spec either (count-over-all)."""
+    import re
+
+    out = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                order = node.orderSpec().toString()
+                m = re.search(r"\(([A-Za-z_][A-Za-z0-9_]*)#", order)
+                out.append(m.group(1) if m else "")
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out
+
+
+# Every (query, order-head) pair here is a DELIBERATE unpartitioned
+# window over a PROVABLY BOUNDED frame — the bound is stated inline.
+# Adding a new pair requires stating its bound; a corpus-proportional
+# frame is never allowlistable (fix the operator instead: broadcast
+# 1-row aggregates for constants, ranged_global_rank for ranks,
+# TakeOrdered for argmax — see rfm_segments / kcenter_coreset history).
+_BOUNDED_GLOBAL_WINDOWS = {
+    ("q_auc_exact", "s"),              # distinct-score histogram
+    ("q_rank_sum_test", "s"),          # distinct-score histogram
+    ("q_pr_curve", "threshold"),       # distinct-score histogram
+    ("q_pr_curve", ""),                # total-positives over histogram
+    ("q_calibration_bins_hist", "s"),  # distinct-score histogram
+    ("q_calibration_bins_hist", ""),   # corpus total over histogram
+    # exact-ntile ORACLE TWIN of q_calibration_bins_hist — the global
+    # sort is the audit-scale cross-check shape, kept deliberately
+    ("q_calibration_bins", "score_u"),
+    ("q_bpe_merge_step", "pair_cnt"),  # adjacent-pair vocab table
+    ("q_token_zipf", "cnt"),           # vocab table (top-k cut)
+    ("q_token_pmi", "pmi"),            # df-capped co-occurrence pairs
+    ("q_cumulative_users", "day"),     # per-day aggregate
+    ("q_curriculum_schedule", "quality"),   # quality-bucket prefix
+    ("q_token_budget_select", "quality"),   # quality-bucket prefix
+    ("q_danish_collation", "_w0"),     # 12-word collation vocab
+    ("q_null_semantics", "k"),         # 21-key aggregate (k % 20 + NULL)
+    ("q_freshness_weights", ""),       # per-event-type aggregate
+    ("q_negative_sampling", ""),       # vocab.limit(vocab_size) frame
+    ("q_shard_balance", ""),           # n_shards-row shard aggregate
+    ("q_pq_topk", "_w0"),              # k-row codebook seed (limit k)
+    ("q_pq_rerank", "_w0"),            # k-row codebook seed (limit k)
+    ("q_priority_sample", "priority"),  # k+1-row frame (limit k+1)
+    ("q_skyline", "o_totalprice"),     # frontier-sized survivor set
+    ("q_skyline", "__bin"),            # bin-table cumulative min
+}
+
+
+def test_registry_no_unbounded_global_windows(spark):
+    """Registry-wide lint for the single-task global-window shape: a
+    Window with an EMPTY partition spec is only legal over a provably
+    bounded frame (P-row ranged-rank offsets, value histograms, vocab
+    tables, limit-k frames). Catches the rfm_segments count-over-all /
+    kcenter_coreset global-argmax class at registration time instead
+    of judge time. Streaming queries are skipped (they execute);
+    checkpoint-truncated lineage (eager localCheckpoint) is out of
+    sweep reach — iterative operators get dedicated tests below."""
+    bad = []
+    for name, fn in sorted(entrymod.queries().items()):
+        if name.startswith("q_stream"):
+            continue
+        df = fn(spark, SF)
+        for head in _empty_partition_windows(df):
+            if head.startswith("__pid"):
+                continue  # ranged_global_rank offsets: P rows
+            if (name, head) not in _BOUNDED_GLOBAL_WINDOWS:
+                bad.append((name, head))
+    assert not bad, (
+        f"unpartitioned Window over a non-allowlisted frame: {bad} — "
+        "either fix the operator (broadcast 1-row aggregate / "
+        "ranged_global_rank / TakeOrdered) or, if the frame is "
+        "PROVABLY bounded, allowlist it with its bound stated"
+    )
+
+
+def test_kcenter_rounds_have_no_global_window(spark, monkeypatch):
+    """kcenter_coreset's per-round argmax must be a TakeOrdered
+    limit(1), never a global row_number window over the corpus-sized
+    distance frame. The rounds hide behind localCheckpoint lineage
+    truncation, so neutralize checkpointing and sweep the full plan."""
+    # patch the CLASSIC class: pyspark.sql.DataFrame is the Spark 4
+    # abstract base — instances override localCheckpoint in the
+    # classic subclass, so patching the base is a no-op
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    monkeypatch.setattr(
+        _CDF, "localCheckpoint", lambda self, eager=True: self
+    )
+    emb = entrymod._t(spark, SF, "embeddings")
+    df = kcenter_coreset(emb, k=3)
+    assert _empty_partition_windows(df) == []
