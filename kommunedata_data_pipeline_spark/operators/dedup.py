@@ -274,20 +274,32 @@ def prefix_filter_jaccard_pairs(
     the ceil guards float round-up at exact multiples (ceil must never
     exceed the true integer ceiling, else the prefix shortens and
     recall breaks).
+
+    Token representation: shingles are md5-hashed to BIGINT before the
+    first shuffle, so the df groupBy, the prefix equi-join, and the
+    packed verification arrays all move 8-byte longs instead of k-word
+    strings — the r9 fix for the 256× external-sort spill tail
+    (SCALING.md: the verify stage sorted string-array payloads; hashed
+    arrays cut the measured 128× spill 42G → ~7G and the wall ~2×).
+    Same exactness class as `dedup_exact`'s md5 fingerprint: the prefix
+    theorem needs only A consistent total order (df, hash is one), and
+    the intersection is exact up to md5 collisions.
     """
-    sh = doc_shingles(documents, k)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh = doc_shingles(documents, k).select(
+        "doc_id", md5_bigint(F.col("shingle")).alias("h")
+    )
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # pack each doc ONCE on the doc_id shuffle: globally-ordered token
     # array + size; prefixes slice off the front, verification
     # intersects the same arrays — sizes/toks/prefix all derive from
     # this one frame instead of three separate doc_id aggregations
     packed = (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq, "h")
         .groupBy("doc_id")
         .agg(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("df", "shingle"))),
-                lambda s: s["shingle"],
+                F.sort_array(F.collect_list(F.struct("df", "h"))),
+                lambda s: s["h"],
             ).alias("toks")
         )
         .select("doc_id", "toks", F.size("toks").alias("n_sh"))
@@ -298,17 +310,17 @@ def prefix_filter_jaccard_pairs(
         "n_sh",
         F.posexplode(
             F.slice(F.col("toks"), F.lit(1), (F.col("n_sh") - need + 1).cast("int"))
-        ).alias("pos", "shingle"),
+        ).alias("pos", "h"),
     )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
-        "shingle",
+        "h",
         F.col("n_sh").alias("n_a"),
         F.col("pos").alias("pa"),
     )
     b = prefix.select(
         F.col("doc_id").alias("doc_b"),
-        "shingle",
+        "h",
         F.col("n_sh").alias("n_b"),
         F.col("pos").alias("pb"),
     )
@@ -323,7 +335,7 @@ def prefix_filter_jaccard_pairs(
     # the exact array_intersect — the verification step is the dominant
     # cost at scale (SCALING.md measured 46x at 64x pre-filter).
     cands = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
             & (

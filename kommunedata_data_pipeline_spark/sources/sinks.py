@@ -85,6 +85,184 @@ def upsert_partitioned(
     return n
 
 
+def _log_dir(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_kdp_log")
+
+
+def committed_files(path: str) -> tuple[int, list[str]]:
+    """Read the commit log: (latest version, table-relative data files).
+    Version -1 = no committed table. Commit files are written atomically
+    (content first, then an atomic link into the log), so a concurrent
+    reader sees each commit fully or not at all."""
+    import json
+    import os
+
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return -1, []
+    version, files = -1, []
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(d, name)) as f:
+            rec = json.load(f)
+        version = max(version, rec["version"])
+        files.extend(rec["added"])
+    return version, files
+
+
+def read_committed(spark: SparkSession, path: str) -> DataFrame | None:
+    """Snapshot read of a merge_upsert table: ONLY files named by the
+    commit log (an in-flight writer's staged/orphaned part files are
+    invisible — the manifest, not the directory listing, defines the
+    table). basePath keeps Hive-style partition columns."""
+    import os
+
+    _, files = committed_files(path)
+    if not files:
+        return None
+    return spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+
+
+def merge_upsert(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_cols: list[str] | None = None,
+    max_retries: int = 20,
+    _test_hook=None,
+) -> int:
+    """Concurrent-writer-safe idempotent upsert — the transactional
+    upgrade of `upsert_partitioned` (whose read-catalog-then-append has
+    a classic lost-update window: two writers can both see a key absent
+    and both append it). Minimal Delta-protocol shape on a shared
+    filesystem:
+
+    - commit log `_kdp_log/{version:012d}.json` lists the data files
+      each commit ADDED; reads (`read_committed`) resolve the manifest,
+      never the directory listing;
+    - optimistic concurrency: plan the anti-join against version V,
+      stage new uniquely-named part files into the table dir (invisible
+      until committed), then claim commit V+1 by ATOMIC link creation —
+      the filesystem serializes the claim, exactly one writer per
+      version wins;
+    - a loser deletes its staged files, re-reads the log, re-anti-joins
+      its remaining fresh rows against what the winner landed, and
+      retries at the next version — duplicate keys lose the race
+      instead of landing twice, and no writer's unique rows are lost.
+
+    Replay (ST2) is preserved: re-running the same batch anti-joins to
+    zero rows and writes nothing. A writer crashing mid-stage leaves
+    orphaned part files that no commit references — invisible to reads;
+    sweep them with `vacuum_uncommitted`. `_test_hook(attempt)` runs
+    between staging and the commit claim (deterministic-interleaving
+    seam for the concurrency test). Returns rows written."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    spark = df.sparkSession
+    pcols = partition_cols or []
+    batch = df.dropDuplicates(keys)
+    for attempt in range(max_retries):
+        version, _ = committed_files(path)
+        fresh = batch
+        snapshot = read_committed(spark, path)
+        if snapshot is not None:
+            existing = snapshot.select(*keys).dropDuplicates(keys)
+            fresh = fresh.join(F.broadcast(existing), keys, "left_anti")
+        fresh = fresh.cache()
+        try:
+            n = fresh.count()
+            if n == 0:
+                return 0
+            stage = os.path.join(path, f"_kdp_stage_{uuid.uuid4().hex}")
+            w = fresh.write
+            if pcols:
+                w = w.partitionBy(*pcols)
+            w.mode("overwrite").parquet(stage)
+        finally:
+            fresh.unpersist()
+        # move part files to their final (partition-preserving) homes
+        # under collision-free names; they stay invisible until the
+        # commit names them
+        added = []
+        for root, _dirs, fs in os.walk(stage):
+            for fn in fs:
+                if not fn.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(root, stage)
+                newname = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                dest_dir = (
+                    path if rel_dir == "." else os.path.join(path, rel_dir)
+                )
+                os.makedirs(dest_dir, exist_ok=True)
+                os.replace(
+                    os.path.join(root, fn), os.path.join(dest_dir, newname)
+                )
+                added.append(
+                    newname
+                    if rel_dir == "."
+                    else os.path.normpath(os.path.join(rel_dir, newname))
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        if _test_hook is not None:
+            _test_hook(attempt)
+        # claim the next version: write content to a temp file, then
+        # LINK it into the log — link(2) is atomic and fails with
+        # EEXIST if another writer claimed this version first
+        logd = _log_dir(path)
+        os.makedirs(logd, exist_ok=True)
+        cpath = os.path.join(logd, f"{version + 1:012d}.json")
+        tmp = os.path.join(logd, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"version": version + 1, "added": added}, f)
+        try:
+            os.link(tmp, cpath)
+            return n
+        except FileExistsError:
+            # lost the race: drop our (uncommitted, invisible) files
+            # and retry against the winner's state
+            for rel in added:
+                try:
+                    os.remove(os.path.join(path, rel))
+                except OSError:
+                    pass
+        finally:
+            os.remove(tmp)
+    raise RuntimeError(
+        f"merge_upsert: no commit after {max_retries} attempts ({path})"
+    )
+
+
+def vacuum_uncommitted(path: str) -> int:
+    """Delete data files not referenced by any commit (crashed writers'
+    orphans). Safe only when no writer is mid-stage; returns count."""
+    import os
+
+    _, files = committed_files(path)
+    keep = {os.path.normpath(f) for f in files}
+    removed = 0
+    for root, dirs, fs in os.walk(path):
+        dirs[:] = [
+            d
+            for d in dirs
+            if d != "_kdp_log" and not d.startswith("_kdp_stage_")
+        ]
+        for fn in fs:
+            full = os.path.join(root, fn)
+            rel = os.path.normpath(os.path.relpath(full, path))
+            if fn.endswith(".parquet") and rel not in keep:
+                os.remove(full)
+                removed += 1
+    return removed
+
+
 def write_csv(df: DataFrame, path: str) -> None:
     """S16 — CSV sink (the discovery output found_start_urls*.csv,
     get_start_url.py:147-162; no per-row flush — one distributed write)."""

@@ -158,3 +158,112 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "GreaterThan(n,1)" in plan
+
+
+# ------------------------------------------------- transactional merge
+
+
+def test_merge_upsert_replay_lands_zero(spark, tmp_path):
+    """ST2 replay on the transactional sink: same batch twice -> second
+    call writes nothing; snapshot reads resolve the manifest."""
+    from kommunedata_data_pipeline_spark.sources.sinks import (
+        merge_upsert,
+        read_committed,
+    )
+
+    path = str(tmp_path / "tbl")
+    batch = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (2, "b", "x")],
+        "k int, v string, part string",
+    )
+    assert merge_upsert(batch, path, ["k"], ["part"]) == 2
+    assert merge_upsert(batch, path, ["k"], ["part"]) == 0
+    out = read_committed(spark, path)
+    assert out.count() == 2
+    assert set(out.columns) == {"k", "v", "part"}
+
+
+def test_merge_upsert_interleaved_writers_no_lost_no_dup(spark, tmp_path):
+    """The lost-update window of catalog-then-append, closed: writer A
+    plans its anti-join, then writer B (injected via the staging/commit
+    seam) lands an overlapping batch FIRST; A must lose the version
+    race, retry against B's state, land only its unique rows."""
+    from kommunedata_data_pipeline_spark.sources.sinks import (
+        merge_upsert,
+        read_committed,
+    )
+
+    path = str(tmp_path / "tbl")
+    a = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (3, "a3")], "k int, v string"
+    )
+    b = spark.createDataFrame([(2, "b2"), (4, "b4")], "k int, v string")
+    fired = []
+
+    def interleave(attempt):
+        if not fired:  # only on A's first attempt
+            fired.append(1)
+            merge_upsert(b, path, ["k"])
+
+    n_a = merge_upsert(a, path, ["k"], _test_hook=interleave)
+    out = read_committed(spark, path).orderBy("k").collect()
+    ks = [r["k"] for r in out]
+    assert ks == [1, 2, 3, 4], ks          # nothing lost, nothing duplicated
+    assert n_a == 2                        # A lost key 2 to B's commit
+    vals = {r["k"]: r["v"] for r in out}
+    assert vals[2] == "b2"                 # the race winner's row survives
+
+
+def test_merge_upsert_parallel_threads(spark, tmp_path):
+    """True-parallel writers: every key lands exactly once across 4
+    concurrent overlapping upserts."""
+    import threading
+
+    from kommunedata_data_pipeline_spark.sources.sinks import (
+        merge_upsert,
+        read_committed,
+    )
+
+    path = str(tmp_path / "tbl")
+    batches = [
+        spark.createDataFrame(
+            [(k, f"w{w}") for k in range(w * 5, w * 5 + 10)],
+            "k int, v string",
+        )
+        for w in range(4)
+    ]
+    errs = []
+
+    def run(b):
+        try:
+            merge_upsert(b, path, ["k"])
+        except Exception as exc:  # surface thread failures
+            errs.append(exc)
+
+    ts = [threading.Thread(target=run, args=(b,)) for b in batches]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    rows = read_committed(spark, path).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in rows)
+    assert {r["k"] for r in rows} == set(range(25))
+
+
+def test_vacuum_removes_only_orphans(spark, tmp_path):
+    from kommunedata_data_pipeline_spark.sources.sinks import (
+        merge_upsert,
+        read_committed,
+        vacuum_uncommitted,
+    )
+
+    path = str(tmp_path / "tbl")
+    batch = spark.createDataFrame([(1, "a")], "k int, v string")
+    merge_upsert(batch, path, ["k"])
+    # fake a crashed writer's orphan
+    orphan = tmp_path / "tbl" / "part-deadbeef.snappy.parquet"
+    orphan.write_bytes(b"not a real parquet")
+    assert vacuum_uncommitted(path) == 1
+    assert not orphan.exists()
+    assert read_committed(spark, path).count() == 1
