@@ -9984,6 +9984,216 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_ks_test",
+    """
+    WITH g AS (
+      SELECT n_chars AS s, count(*) AS cnt,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c1
+      FROM documents GROUP BY n_chars
+    ),
+    c AS (
+      SELECT s, cnt, c1,
+             sum(c1) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS k1,
+             sum(cnt - c1) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS k0,
+             sum(c1) OVER () AS n1,
+             sum(cnt - c1) OVER () AS n0
+      FROM g),
+    a AS (
+      SELECT CAST(max(abs(k1 * n0 - k0 * n1)) AS DOUBLE) AS md,
+             CAST(max(n0) AS BIGINT) AS n0,
+             CAST(max(n1) AS BIGINT) AS n1
+      FROM c)
+    SELECT n0, n1,
+           round(CASE WHEN n0 > 0 AND n1 > 0
+                 THEN md / (CAST(n0 AS DOUBLE) * n1) END, 6) AS d,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN
+             CAST(md * md * 1000000.0 >
+                  1844164.0 * (CAST(n0 AS DOUBLE) + n1) * n0 * n1 AS INT)
+           END AS reject_05
+    FROM a
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D over the en-vs-rest length
+    distributions — the distribution-SHAPE drift audit next to
+    q_rank_sum_test (location) and q_kl_divergence (smoothed global):
+    histogram collapse, integer cross-product CDF gaps in DECIMAL, the
+    α=0.05 Smirnov decision compared in squared space (no sqrt, no
+    transcendentals — bit-identical both engines)
+    (operators/statistics.py:ks_test)."""
+    from kommunedata_data_pipeline_spark.operators.statistics import ks_test
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("grp"),
+    )
+    return ks_test(d, "score", "grp")
+
+
+@_q(
+    "q_token_keyness",
+    r"""
+    WITH tok AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    c AS (
+      SELECT token, CAST(sum(ia) AS BIGINT) AS a,
+             CAST(sum(1 - ia) AS BIGINT) AS b
+      FROM tok GROUP BY token
+      HAVING sum(ia) + sum(1 - ia) >= 5),
+    t AS (
+      SELECT token, a, b,
+             sum(a) OVER () AS na, sum(b) OVER () AS nb
+      FROM c),
+    s AS (
+      SELECT token, a AS n_a, b AS n_b,
+             CASE WHEN CAST(a AS DOUBLE) * nb >= CAST(b AS DOUBLE) * na
+                  THEN 1 ELSE -1 END AS direction,
+             round(2.0 * (
+               (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) *
+                 ln(CAST(a AS DOUBLE) * (na + nb)
+                    / (na * (CAST(a AS DOUBLE) + b))) ELSE 0.0 END)
+               + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) *
+                 ln(CAST(b AS DOUBLE) * (na + nb)
+                    / (nb * (CAST(a AS DOUBLE) + b))) ELSE 0.0 END)
+             ), 6) AS g2
+      FROM t)
+    SELECT token, n_a, n_b, direction, g2
+    FROM s ORDER BY g2 DESC, token ASC LIMIT 40
+    """,
+)
+def q_token_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 Dunning log-likelihood (G²) keyness tokens between the
+    en sub-corpus and the rest — the corpus-comparison statistic for
+    domain/style drift, next to q_kl_divergence (distribution grain)
+    and q_token_pmi (within-doc association). One explode, one
+    combinable (token, a, b) aggregate, vocab-bounded totals window,
+    TakeOrdered on the ROUNDED g2 (the token_pmi tie discipline)
+    (operators/corpus.py:token_keyness)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        token_keyness,
+    )
+
+    return token_keyness(
+        _t(spark, sf_dir, "documents"),
+        F.col("lang") == "en",
+        min_count=5,
+        k=40,
+    )
+
+
+@_q(
+    "q_clustering_depth",
+    """
+    WITH f1 AS (SELECT o_orderkey // 4096 AS fid, o_orderdate AS v
+                FROM orders),
+    g1 AS (SELECT fid, min(v) AS f_min, max(v) AS f_max
+           FROM f1 GROUP BY fid),
+    e1 AS (SELECT f_min AS v, 1 AS delta FROM g1
+           UNION ALL SELECT f_max AS v, -1 AS delta FROM g1),
+    d1 AS (SELECT sum(delta) OVER (ORDER BY v ASC, delta DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+           FROM e1),
+    a1 AS (SELECT 'by_key' AS layout,
+                  CAST((SELECT count(*) FROM g1) AS BIGINT) AS n_files,
+                  CAST(max(depth) AS BIGINT) AS max_depth
+           FROM d1),
+    f2 AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS fid,
+                  o_orderdate AS v
+           FROM orders),
+    g2 AS (SELECT fid, min(v) AS f_min, max(v) AS f_max
+           FROM f2 GROUP BY fid),
+    e2 AS (SELECT f_min AS v, 1 AS delta FROM g2
+           UNION ALL SELECT f_max AS v, -1 AS delta FROM g2),
+    d2 AS (SELECT sum(delta) OVER (ORDER BY v ASC, delta DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+           FROM e2),
+    a2 AS (SELECT 'by_date' AS layout,
+                  CAST((SELECT count(*) FROM g2) AS BIGINT) AS n_files,
+                  CAST(max(depth) AS BIGINT) AS max_depth
+           FROM d2)
+    SELECT layout, n_files, max_depth
+    FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+    ORDER BY layout
+    """,
+)
+def q_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth audit of the same two orders layouts as
+    q_zone_map_skip: worst-case number of overlapping file [min,max]
+    zones (OPTIMIZE ZORDER's metric — depth 1 = point predicates touch
+    one file, depth ≈ n_files = zone maps prune nothing). Sweep-line
+    over file BOUNDARY events with file-metadata-sized windows; the
+    max is tie-order invariant
+    (operators/layout.py:clustering_depth)."""
+    from kommunedata_data_pipeline_spark.operators.layout import (
+        clustering_depth,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return clustering_depth(
+        o,
+        {
+            "by_key": F.floor(F.col("o_orderkey") / 4096),
+            "by_date": F.year("o_orderdate") * 12 + F.month("o_orderdate"),
+        },
+        "o_orderdate",
+    )
+
+
+@_q(
+    "q_substring_dedup",
+    """
+    WITH d AS (SELECT doc_id, text AS t FROM documents),
+    g0 AS (
+      SELECT doc_id, t,
+             unnest(range(1, CAST(length(t) AS BIGINT) - 30 + 2)) AS p
+      FROM d),
+    g AS (
+      SELECT doc_id, p,
+             CAST(('0x' || substr(md5(substr(t, p, 30)), 1, 8)) AS BIGINT)
+               AS h1,
+             CAST(('0x' || substr(md5(substr(t, p, 30)), 9, 8)) AS BIGINT)
+               AS h2
+      FROM g0),
+    dup AS (SELECT h1, h2 FROM g GROUP BY h1, h2 HAVING count(*) >= 2),
+    cov AS (SELECT doc_id, p AS s, p + 29 AS e
+            FROM g JOIN dup USING (h1, h2)),
+    isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+                    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    1 PRECEDING), s - 2) + 1 THEN 1 ELSE 0 END AS ni
+      FROM cov),
+    isl2 AS (
+      SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl)
+    SELECT doc_id, CAST(min(s) AS INT) AS span_start,
+           CAST(max(e) AS INT) AS span_end
+    FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-grain exact repeated-substring cover (Lee et al. 2022
+    ExactSubstr, the suffix-array half of the span family): per doc,
+    the merged 1-based char ranges covered by any >= 30-char substring
+    occurring twice anywhere in the corpus. Linear L-gram hash pass +
+    combinable duplicate count + gaps-and-islands interval union under
+    doc-partitioned windows — no suffix array, no quadratic contact
+    (operators/corpus.py:substring_dup_spans)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        substring_dup_spans,
+    )
+
+    return substring_dup_spans(_t(spark, sf_dir, "documents"), min_len=30)
+
+
+@_q(
     "q_calibration_bins_hist",
     """
     WITH s AS (

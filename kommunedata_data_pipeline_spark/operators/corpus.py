@@ -1699,3 +1699,170 @@ def ngram_lang_id(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("lang", "predicted")
     )
+
+
+def substring_dup_spans(
+    documents: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact repeated-substring localization at CHARACTER grain — the
+    suffix-array half of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", ExactSubstr): report, per document,
+    the maximal character ranges covered by some substring of length
+    >= ``min_len`` that occurs at least twice anywhere in the corpus
+    (including twice inside one document). Complements the n-gram-grain
+    span family (`duplicated_spans` / `cut_duplicated_spans`): those
+    match token windows, this matches raw characters — boilerplate,
+    licenses, templated headers that tokenize inconsistently.
+
+    Identity: a position range is covered by a repeated substring of
+    length >= L iff some length-L window starting inside it is
+    duplicated — so the union of duplicated L-gram spans IS the exact
+    Lee et al. cover, no suffix array required. The single-node suffix
+    array becomes three Spark-native steps:
+
+      1. ONE linear pass emits every char position's L-gram HASH
+         map-side — the md5 is let-bound so it computes once per
+         position, and only (doc_id, pos, h1, h2) ever shuffles,
+         never substrings (the 64-bit two-slice md5 key keeps
+         birthday collisions ~2^-64-scale — the `dedup_exact`
+         guarantee class);
+      2. occurrence counts come from a count window PARTITIONED by
+         the hash key over that one shuffle — NOT a groupBy +
+         join-back, which would re-scan and re-hash the whole corpus
+         a second time (measured 2× at sf0.01) and let Catalyst
+         infer join-key isnotnull filters that double-evaluate the
+         md5;
+      3. the per-doc interval union is the classic gaps-and-islands
+         pass under a window PARTITIONED by doc_id (document-sized
+         frames).
+
+    Scale: every stage is linear in corpus characters with combinable
+    aggregates; the L-gram density constant (one row per char) is the
+    honest exactness premium — the sampled/winnowed fingerprint family
+    (`winnowing_overlap_pairs`) is the cheap screen when char-exact
+    covers aren't required. Output: (doc_id, span_start, span_end)
+    1-based inclusive char ranges, merged (overlapping/adjacent spans
+    coalesce), ordered."""
+    from ..functions.strings import md5_bigint
+
+    L = int(min_len)
+    d = documents.select("doc_id", F.col(text_col).alias("t"))
+    hx = let(
+        F.md5(F.substring(F.col("t"), F.col("p"), L)),
+        lambda mh: F.struct(
+            F.conv(F.substring(mh, 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(mh, 9, 8), 16, 10).cast("bigint").alias("h2"),
+        ),
+    )
+    grams = (
+        d.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.when(
+                    F.length("t") >= L,
+                    F.sequence(F.lit(1), F.length("t") - L + 1),
+                ).otherwise(F.expr("array()").cast("array<int>"))
+            ).alias("p"),
+        )
+        .select("doc_id", "p", hx.alias("hx"))
+        .select("doc_id", "p", F.col("hx.h1").alias("h1"),
+                F.col("hx.h2").alias("h2"))
+    )
+    wh = Window.partitionBy("h1", "h2")
+    covered = (
+        grams.withColumn("n_occ", F.count(F.lit(1)).over(wh))
+        .where(F.col("n_occ") >= 2)
+        .select(
+            "doc_id",
+            F.col("p").alias("s"),
+            (F.col("p") + L - 1).alias("e"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = covered.withColumn(
+        "new_island",
+        (F.col("s") > F.coalesce(prev_max_e, F.col("s") - 2) + 1).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("s").cast("int").alias("span_start"),
+            F.max("e").cast("int").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def token_keyness(
+    documents: DataFrame,
+    is_a,
+    min_count: int = 5,
+    k: int = 40,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` keyness tokens between two sub-corpora (Dunning 1993
+    log-likelihood G² — the standard corpus-comparison statistic):
+    which tokens are most OVER-represented in corpus A (rows where
+    ``is_a``) vs B, the domain-shift / style-drift readout next to
+    `kl_divergence_splits` (distribution-level) and `token_pmi_pairs`
+    (within-doc association). G² = 2·(a·ln(a/Eₐ) + b·ln(b/E_b)) with
+    expectations from the pooled corpus; 0-count terms contribute 0.
+
+    Scale shape: ONE token explode → ONE combinable (token, a, b)
+    count aggregate; corpus totals ride a vocab-bounded window; the
+    head is a TakeOrdered on the ROUNDED g2 (ties by token — the
+    token_pmi discipline: cross-engine float ulps can't flip a rank on
+    a rounded key). ``min_count`` drops the long singleton tail before
+    ranking. Output: (token, n_a, n_b, direction, g2) — direction +1
+    when the token leans A (rate_a > rate_b), −1 otherwise."""
+    toks = documents.select(
+        is_a.cast("int").alias("ia"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum("ia").cast("bigint").alias("a"),
+        F.sum(1 - F.col("ia")).cast("bigint").alias("b"),
+    ).where(F.col("a") + F.col("b") >= min_count)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = counts.withColumn("na", F.sum("a").over(wall)).withColumn(
+        "nb", F.sum("b").over(wall)
+    )
+    n = F.col("na") + F.col("nb")
+    ad = F.col("a").cast("double")
+    bd = F.col("b").cast("double")
+    # a·ln(a·N / (Nₐ·(a+b))): ln of a ratio of exact integers — the
+    # only transcendental, applied to identical operands both engines
+    ta = F.when(
+        F.col("a") > 0,
+        ad * F.log(ad * n / (F.col("na") * (ad + bd))),
+    ).otherwise(F.lit(0.0))
+    tb = F.when(
+        F.col("b") > 0,
+        bd * F.log(bd * n / (F.col("nb") * (ad + bd))),
+    ).otherwise(F.lit(0.0))
+    scored = tot.select(
+        "token",
+        F.col("a").alias("n_a"),
+        F.col("b").alias("n_b"),
+        F.when(
+            ad * F.col("nb") >= bd * F.col("na"), F.lit(1)
+        ).otherwise(F.lit(-1)).alias("direction"),
+        F.round(2.0 * (ta + tb), 6).alias("g2"),
+    )
+    return (
+        scored.orderBy(F.col("g2").desc(), F.col("token").asc())
+        .limit(k)
+        .select("token", "n_a", "n_b", "direction", "g2")
+    )

@@ -417,3 +417,61 @@ def delete_amplification_audit(
             F.col("n_rows_rewritten") / F.col("n_rows_deleted"), 6
         ).alias("amplification"),
     ).orderBy("layout")
+
+
+def clustering_depth(
+    df: DataFrame,
+    layouts: dict,
+    value_col: str,
+) -> DataFrame:
+    """Clustering-depth audit — the companion of `zone_map_skip_stats`:
+    for each candidate LAYOUT (file-id expression), how many files'
+    [min, max] zones OVERLAP at the worst point. Depth 1 = perfectly
+    clustered (any point predicate touches one file); depth ≈ n_files
+    = the key is scattered and zone maps prune nothing no matter how
+    selective the filter. This is the metric Z-order/sort-key
+    maintenance jobs optimize (OPTIMIZE ZORDER's "clustering depth").
+
+    Plan: per-file min/max from one combinable groupBy per layout; the
+    depth is a sweep-line over file BOUNDARY events (+1 at min, −1
+    after max; starts sort before ends at a shared boundary so
+    touching zones count as overlapping) with a running sum + max over
+    the FILE-METADATA-sized event frame — the layout-family window
+    contract (file counts, never rows). The global max is invariant to
+    tie order inside an equal-(v, delta) run (the max is attained
+    after the +1 run completes), so both engines agree. Output: one
+    row per layout (layout, n_files, max_depth)."""
+    outs = []
+    for name, file_expr in layouts.items():
+        zones = (
+            df.select(file_expr.alias("fid"), F.col(value_col).alias("v"))
+            .groupBy("fid")
+            .agg(F.min("v").alias("f_min"), F.max("v").alias("f_max"))
+        )
+        events = zones.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("f_min").alias("v"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        F.col("f_max").alias("v"), F.lit(-1).alias("delta")
+                    ),
+                )
+            ).alias("ev")
+        ).select("ev.v", "ev.delta")
+        ws = Window.orderBy(
+            F.col("v").asc(), F.col("delta").desc()
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        depth = events.withColumn("depth", F.sum("delta").over(ws))
+        outs.append(
+            depth.agg(
+                F.lit(name).alias("layout"),
+                (F.count(F.lit(1)) / 2).cast("bigint").alias("n_files"),
+                F.max("depth").cast("bigint").alias("max_depth"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionAll(o)
+    return u.orderBy("layout")

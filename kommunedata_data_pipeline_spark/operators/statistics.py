@@ -1154,3 +1154,69 @@ def gmm_em_step(
             "pi1_new"
         ),
     )
+
+
+def ks_test(
+    scored: DataFrame,
+    score_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test over ``scored(score,
+    group)`` with group ∈ {0, 1} — the DISTRIBUTION-shape sibling of
+    `rank_sum_test` (location) and `ks`-style drift screens: D = max
+    over thresholds of |F1(x) − F0(x)|, sensitive to any difference
+    (spread, tails, multimodality), the standard train/serve drift and
+    split-balance audit.
+
+    Exactness: the corpus collapses to the distinct-score histogram in
+    one combinable groupBy (the auc_exact shape); per distinct score
+    the CDF gap is the INTEGER cross product |k1·n0 − k0·n1| (computed
+    in DECIMAL(38,0) — bigint would wrap past ~3e9 rows), so the max
+    is an integer comparison and D = max/(n0·n1) is one division. The
+    α = 0.05 decision uses the Smirnov critical value c = 1.358·
+    √((n0+n1)/(n0·n1)) compared in SQUARED space — pure +,·,/ on
+    exact integers (IEEE correctly-rounded, bit-identical in both
+    engines; no sqrt, no transcendentals). Degenerate (an empty group)
+    → NULL d and reject.
+
+    Scale shape: histogram groupBy + bounded histogram windows + a
+    1-row reduce. Output: one row (n0, n1, d, reject_05)."""
+    g = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(group_col).cast("bigint")).alias("c1"),
+    )
+    wc = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = "decimal(19,0)"
+    cum = (
+        g.withColumn("k1", F.sum("c1").over(wc))
+        .withColumn("k0", F.sum(F.col("cnt") - F.col("c1")).over(wc))
+        .withColumn("n1", F.sum("c1").over(wall))
+        .withColumn("n0", F.sum(F.col("cnt") - F.col("c1")).over(wall))
+    )
+    diff = F.abs(
+        F.col("k1").cast(dec) * F.col("n0")
+        - F.col("k0").cast(dec) * F.col("n1")
+    )
+    agg = cum.groupBy("n0", "n1").agg(F.max(diff).alias("md"))
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    mdd = F.col("md").cast("double")
+    d = F.when((F.col("n0") > 0) & (F.col("n1") > 0), mdd / (n0d * n1d))
+    # reject iff D > 1.358·sqrt((n0+n1)/(n0·n1)), squared:
+    # md²·10⁶ > 1358²·(n0+n1)·n0·n1 — same arithmetic tree both engines
+    reject = F.when(
+        (F.col("n0") > 0) & (F.col("n1") > 0),
+        (
+            mdd * mdd * F.lit(1000000.0)
+            > F.lit(1358.0 * 1358.0) * (n0d + n1d) * n0d * n1d
+        ).cast("int"),
+    )
+    return agg.select(
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.round(d, 6).alias("d"),
+        reject.alias("reject_05"),
+    )

@@ -832,6 +832,10 @@ _BOUNDED_GLOBAL_WINDOWS = {
     ("q_priority_sample", "priority"),  # k+1-row frame (limit k+1)
     ("q_skyline", "o_totalprice"),     # frontier-sized survivor set
     ("q_skyline", "__bin"),            # bin-table cumulative min
+    ("q_ks_test", "s"),                # distinct-score histogram
+    ("q_ks_test", ""),                 # group totals over histogram
+    ("q_token_keyness", ""),           # corpus totals over vocab table
+    ("q_clustering_depth", "v"),       # file-metadata boundary events
 }
 
 

@@ -1,0 +1,245 @@
+"""Round-9 operator tests: substring dedup cover, KS test, keyness,
+clustering depth, calibration-hist contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ substring dup spans
+
+
+def test_substring_spans_exact_cover_vs_brute_force(spark):
+    """The L-gram cover must equal the brute-force repeated-substring
+    cover (the Lee et al. identity) on a corpus small enough to check
+    every position directly."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        substring_dup_spans,
+    )
+
+    L = 5
+    docs = [
+        (1, "abcdefghij_SHAREDBLOCK_123"),
+        (2, "zz_SHAREDBLOCK_qqqqqqqqqq"),   # SHAREDBLOCK repeats x-doc
+        (3, "mmmmmmmmmm"),                   # self-repeat: mmmmm x6
+        (4, "short"),                        # len 5: one gram, unique
+        (5, "xyz"),                          # shorter than L: no grams
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_dup_spans(d, min_len=L).collect()
+    }
+    # brute force: position p covered iff text[p:p+L] occurs >= 2 times
+    # in the corpus (counting overlaps within one doc)
+    texts = dict((i, t) for i, t in docs)
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts.values():
+        for p in range(len(t) - L + 1):
+            grams[t[p : p + L]] += 1
+    want = set()
+    for i, t in texts.items():
+        covered = sorted(
+            p for p in range(len(t) - L + 1) if grams[t[p : p + L]] >= 2
+        )
+        spans = []
+        for p in covered:
+            s, e = p + 1, p + L  # 1-based inclusive
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([s, e])
+        want |= {(i, s, e) for s, e in spans}
+    assert got == want
+    assert any(i == 3 for i, _, _ in got)  # self-repeat found
+    assert not any(i in (4, 5) for i, _, _ in got)
+
+
+def test_substring_spans_merge_adjacent(spark):
+    """Two duplicated grams whose spans touch merge into one span."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        substring_dup_spans,
+    )
+
+    # 'aaaaaa' (6 chars, L=3): grams at 1..4 all 'aaa' -> one span 1..6
+    d = spark.createDataFrame(
+        [(1, "aaaaaa"), (2, "bbb_aaa_ccc")], "doc_id long, text string"
+    )
+    rows = substring_dup_spans(d, min_len=3).collect()
+    one = [r for r in rows if r["doc_id"] == 1]
+    assert len(one) == 1
+    assert (one[0]["span_start"], one[0]["span_end"]) == (1, 6)
+
+
+# --------------------------------------------------------- KS test
+
+
+def test_ks_matches_scipy_free_replica(spark):
+    """KS D against a direct two-CDF replica on mixed tied data."""
+    from kommunedata_data_pipeline_spark.operators.statistics import ks_test
+
+    data = [(1, 0), (1, 1), (2, 0), (3, 0), (3, 1), (5, 1), (8, 1), (2, 0)]
+    d = spark.createDataFrame(data, "s int, g int")
+    row = ks_test(d, "s", "g").collect()[0]
+    xs0 = sorted(s for s, g in data if g == 0)
+    xs1 = sorted(s for s, g in data if g == 1)
+    import bisect
+
+    dmax = max(
+        abs(
+            bisect.bisect_right(xs1, t) / len(xs1)
+            - bisect.bisect_right(xs0, t) / len(xs0)
+        )
+        for t in {s for s, _ in data}
+    )
+    assert row["n0"] == len(xs0) and row["n1"] == len(xs1)
+    assert row["d"] == pytest.approx(dmax, abs=1e-6)
+
+
+def test_ks_identical_distributions_and_degenerate(spark):
+    from kommunedata_data_pipeline_spark.operators.statistics import ks_test
+
+    same = spark.createDataFrame(
+        [(v, g) for v in (1, 2, 3) for g in (0, 1)], "s int, g int"
+    )
+    row = ks_test(same, "s", "g").collect()[0]
+    assert row["d"] == 0.0 and row["reject_05"] == 0
+    empty_arm = spark.createDataFrame([(1, 1), (2, 1)], "s int, g int")
+    row = ks_test(empty_arm, "s", "g").collect()[0]
+    assert row["d"] is None and row["reject_05"] is None
+
+
+def test_ks_disjoint_distributions_reject(spark):
+    """Fully separated samples -> D = 1, rejected at any sane size."""
+    from kommunedata_data_pipeline_spark.operators.statistics import ks_test
+
+    d = spark.createDataFrame(
+        [(v, 0) for v in range(10)] + [(v + 100, 1) for v in range(10)],
+        "s int, g int",
+    )
+    row = ks_test(d, "s", "g").collect()[0]
+    assert row["d"] == 1.0 and row["reject_05"] == 1
+
+
+# --------------------------------------------------------- keyness
+
+
+def test_keyness_flags_corpus_specific_token(spark):
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        token_keyness,
+    )
+
+    rows = [(1, "alpha alpha alpha beta", "en")] * 5 + [
+        (2, "gamma gamma gamma beta", "da")
+    ] * 5
+    d = spark.createDataFrame(
+        [(i, t, l) for i, (j, t, l) in enumerate(rows)],
+        "doc_id long, text string, lang string",
+    )
+    out = token_keyness(d, F.col("lang") == "en", min_count=1, k=10).collect()
+    by_tok = {r["token"]: r for r in out}
+    # alpha is en-only, gamma da-only, beta balanced
+    assert by_tok["alpha"]["direction"] == 1
+    assert by_tok["gamma"]["direction"] == -1
+    assert by_tok["alpha"]["g2"] > by_tok["beta"]["g2"]
+    assert by_tok["beta"]["g2"] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_keyness_g2_matches_hand_formula(spark):
+    import math
+
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        token_keyness,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "x x x y", "en"), (2, "x y y y", "da")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["token"]: r for r in token_keyness(
+        d, F.col("lang") == "en", min_count=1, k=10
+    ).collect()}
+    a, b, na, nb = 3, 1, 4, 4  # token x
+    n = na + nb
+    g2 = 2 * (
+        a * math.log(a * n / (na * (a + b)))
+        + b * math.log(b * n / (nb * (a + b)))
+    )
+    assert out["x"]["g2"] == pytest.approx(round(g2, 6), abs=1e-6)
+
+
+# ------------------------------------------------- clustering depth
+
+
+def test_clustering_depth_sorted_vs_scattered(spark):
+    from kommunedata_data_pipeline_spark.operators.layout import (
+        clustering_depth,
+    )
+
+    # key-sorted layout: disjoint zones -> depth 1 (touching at the
+    # shared boundary counts as overlap only when zones share a value)
+    d = spark.createDataFrame(
+        [(i, i) for i in range(40)], "k int, v int"
+    )
+    out = clustering_depth(
+        d,
+        {
+            "sorted": F.floor(F.col("k") / 10),      # files 0-9,10-19,...
+            "scattered": F.col("k") % 4,             # every file spans all v
+        },
+        "v",
+    ).collect()
+    by = {r["layout"]: r for r in out}
+    assert by["sorted"]["max_depth"] == 1
+    assert by["scattered"]["max_depth"] == 4
+    assert by["sorted"]["n_files"] == 4 and by["scattered"]["n_files"] == 4
+
+
+def test_clustering_depth_touching_zones_count_as_overlap(spark):
+    from kommunedata_data_pipeline_spark.operators.layout import (
+        clustering_depth,
+    )
+
+    # two files sharing boundary value 5: depth 2 at v=5
+    d = spark.createDataFrame(
+        [(0, 1), (0, 5), (1, 5), (1, 9)], "f int, v int"
+    )
+    out = clustering_depth(d, {"l": F.col("f")}, "v").collect()
+    assert out[0]["max_depth"] == 2
+
+
+# ------------------------------------------- calibration bins (hist)
+
+
+def test_calibration_hist_bins_partition_and_tie_contract(spark):
+    """Bins partition the corpus; a tie group never splits; totals
+    match the exact-ntile twin's totals."""
+    from kommunedata_data_pipeline_spark.operators.statistics import (
+        calibration_bins_hist,
+    )
+
+    rows = [(i, i % 7, 1 if i % 3 == 0 else 0) for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, score_u long, label int")
+    out = calibration_bins_hist(d, n_bins=4).collect()
+    assert sum(r["n"] for r in out) == 100
+    assert sum(r["n_pos"] for r in out) == sum(r[2] for r in rows)
+    assert [r["bin"] for r in out] == sorted(r["bin"] for r in out)
+    # 7 distinct scores in 4 bins: every score group lands whole
+    per_score = {}
+    for i, s, _l in rows:
+        per_score[s] = per_score.get(s, 0) + 1
+    sizes = [r["n"] for r in out]
+    # each bin size is a sum of whole score-group sizes
+    import itertools
+
+    group_sizes = sorted(per_score.values())
+    for n in sizes:
+        found = any(
+            sum(c) == n
+            for r in range(1, len(group_sizes) + 1)
+            for c in itertools.combinations(group_sizes, r)
+        )
+        assert found, (n, group_sizes)
