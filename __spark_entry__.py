@@ -9984,6 +9984,132 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_hybrid_rrf",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+           WHERE w IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+    dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    sc AS (
+      SELECT tf.doc_id,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+      FROM tf JOIN dfq USING (w) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN st
+    ),
+    bm AS (SELECT doc_id, round(sum(s), 4) AS bm25
+           FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+    r1 AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+           FROM bm),
+    dtoks AS (SELECT DISTINCT doc_id, w FROM toks),
+    per AS (SELECT doc_id, count(*) AS n_set,
+                   sum(CASE WHEN w IN ('spark', 'vector', 'merge')
+                       THEN 1 ELSE 0 END) AS inter
+            FROM dtoks GROUP BY doc_id),
+    tj AS (SELECT doc_id,
+                  round(inter / CAST(n_set + 3 - inter AS DOUBLE), 6) AS tj
+           FROM per WHERE inter > 0
+           ORDER BY tj DESC, doc_id LIMIT 20),
+    r2 AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY tj DESC, doc_id) AS rank
+           FROM tj),
+    fused AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_lists,
+             CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_u
+      FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+      GROUP BY doc_id)
+    SELECT doc_id, n_lists, rrf_u
+    FROM fused ORDER BY rrf_u DESC, doc_id LIMIT 10
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of two lexical rankers over the same
+    3-term query — BM25 (tf-weighted) fused with term-set Jaccard
+    (overlap) by score = Σ 1e9 div (60 + rank), the hybrid-search
+    combiner (Cormack 2009) every lexical+vector stack ships. Integer
+    reciprocals → bit-identical fusion both engines; inputs are
+    constant-size top-20 frames (operators/retrieval.py:rrf_fuse)."""
+    from kommunedata_data_pipeline_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+        term_jaccard_topk,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    terms = ["spark", "vector", "merge"]
+    b = bm25_topk(d, terms)
+    r1 = b.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("rank"),
+    )
+    j = term_jaccard_topk(d, terms)
+    r2 = j.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("tj"), "doc_id"))
+        .alias("rank"),
+    )
+    return rrf_fuse([r1, r2], k0=60, topk=10)
+
+
+@_q(
+    "q_event_pattern",
+    """
+    WITH coded AS (
+      SELECT user_id AS u,
+             CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                  WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
+                  WHEN 'error' THEN 'E' END AS c,
+             ts AS t, event_id AS i
+      FROM events WHERE event_type IN
+        ('view', 'click', 'purchase', 'signup', 'error')
+    ),
+    hist AS (
+      SELECT u, string_agg(c, '' ORDER BY t, i) AS h
+      FROM coded GROUP BY u
+    ),
+    flagged AS (
+      SELECT CAST(regexp_matches(h, 'V[^P]*C.*P') AS INT) AS m FROM hist
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(m) AS BIGINT) AS n_matched,
+           round(CAST(sum(m) AS DOUBLE) / count(*), 6) AS match_rate
+    FROM flagged
+    """,
+)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style behavioral regex over per-user event
+    histories: encode events as single chars in (ts, event_id) total
+    order, match 'V[^P]*C.*P' (a view, then a click with no purchase
+    in between, then an eventual purchase) — the pattern grammar a
+    fixed funnel can't express. One ordered per-user collect + one
+    regex per user (operators/funnel.py:event_pattern_match)."""
+    from kommunedata_data_pipeline_spark.operators.funnel import (
+        event_pattern_match,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return event_pattern_match(
+        ev,
+        {
+            "view": "V",
+            "click": "C",
+            "purchase": "P",
+            "signup": "S",
+            "error": "E",
+        },
+        "V[^P]*C.*P",
+    )
+
+
+@_q(
     "q_ks_test",
     """
     WITH g AS (

@@ -126,3 +126,55 @@ def retention_cohorts(
             "n_active",
         )
     )
+
+
+def event_pattern_match(
+    events: DataFrame,
+    codes: dict,
+    pattern: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style behavioral pattern query — the regex
+    sibling of `funnel_stages` (which counts ordered stage containment
+    with a conversion window): encode each user's event history as a
+    string of single-char codes in (ts, event_id) total order and
+    match an arbitrary REGEX over it. Expresses patterns a fixed
+    funnel can't (immediate adjacency, repetition counts, negated
+    inter-stage events) — e.g. 'V[^P]*C.*P' = a view, then a click
+    with NO purchase in between, then a purchase eventually.
+
+    ``codes`` maps event_type → single char (unmapped types are
+    dropped, stated). Keep patterns to literals, classes, and
+    quantifiers — both engines run RE2-compatible semantics there.
+    Scale shape: one map-side code projection, one per-user ordered
+    collect (the per-user history string — sessionize first at scale
+    if user histories are unbounded, as funnel_stages documents), one
+    regex per user. Output: one row (n_users, n_matched, match_rate).
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for kv in codes.items() for x in kv]
+    )
+    coded = events.select(
+        F.col(user_col).alias("u"),
+        mapping[F.col(type_col)].alias("c"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+    ).where(F.col("c").isNotNull())
+    hist = coded.groupBy("u").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "i", "c"))),
+                lambda s: s["c"],
+            ),
+        ).alias("h")
+    )
+    flagged = hist.select(F.col("h").rlike(pattern).cast("int").alias("m"))
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("m").cast("bigint").alias("n_matched"),
+        F.round(F.sum("m") / F.count(F.lit(1)), 6).alias("match_rate"),
+    )

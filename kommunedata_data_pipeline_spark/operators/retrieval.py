@@ -200,3 +200,81 @@ def tfidf_knn(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def term_jaccard_topk(
+    documents: DataFrame,
+    terms: Sequence[str],
+    topk: int = 20,
+) -> DataFrame:
+    """Top-k documents by Jaccard of the query-term SET vs the doc's
+    distinct-token set — the set-overlap lexical ranker (the second
+    signal a hybrid fusion wants next to BM25's tf-weighted one).
+    One normalize+explode+distinct pass, one combinable per-doc
+    aggregate with the term filter inside it; j = |∩| / (|doc set| +
+    |terms| − |∩|) is an exact integer ratio rounded once. Output:
+    (doc_id, tj) ordered (tj desc, doc_id), limit topk."""
+    from .dedup import _ensure_parallel
+
+    toks = _ensure_parallel(documents).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(normalized_text(F.col("text")), " "))
+        ).alias("w"),
+    )
+    per = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_set"),
+        F.sum(
+            F.when(F.col("w").isin(list(terms)), 1).otherwise(0)
+        ).alias("inter"),
+    )
+    nt = len(set(terms))
+    return (
+        per.where(F.col("inter") > 0)
+        .select(
+            "doc_id",
+            F.round(
+                F.col("inter")
+                / (F.col("n_set") + F.lit(nt) - F.col("inter")),
+                6,
+            ).alias("tj"),
+        )
+        .orderBy(F.desc("tj"), "doc_id")
+        .limit(topk)
+    )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k0: int = 60,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009) — the
+    standard hybrid-search combiner: fuse any number of rankings of
+    the same corpus by score(d) = Σ_lists 1/(k0 + rank_d), no score
+    calibration needed (ranks only). The modern lexical+vector stack's
+    default fusion (k0 = 60 from the paper).
+
+    Exactness: each reciprocal is the INTEGER 1e9 div (k0 + rank)
+    (floored micro-units — one integer division per membership, no
+    float summation order), so fused scores and their ranking are
+    bit-identical in both engines; ties break on id. Scale shape: the
+    inputs are top-k frames (constant-size); one union + one
+    combinable groupBy + a TakeOrdered head. Output: (id, n_lists,
+    rrf_u) — rrf_u in 1e-9 units."""
+    u = rankings[0].select(id_col, rank_col)
+    for r in rankings[1:]:
+        u = u.unionByName(r.select(id_col, rank_col))
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lists"),
+            F.sum(
+                F.expr(f"1000000000 div ({k0} + {rank_col})")
+            ).cast("bigint").alias("rrf_u"),
+        )
+        .orderBy(F.desc("rrf_u"), id_col)
+        .limit(topk)
+    )

@@ -243,3 +243,94 @@ def test_calibration_hist_bins_partition_and_tie_contract(spark):
             for c in itertools.combinations(group_sizes, r)
         )
         assert found, (n, group_sizes)
+
+
+# ------------------------------------------------------------- RRF
+
+
+def test_rrf_fuse_integer_reciprocals_and_consensus(spark):
+    """A doc ranked mid by BOTH lists outranks a doc ranked top by one
+    list only (the RRF consensus property at k0=60); scores are exact
+    integer micro-units."""
+    from kommunedata_data_pipeline_spark.operators.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    r2 = spark.createDataFrame(
+        [(40, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    out = rrf_fuse([r1, r2], k0=60, topk=10).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert by[20]["n_lists"] == 2
+    # doc 20: 2 * (1e9 div 62); docs 10/40: 1e9 div 61
+    assert by[20]["rrf_u"] == 2 * (10**9 // 62)
+    assert by[10]["rrf_u"] == 10**9 // 61
+    assert by[20]["rrf_u"] > by[10]["rrf_u"]
+    assert [r["doc_id"] for r in out][0] == 20
+
+
+def test_term_jaccard_exact_ratio(spark):
+    from kommunedata_data_pipeline_spark.operators.retrieval import (
+        term_jaccard_topk,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "spark merge spark"), (2, "vector soup"), (3, "nothing here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["tj"] for r in term_jaccard_topk(
+        d, ["spark", "vector", "merge"], topk=10
+    ).collect()}
+    # doc 1: set {spark, merge}, inter 2, union 2+3-2=3
+    assert out[1] == pytest.approx(round(2 / 3, 6))
+    # doc 2: inter 1, set {vector, soup}, union 2+3-1=4
+    assert out[2] == pytest.approx(0.25)
+    assert 3 not in out  # zero-overlap docs never rank
+
+
+# ------------------------------------------------- event pattern
+
+
+def test_event_pattern_negation_semantics(spark):
+    """'V[^P]*C.*P' demands a view->click with NO intervening purchase:
+    user 1 (V C P) matches, user 2 (V P C P) does not, user 3 (V C) has
+    no purchase -> no match."""
+    from kommunedata_data_pipeline_spark.operators.funnel import (
+        event_pattern_match,
+    )
+
+    rows = [
+        (1, "view", 1, 1), (1, "click", 2, 2), (1, "purchase", 3, 3),
+        (2, "view", 1, 4), (2, "purchase", 2, 5), (2, "click", 3, 6),
+        (2, "purchase", 4, 7),
+        (3, "view", 1, 8), (3, "click", 2, 9),
+    ]
+    d = spark.createDataFrame(
+        [(u, t, float(ts), i) for u, t, ts, i in rows],
+        "user_id long, event_type string, ts double, event_id long",
+    )
+    out = event_pattern_match(
+        d,
+        {"view": "V", "click": "C", "purchase": "P"},
+        "V[^P]*C.*P",
+    ).collect()[0]
+    assert out["n_users"] == 3
+    assert out["n_matched"] == 1
+    assert out["match_rate"] == pytest.approx(round(1 / 3, 6))
+
+
+def test_event_pattern_order_is_ts_then_id(spark):
+    """Same-ts ties break on event_id — the (ts, id) total order."""
+    from kommunedata_data_pipeline_spark.operators.funnel import (
+        event_pattern_match,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "click", 1.0, 2), (1, "view", 1.0, 1)],
+        "user_id long, event_type string, ts double, event_id long",
+    )
+    out = event_pattern_match(
+        d, {"view": "V", "click": "C"}, "^VC$"
+    ).collect()[0]
+    assert out["n_matched"] == 1
