@@ -9984,6 +9984,153 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_theil_sen",
+    """
+    WITH d AS (
+      SELECT event_type AS grp,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    s AS (SELECT grp, CAST(day - DATE '1970-01-01' AS BIGINT) AS x, y
+          FROM d),
+    p AS (
+      SELECT a.grp, a.x AS xi, b.x AS xj,
+             CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+      FROM s a JOIN s b ON a.grp = b.grp AND a.x < b.x
+    ),
+    r AS (
+      SELECT grp, slope,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY slope, xi, xj) AS rn,
+             count(*) OVER (PARTITION BY grp) AS cnt
+      FROM p
+    ),
+    n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_points
+          FROM s GROUP BY grp)
+    SELECT r.grp, n_points, CAST(cnt AS BIGINT) AS n_pairs,
+           round(slope, 6) AS slope
+    FROM r JOIN n ON r.grp = n.grp
+    WHERE rn = (cnt + 1) // 2
+    ORDER BY r.grp
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event value per event_type —
+    the median of all pairwise day-slopes (breakdown ~29%), immune to
+    the outlier days that drag the q_corr_regr OLS line. Daily DECIMAL
+    cent totals (exact), one bounded days² pair join per group, lower
+    median by rank over the (slope, xi, xj) total order
+    (operators/timeseries.py:theil_sen_trend)."""
+    from kommunedata_data_pipeline_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        F.to_date("ts").alias("day"),
+    ).agg(
+        (
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,2)"))
+            * 100
+        ).cast("bigint").alias("y")
+    ).select(
+        "grp", F.datediff(F.col("day"), F.lit("1970-01-01")).cast("bigint").alias("x"), "y"
+    )
+    return theil_sen_trend(daily, "grp", "x", "y")
+
+
+@_q(
+    "q_stream_substring_ingest",
+    """
+    WITH d AS (SELECT doc_id, text AS t FROM documents),
+    g0 AS (SELECT doc_id, t,
+                  unnest(range(1, CAST(length(t) AS BIGINT) - 25 + 2)) AS p
+           FROM d),
+    g AS (SELECT doc_id, p,
+          CAST(('0x' || substr(md5(substr(t, p, 25)), 1, 8)) AS BIGINT) AS h1,
+          CAST(('0x' || substr(md5(substr(t, p, 25)), 9, 8)) AS BIGINT) AS h2
+          FROM g0),
+    fo AS (SELECT h1, h2, min(doc_id) AS md FROM g GROUP BY h1, h2),
+    cov AS (SELECT g.doc_id, p AS s, p + 24 AS e
+            FROM g JOIN fo USING (h1, h2) WHERE fo.md < g.doc_id),
+    isl AS (SELECT doc_id, s, e,
+            CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+                 ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 1 PRECEDING), s - 2) + 1 THEN 1 ELSE 0 END AS ni
+            FROM cov),
+    isl2 AS (SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             FROM isl),
+    spans AS (SELECT doc_id, min(s) AS ss, max(e) AS ee
+              FROM isl2 GROUP BY doc_id, island),
+    dup AS (SELECT doc_id, CAST(sum(ee - ss + 1) AS BIGINT) AS dup_chars
+            FROM spans GROUP BY doc_id),
+    stats AS (
+      SELECT d.doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+             coalesce(dup_chars, 0) AS dup_chars
+      FROM d LEFT JOIN dup ON d.doc_id = dup.doc_id)
+    SELECT doc_id, n_chars, dup_chars
+    FROM stats
+    WHERE CAST(dup_chars AS DOUBLE) < 0.5 * n_chars
+    ORDER BY doc_id
+    """,
+)
+def q_stream_substring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING char-grain substring dedup ingest: the documents table
+    arrives as a 3-batch id-ordered file stream; each micro-batch's
+    L-gram hashes are screened against the PERSISTED (h1, h2, min_doc)
+    gram store, documents with >= 50% of characters covered by grams
+    of smaller-id documents are dropped, survivors land exactly once,
+    and the store min-merges the batch (idempotent on replay). The
+    drop rule is a pure function of the document set under id-ordered
+    arrival, so the landed set equals this one-batch SQL
+    (streaming/ingest.py:substring_dedup_ingest)."""
+    import shutil
+    import tempfile
+
+    from kommunedata_data_pipeline_spark.streaming.ingest import (
+        run_writer_available_now,
+        substring_dedup_ingest,
+    )
+
+    base = tempfile.mkdtemp(
+        prefix="kdp-subingest-",
+        dir="/dev/shm" if __import__("os").path.isdir("/dev/shm") else None,
+    )
+    try:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        stage = _stage_id_batches(d, "doc_id", base)
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        run_writer_available_now(
+            substring_dedup_ingest(
+                stream,
+                f"{base}/index",
+                f"{base}/landed",
+                min_len=25,
+                max_dup_ratio=0.5,
+            ),
+            f"{base}/ckpt",
+            durations_key="q_stream_substring_ingest_sink",
+        )
+        landed = (
+            spark.read.parquet(f"{base}/landed")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return landed.orderBy("doc_id")
+
+
+@_q(
     "q_hybrid_rrf",
     f"""
     WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
@@ -13143,6 +13290,31 @@ _R7_DRIVER_CHECKED = frozenset(
 )
 # ...and append _R7_DRIVER_CHECKED to _ALL_CHECK_ROUNDS
 
+# Queries whose round-8 driver row is green (hash_match) — all 50 of
+# CORRECTNESS_r08.json, derived via scripts/next_tier.py.
+_R8_DRIVER_CHECKED = frozenset(
+    {
+        "q_ann_ndcg", "q_auc_exact", "q_base64_roundtrip",
+        "q_calendar_fill", "q_cc_index_update", "q_cohens_kappa",
+        "q_corpus_datasheet", "q_cumulative_users",
+        "q_delete_amplification", "q_dict_encoding_audit",
+        "q_er_clusters", "q_freshness_weights", "q_from_json_struct",
+        "q_gmm_em_step", "q_golden_record", "q_kcenter_coreset",
+        "q_label_propagation", "q_leakproof_split", "q_lsh_pr_audit",
+        "q_luhn_pii", "q_map_ops", "q_matryoshka_rerank",
+        "q_media_dedup", "q_media_features", "q_mmr_rerank",
+        "q_negative_sampling", "q_ngram_lang_id", "q_padding_waste",
+        "q_pagerank", "q_partition_skew", "q_pr_curve",
+        "q_quantize_embeddings", "q_range_join", "q_rank_sum_test",
+        "q_rfm_segments", "q_ridge_regression", "q_shard_balance",
+        "q_skyline", "q_stratified_kfold", "q_stream_cc_ingest",
+        "q_stream_join", "q_stream_quality_route", "q_stream_session",
+        "q_stream_sliding", "q_stream_tumbling", "q_tfidf_knn",
+        "q_tokenizer_fertility", "q_triangle_count",
+        "q_value_histogram", "q_zone_map_skip",
+    }
+)
+
 _ALL_CHECK_ROUNDS = (
     _R1_DRIVER_CHECKED,
     _R2_DRIVER_CHECKED,
@@ -13151,6 +13323,7 @@ _ALL_CHECK_ROUNDS = (
     _R5_DRIVER_CHECKED,
     _R6_DRIVER_CHECKED,
     _R7_DRIVER_CHECKED,
+    _R8_DRIVER_CHECKED,
 )
 
 

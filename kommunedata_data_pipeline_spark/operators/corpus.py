@@ -1701,6 +1701,73 @@ def ngram_lang_id(
     )
 
 
+def char_gram_hashes(
+    documents: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, p, h1, h2): a 64-bit two-slice md5 hash of the length-
+    ``min_len`` character gram at every 1-based position — the shared
+    linear pass behind `substring_dup_spans` and the streaming
+    substring ingest. The md5 is let-bound (one evaluation per
+    position) and only the 8-byte hash halves leave the projection —
+    substrings never shuffle."""
+    from ..functions.expr import let as _let
+
+    L = int(min_len)
+    d = documents.select("doc_id", F.col(text_col).alias("t"))
+    hx = _let(
+        F.md5(F.substring(F.col("t"), F.col("p"), L)),
+        lambda mh: F.struct(
+            F.conv(F.substring(mh, 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(mh, 9, 8), 16, 10).cast("bigint").alias("h2"),
+        ),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.when(
+                    F.length("t") >= L,
+                    F.sequence(F.lit(1), F.length("t") - L + 1),
+                ).otherwise(F.expr("array()").cast("array<int>"))
+            ).alias("p"),
+        )
+        .select("doc_id", "p", hx.alias("hx"))
+        .select("doc_id", "p", F.col("hx.h1").alias("h1"),
+                F.col("hx.h2").alias("h2"))
+    )
+
+
+def merged_span_lengths(covered: DataFrame, min_len: int) -> DataFrame:
+    """(doc_id, dup_chars): total characters under the interval UNION
+    of the covered gram positions (gaps-and-islands per doc — the
+    merge step `substring_dup_spans` and the streaming ingest share).
+    ``covered`` is (doc_id, p) rows of duplicated gram positions."""
+    L = int(min_len)
+    spans0 = covered.select(
+        "doc_id", F.col("p").alias("s"), (F.col("p") + L - 1).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = spans0.withColumn(
+        "new_island",
+        (F.col("s") > F.coalesce(prev_max_e, F.col("s") - 2) + 1).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("s") + 1).alias("len"))
+        .groupBy("doc_id")
+        .agg(F.sum("len").cast("bigint").alias("dup_chars"))
+    )
+
+
 def substring_dup_spans(
     documents: DataFrame,
     min_len: int = 20,
@@ -1745,32 +1812,8 @@ def substring_dup_spans(
     covers aren't required. Output: (doc_id, span_start, span_end)
     1-based inclusive char ranges, merged (overlapping/adjacent spans
     coalesce), ordered."""
-    from ..functions.strings import md5_bigint
-
     L = int(min_len)
-    d = documents.select("doc_id", F.col(text_col).alias("t"))
-    hx = let(
-        F.md5(F.substring(F.col("t"), F.col("p"), L)),
-        lambda mh: F.struct(
-            F.conv(F.substring(mh, 1, 8), 16, 10).cast("bigint").alias("h1"),
-            F.conv(F.substring(mh, 9, 8), 16, 10).cast("bigint").alias("h2"),
-        ),
-    )
-    grams = (
-        d.select(
-            "doc_id",
-            "t",
-            F.explode(
-                F.when(
-                    F.length("t") >= L,
-                    F.sequence(F.lit(1), F.length("t") - L + 1),
-                ).otherwise(F.expr("array()").cast("array<int>"))
-            ).alias("p"),
-        )
-        .select("doc_id", "p", hx.alias("hx"))
-        .select("doc_id", "p", F.col("hx.h1").alias("h1"),
-                F.col("hx.h2").alias("h2"))
-    )
+    grams = char_gram_hashes(documents, min_len, text_col)
     wh = Window.partitionBy("h1", "h2")
     covered = (
         grams.withColumn("n_occ", F.count(F.lit(1)).over(wh))

@@ -611,3 +611,66 @@ def freshness_weights(
         )
         .orderBy("event_type")
     )
+
+
+def theil_sen_trend(
+    series: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend per group: the MEDIAN of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i), x_i < x_j — the outlier-immune
+    slope (breakdown point ~29%) next to the OLS line of
+    `corr_regr`/`ridge_closed_form`, which one bad day can drag
+    arbitrarily. The standard robust-trend readout for per-source
+    volume/quality drift.
+
+    Input contract (stated, enforced by the caller): ``series`` is a
+    PRE-AGGREGATED series — one row per (group, x), e.g. daily totals —
+    so the pair self-join is bounded by days² per group, never raw
+    rows² (the operator's quadratic is in the SERIES length, the same
+    budget as `rolling_median`'s frame). Slopes are one IEEE division
+    of exact integers (identical both engines); the median is the
+    LOWER median picked by rank over the total order (slope, x_i, x_j)
+    — deterministic, no interpolation, no float summation.
+
+    Output: one row per group (grp, n_points, n_pairs, slope)."""
+    base = series.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    a = base.select("grp", F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = base.select("grp", F.col("x").alias("xj"), F.col("y").alias("yj"))
+    pairs = (
+        a.join(b, "grp")
+        .where(F.col("xi") < F.col("xj"))
+        .select(
+            "grp",
+            "xi",
+            "xj",
+            (
+                (F.col("yj") - F.col("yi")).cast("double")
+                / (F.col("xj") - F.col("xi"))
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("slope", "xi", "xj")
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    npts = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    return (
+        ranked.where(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select(
+            "grp",
+            F.col("cnt").cast("bigint").alias("n_pairs"),
+            F.round("slope", 6).alias("slope"),
+        )
+        .join(npts, "grp")
+        .select("grp", "n_points", "n_pairs", "slope")
+        .orderBy("grp")
+    )

@@ -421,3 +421,98 @@ def cc_label_ingest(
         shutil.rmtree(bak, ignore_errors=True)
 
     return pair_stream.writeStream.foreachBatch(process_batch)
+
+
+def substring_dedup_ingest(
+    doc_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    min_len: int = 25,
+    max_dup_ratio: float = 0.5,
+):
+    """Char-grain substring dedup made streaming — the ExactSubstr
+    member of the incremental-ingest family (`substring_dup_spans`'s
+    cover identity + this module's persisted-store discipline): each
+    micro-batch of fresh documents is screened against the PERSISTED
+    gram store, documents whose covered-character fraction reaches
+    ``max_dup_ratio`` are dropped, survivors land exactly once, and
+    the store absorbs the batch's grams.
+
+    The store holds ONE row per distinct gram hash: (h1, h2, min_doc)
+    — the smallest doc_id ever carrying that gram. The drop rule —
+    "a position is covered iff its gram appears in ANY smaller-id
+    document ever seen; drop iff covered chars ≥ ratio·len" — is a
+    pure function of the document set under id-ordered arrival (the
+    family's batch-invariance contract), so the landed set equals the
+    one-batch answer for any id-ordered split (pytest-pinned). The
+    min-merge store update is IDEMPOTENT, which makes the
+    index-persisted-then-crashed replay case trivial (re-merging the
+    same batch changes nothing); landing stays exactly-once via the
+    ST2 catalog anti-join.
+
+    Scale shape per batch: the gram pass costs O(batch chars); the
+    only contact with history is the (h1, h2) equi-join against the
+    store; the interval union runs under doc-partitioned windows over
+    batch rows. Store size = distinct corpus grams (16 B + id per
+    row) — the honest exactness premium; the sampled/winnowed
+    fingerprint family is the cheap screen when char-exact coverage
+    isn't required. Output rows: (doc_id, n_chars, dup_chars)."""
+    from ..operators.corpus import char_gram_hashes, merged_span_lengths
+
+    schema = "h1 bigint, h2 bigint, min_doc bigint"
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..sources.sinks import load_catalog
+
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+        if batch.isEmpty():
+            return
+        grams = char_gram_hashes(batch, min_len).localCheckpoint(
+            eager=False
+        )
+        store = _load_index(spark, index_path, schema)
+        firsts = grams.groupBy("h1", "h2").agg(
+            F.min("doc_id").alias("min_doc")
+        )
+        lookup = (
+            store.unionByName(firsts)
+            .groupBy("h1", "h2")
+            .agg(F.min("min_doc").alias("min_doc"))
+        )
+        covered = (
+            grams.join(lookup, ["h1", "h2"])
+            .where(F.col("min_doc") < F.col("doc_id"))
+            .select("doc_id", "p")
+        )
+        dup = merged_span_lengths(covered, min_len)
+        stats = (
+            batch.select("doc_id", F.length("text").alias("n_chars"))
+            .join(dup, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_chars",
+                F.coalesce("dup_chars", F.lit(0).cast("bigint")).alias(
+                    "dup_chars"
+                ),
+            )
+        )
+        kept = stats.where(
+            F.col("dup_chars").cast("double")
+            < F.lit(max_dup_ratio) * F.col("n_chars")
+        )
+        landed = load_catalog(spark, out_path, ["doc_id"])
+        if landed is not None:
+            kept = kept.join(landed, ["doc_id"], "left_anti")
+        kept.write.mode("append").parquet(out_path)
+        # persist the min-merged store (idempotent on replay);
+        # crash-safe rename-aside swap, same as the other stores
+        tmp = f"{index_path}__next_{uuid.uuid4().hex[:8]}"
+        lookup.write.mode("overwrite").parquet(tmp)
+        bak = f"{index_path}__bak_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(index_path):
+            os.replace(index_path, bak)
+        os.replace(tmp, index_path)
+        shutil.rmtree(bak, ignore_errors=True)
+
+    return doc_stream.writeStream.foreachBatch(process_batch)

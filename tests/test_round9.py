@@ -334,3 +334,149 @@ def test_event_pattern_order_is_ts_then_id(spark):
         d, {"view": "V", "click": "C"}, "^VC$"
     ).collect()[0]
     assert out["n_matched"] == 1
+
+
+# --------------------------------------- substring ingest invariance
+
+
+def test_substring_ingest_invariant_and_replay(spark, tmp_path):
+    """The ExactSubstr ingest member's family contract: for id-ordered
+    batch splits the landed set equals the one-batch rule (drop iff
+    >= 50% of chars covered by grams of smaller-id docs ever seen);
+    the min-merge store update is idempotent, so replaying the staged
+    corpus over the SAME store+catalog lands zero new rows."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        char_gram_hashes,
+        merged_span_lengths,
+    )
+    from kommunedata_data_pipeline_spark.sources.readers import load_table
+    from kommunedata_data_pipeline_spark.streaming.ingest import (
+        run_writer_available_now,
+        substring_dedup_ingest,
+    )
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 60)
+    )
+    L = 15
+    # batch-mode expected landed set
+    grams = char_gram_hashes(docs, L)
+    firsts = grams.groupBy("h1", "h2").agg(F.min("doc_id").alias("md"))
+    covered = (
+        grams.join(firsts, ["h1", "h2"])
+        .where(F.col("md") < F.col("doc_id"))
+        .select("doc_id", "p")
+    )
+    dup = merged_span_lengths(covered, L)
+    stats = (
+        docs.select("doc_id", F.length("text").alias("n"))
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id", "n",
+            F.coalesce("dup_chars", F.lit(0).cast("bigint")).alias("dc"),
+        )
+    )
+    want = {
+        r["doc_id"]
+        for r in stats.where(
+            F.col("dc").cast("double") < 0.5 * F.col("n")
+        ).collect()
+    }
+    assert want and want != {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }, "test corpus must exercise BOTH the keep and drop paths"
+
+    def run(split_bounds, base=None, keep=False):
+        base = base or tempfile.mkdtemp(
+            prefix="kdp-subing-test-",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        stage = f"{base}/stage"
+        if not os.path.isdir(stage):
+            os.makedirs(stage)
+            lo = 0
+            for i, hi in enumerate(split_bounds):
+                part = f"{base}/p{i}"
+                docs.where(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ).coalesce(1).write.mode("overwrite").parquet(part)
+                src = glob.glob(f"{part}/part-*.parquet")[0]
+                dst = f"{stage}/b{i}.parquet"
+                os.rename(src, dst)
+                os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+                lo = hi
+        ck = f"{base}/ckpt-{len(os.listdir(base))}"
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        run_writer_available_now(
+            substring_dedup_ingest(
+                stream, f"{base}/index", f"{base}/landed",
+                min_len=L, max_dup_ratio=0.5,
+            ),
+            ck,
+        )
+        landed = {
+            r.doc_id for r in spark.read.parquet(f"{base}/landed").collect()
+        }
+        if keep:
+            return landed, base
+        shutil.rmtree(base, ignore_errors=True)
+        return landed
+
+    landed_one = run([60])
+    landed_three, base3 = run([20, 40, 60], keep=True)
+    try:
+        assert landed_one == want
+        assert landed_three == want
+        # replay the whole staged corpus against the SAME store+catalog
+        # (fresh checkpoint): zero new rows, store unchanged by min-merge
+        n_before = spark.read.parquet(f"{base3}/landed").count()
+        landed_replay = run([20, 40, 60], base=base3, keep=True)[0]
+        assert landed_replay == want
+        assert spark.read.parquet(f"{base3}/landed").count() == n_before
+    finally:
+        shutil.rmtree(base3, ignore_errors=True)
+
+
+# ------------------------------------------------------- theil-sen
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """A clean slope-2 series with one wild outlier day: OLS would
+    bend, the Theil-Sen median slope stays 2.0 exactly."""
+    from kommunedata_data_pipeline_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    rows = [("a", x, 2 * x) for x in range(10)]
+    rows[5] = ("a", 5, 1000)  # outlier
+    d = spark.createDataFrame(rows, "grp string, x long, y long")
+    out = theil_sen_trend(d, "grp", "x", "y").collect()[0]
+    assert out["slope"] == 2.0
+    assert out["n_points"] == 10 and out["n_pairs"] == 45
+
+
+def test_theil_sen_lower_median_even_pairs(spark):
+    """2 points -> 1 pair; 3 points -> 3 pairs, median is the 2nd."""
+    from kommunedata_data_pipeline_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    d = spark.createDataFrame(
+        [("g", 0, 0), ("g", 1, 1), ("g", 2, 4)], "grp string, x long, y long"
+    )
+    out = theil_sen_trend(d, "grp", "x", "y").collect()[0]
+    # slopes: (0,1)->1, (0,2)->2, (1,2)->3; lower median (rank (3+1)//2=2) -> 2
+    assert out["slope"] == 2.0 and out["n_pairs"] == 3
