@@ -9984,6 +9984,173 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_histogram_merge",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bin, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+             sum(n) OVER (PARTITION BY event_type) AS total_n
+      FROM h),
+    q1 AS (
+      SELECT event_type, 0.5 AS q, bin, cum_n, total_n,
+             row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rn
+      FROM c WHERE cum_n >= ceil(0.5 * total_n)),
+    q2 AS (
+      SELECT event_type, 0.9 AS q, bin, cum_n, total_n,
+             row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rn
+      FROM c WHERE cum_n >= ceil(0.9 * total_n))
+    SELECT event_type, q, bin,
+           round(bin * 10.0, 6) AS bin_lo,
+           round((bin + 1) * 10.0, 6) AS bin_hi,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(total_n AS BIGINT) AS total_n
+    FROM (SELECT * FROM q1 UNION ALL SELECT * FROM q2)
+    WHERE rn = 1 ORDER BY event_type, q
+    """,
+)
+def q_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram state, exercised the incremental way: the
+    events table is split into two id-parity SHARDS, each builds its
+    own equi-width histogram state, the states MERGE by adding counts
+    (the commutative-monoid contract of merge_agg_states extended to
+    distribution shape), and per-type p50/p90 quantile BINS come off
+    the merged state with exact integer cum-count comparisons — the
+    quantile path continuous ingestion uses instead of re-scanning
+    history (operators/aggregates.py:histogram_state)."""
+    from kommunedata_data_pipeline_spark.operators.aggregates import (
+        histogram_state,
+        merge_histogram_states,
+        quantile_bins_from_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    s0 = histogram_state(
+        ev.where(F.col("event_id") % 2 == 0), ["event_type"], "value", 10.0
+    )
+    s1 = histogram_state(
+        ev.where(F.col("event_id") % 2 == 1), ["event_type"], "value", 10.0
+    )
+    merged = merge_histogram_states(s0.unionByName(s1), ["event_type"])
+    return quantile_bins_from_histogram(
+        merged, ["event_type"], [0.5, 0.9], 10.0
+    )
+
+
+@_q(
+    "q_centroid_drift",
+    """
+    WITH el AS (
+      SELECT CAST(vec_id % 2 AS INT) AS s,
+             unnest(range(1, len(embedding) + 1)) AS d,
+             embedding AS e
+      FROM embeddings
+    ),
+    el2 AS (
+      SELECT s, d,
+             CAST(floor(CAST(e[d] AS DOUBLE) * 100000.0) AS BIGINT) AS xu
+      FROM el),
+    sums AS (
+      SELECT d,
+             sum(CASE WHEN s = 0 THEN xu ELSE 0 END) AS sa,
+             sum(CASE WHEN s = 1 THEN xu ELSE 0 END) AS sb
+      FROM el2 GROUP BY d),
+    agg AS (
+      SELECT sum(sa * sb) AS dot, sum(sa * sa) AS na2,
+             sum(sb * sb) AS nb2
+      FROM sums),
+    cnt AS (
+      SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM embeddings)
+    SELECT n_a, n_b,
+           round(CASE WHEN na2 > 0 AND nb2 > 0 THEN
+             CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+           END, 6) AS centroid_cosine,
+           round(CASE WHEN nb2 > 0 AND n_a > 0 AND n_b > 0 THEN
+             (sqrt(CAST(na2 AS DOUBLE)) / n_a)
+             / (sqrt(CAST(nb2 AS DOUBLE)) / n_b)
+           END, 6) AS centroid_norm_ratio
+    FROM cnt CROSS JOIN agg
+    """,
+)
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between the two vec_id-parity
+    halves: cosine between split centroids + centroid-norm ratio —
+    the first-line monitor for a re-embedded or newly-crawled corpus.
+    Elements quantized to integer 1e-5 units BEFORE any sum (float
+    sums are order-dependent; integer sums aren't), products in
+    DECIMAL, the only floats are the final IEEE-exact sqrt/divide
+    (operators/similarity.py:centroid_drift)."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_drift(e, F.col("vec_id") % 2)
+
+
+@_q(
+    "q_cpr_valid",
+    """
+    WITH cand AS (
+      SELECT c_nationkey,
+             lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS d
+      FROM customer
+    ),
+    v AS (
+      SELECT c_nationkey,
+             CASE WHEN regexp_matches(d, '^[0-9]{10}$') THEN
+               CASE WHEN list_sum(list_transform(range(1, 11), i ->
+                 CAST(substr(d, CAST(i AS INT), 1) AS INT)
+                 * ([4,3,2,7,6,5,4,3,2,1])[i])) % 11 = 0
+               THEN 1 ELSE 0 END
+             END AS ok
+      FROM cand)
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(ok) AS BIGINT) AS n_valid
+    FROM v GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q_cpr_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Danish CPR modulus-11 validation (the reference's home-domain
+    PII check, the precision sibling of q_luhn_pii's mod-10): 10-digit
+    candidates derived from customer keys, validated with the official
+    (4,3,2,7,6,5,4,3,2,1) weight vector, counted per nation. Pure
+    integer expression — no UDF
+    (functions/strings.py:cpr_mod11_valid)."""
+    from kommunedata_data_pipeline_spark.functions.strings import (
+        cpr_mod11_valid,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("d"),
+    )
+    return (
+        c.select("c_nationkey", cpr_mod11_valid(F.col("d")).alias("ok"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum("ok").cast("bigint").alias("n_valid"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@_q(
     "q_theil_sen",
     """
     WITH d AS (

@@ -106,3 +106,24 @@ def luhn_checksum(digits: Column) -> Column:
         )
         % 10
     ))
+
+
+def cpr_mod11_valid(digits: Column) -> Column:
+    """Danish CPR modulus-11 check (the reference's home-domain PII
+    validator, next to `luhn_checksum`'s mod-10): a 10-digit CPR is
+    valid iff Σ digit_i · w_i ≡ 0 (mod 11) with the official weights
+    (4,3,2,7,6,5,4,3,2,1). Pure integer expression over substring
+    digits — no UDF; NULL for non-10-digit inputs.
+    DuckDB twin: list_sum over the same weights, % 11 = 0."""
+    weights = [4, 3, 2, 7, 6, 5, 4, 3, 2, 1]
+    warr = F.array(*[F.lit(w) for w in weights])
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.lit(10)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.substring(digits, i, F.lit(1)).cast("int")
+        * F.element_at(warr, i),
+    )
+    return F.when(
+        digits.rlike("^[0-9]{10}$"), (total % 11 == 0).cast("int")
+    )

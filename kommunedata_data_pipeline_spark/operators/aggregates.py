@@ -296,3 +296,85 @@ def rfm_segments(
         )
         .orderBy("r_tile", "f_tile", "m_tile")
     )
+
+
+def histogram_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Mergeable equi-width HISTOGRAM state — the distribution-shaped
+    member of the incremental-aggregation family (`partial_agg_state`
+    carries count/sum/min/max; quantile questions need shape): one row
+    per (keys..., bin) with the bin count, where bin = floor(value /
+    bin_width). Map-side combinable, and states from disjoint shards
+    merge by ADDING counts (`merge_histogram_states`) — so continuous
+    ingestion keeps per-shard states and answers quantile-grain
+    questions without re-scanning history. NULL values are excluded
+    (stated)."""
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.floor(F.col(value_col) / F.lit(bin_width))
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def merge_histogram_states(states: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold any number of per-shard histogram states into one: counts
+    add per (keys..., bin) — the commutative-monoid merge, same
+    contract as `merge_agg_states`."""
+    return states.groupBy(*keys, "bin").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+
+
+def quantile_bins_from_histogram(
+    hist: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    bin_width: float,
+) -> DataFrame:
+    """Per-key quantile BINS from a (merged) histogram state: for each
+    q, the first bin whose cumulative count reaches ceil(q·total) —
+    the histogram-grain quantile (error bounded by bin_width, the
+    stated contract; exact integer cum-count comparisons, so both
+    engines pick the identical bin). Windows run over the
+    histogram-sized frame partitioned by key. Output: one row per
+    (keys..., q) with (bin, bin_lo, bin_hi, cum_n, total_n)."""
+    wc = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*keys)
+    cum = hist.withColumn("cum_n", F.sum("n").over(wc)).withColumn(
+        "total_n", F.sum("n").over(wall)
+    )
+    outs = []
+    for q in qs:
+        need = F.ceil(F.lit(q) * F.col("total_n"))
+        hit = cum.where(F.col("cum_n") >= need)
+        wq = Window.partitionBy(*keys).orderBy("bin")
+        outs.append(
+            hit.withColumn("rn", F.row_number().over(wq))
+            .where(F.col("rn") == 1)
+            .select(
+                *keys,
+                F.lit(q).alias("q"),
+                "bin",
+                F.round(F.col("bin") * bin_width, 6).alias("bin_lo"),
+                F.round((F.col("bin") + 1) * bin_width, 6).alias("bin_hi"),
+                "cum_n",
+                "total_n",
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u.orderBy(*keys, "q")

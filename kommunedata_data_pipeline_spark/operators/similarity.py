@@ -1621,3 +1621,82 @@ def ann_ndcg_audit(
         )
         .orderBy(query_id)
     )
+
+
+def centroid_drift(
+    embeddings: DataFrame,
+    split: Column,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-distribution drift between two sub-corpora: the cosine
+    between the two splits' CENTROIDS (plus the centroid-norm ratio) —
+    the cheap first-line drift monitor for an embedding pipeline
+    (re-embedded corpus vs old, new crawl vs reference; cosine near 1
+    = stable, drops = the space moved). ``split`` must evaluate 0/1.
+
+    Exactness discipline: float sums are order-dependent, so every
+    element is quantized to integer 1e-5 units FIRST
+    (floor(CAST AS DOUBLE · 1e5) — the cross-engine-exact float
+    quantization from the verify contract); per-dimension sums are
+    then exact integers in any partition order, dot/norm products run
+    in DECIMAL(38,0) (a 64-dim corpus of ~5e3 vectors already
+    overflows bigint), and the only floats are the final sqrt/divide
+    (IEEE-correctly-rounded in both engines). cosine(sum_a, sum_b) ==
+    cosine(centroid_a, centroid_b) — scale invariance, so no division
+    by n ever happens.
+
+    Scale shape: one posexplode (rows × dims — the same budget as any
+    per-dimension aggregate), one combinable (split, dim) groupBy, a
+    dims-sized join + 1-row reduce. Output: one row
+    (n_a, n_b, centroid_cosine, centroid_norm_ratio)."""
+    base = embeddings.select(
+        split.cast("int").alias("s"), F.col(vec_col).alias("v")
+    )
+    el = base.select(
+        "s", F.posexplode("v").alias("d", "x")
+    ).select(
+        "s",
+        "d",
+        F.floor(F.col("x").cast("double") * 100000.0)
+        .cast("bigint")
+        .alias("xu"),
+    )
+    sums = el.groupBy("d").agg(
+        F.sum(F.when(F.col("s") == 0, F.col("xu")).otherwise(0))
+        .alias("sa"),
+        F.sum(F.when(F.col("s") == 1, F.col("xu")).otherwise(0))
+        .alias("sb"),
+    )
+    dec = "decimal(19,0)"
+    agg = sums.agg(
+        F.sum(F.col("sa").cast(dec) * F.col("sb")).alias("dot"),
+        F.sum(F.col("sa").cast(dec) * F.col("sa")).alias("na2"),
+        F.sum(F.col("sb").cast(dec) * F.col("sb")).alias("nb2"),
+    )
+    counts = base.groupBy().agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    cos = F.when(
+        (F.col("na2") > 0) & (F.col("nb2") > 0),
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("na2").cast("double"))
+            * F.sqrt(F.col("nb2").cast("double"))
+        ),
+    )
+    ratio = F.when(
+        (F.col("nb2") > 0) & (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (F.sqrt(F.col("na2").cast("double")) / F.col("n_a"))
+        / (F.sqrt(F.col("nb2").cast("double")) / F.col("n_b")),
+    )
+    return counts.crossJoin(F.broadcast(agg)).select(
+        "n_a",
+        "n_b",
+        F.round(cos, 6).alias("centroid_cosine"),
+        F.round(ratio, 6).alias("centroid_norm_ratio"),
+    )

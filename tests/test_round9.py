@@ -480,3 +480,79 @@ def test_theil_sen_lower_median_even_pairs(spark):
     out = theil_sen_trend(d, "grp", "x", "y").collect()[0]
     # slopes: (0,1)->1, (0,2)->2, (1,2)->3; lower median (rank (3+1)//2=2) -> 2
     assert out["slope"] == 2.0 and out["n_pairs"] == 3
+
+
+# --------------------------------------------- histogram state merge
+
+
+def test_histogram_merge_equals_direct_and_quantiles(spark):
+    """Two shard states merged == the one-shot histogram; quantile
+    bins from the merged state match a sorted-list replica."""
+    from kommunedata_data_pipeline_spark.operators.aggregates import (
+        histogram_state,
+        merge_histogram_states,
+        quantile_bins_from_histogram,
+    )
+
+    vals = [1.0, 4.0, 11.0, 12.0, 25.0, 33.0, 47.0, 52.0, 58.0, 99.0]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    d = spark.createDataFrame(rows, "k string, i int, v double")
+    direct = histogram_state(d, ["k"], "v", 10.0)
+    s0 = histogram_state(d.where(F.col("i") % 2 == 0), ["k"], "v", 10.0)
+    s1 = histogram_state(d.where(F.col("i") % 2 == 1), ["k"], "v", 10.0)
+    merged = merge_histogram_states(s0.unionByName(s1), ["k"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    q = {
+        r["q"]: r
+        for r in quantile_bins_from_histogram(
+            merged, ["k"], [0.5, 0.9], 10.0
+        ).collect()
+    }
+    # p50: ceil(0.5*10)=5th value (25.0) -> bin 2; p90: 9th (58.0) -> bin 5
+    assert q[0.5]["bin"] == 2 and q[0.5]["bin_lo"] == 20.0
+    assert q[0.9]["bin"] == 5
+    assert q[0.5]["total_n"] == 10
+
+
+# ------------------------------------------------- centroid drift
+
+
+def test_centroid_drift_identical_and_orthogonal(spark):
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    r = centroid_drift(same, F.col("vec_id") % 2).collect()[0]
+    assert r["centroid_cosine"] == 1.0
+    assert r["centroid_norm_ratio"] == 1.0
+    orth = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    r = centroid_drift(orth, F.col("vec_id") % 2).collect()[0]
+    assert r["centroid_cosine"] == 0.0
+    assert r["n_a"] == 2 and r["n_b"] == 2
+
+
+# ------------------------------------------------------ CPR mod-11
+
+
+def test_cpr_mod11_known_values(spark):
+    """070761-4285 is the canonical VALID example (checksum 0 mod 11);
+    flipping one digit breaks it; short/non-digit inputs are NULL."""
+    from kommunedata_data_pipeline_spark.functions.strings import (
+        cpr_mod11_valid,
+    )
+
+    d = spark.createDataFrame(
+        [("0707614285",), ("0707614286",), ("123",), ("abcdefghij",)],
+        "d string",
+    )
+    out = [r["ok"] for r in d.select(cpr_mod11_valid(F.col("d")).alias("ok")).collect()]
+    assert out == [1, 0, None, None]
