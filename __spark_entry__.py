@@ -4649,7 +4649,7 @@ def q_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd AS (SELECT count(*) AS n_docs FROM documents),
     dfreq AS (
       SELECT token, count(*) AS df FROM tok
-      GROUP BY token HAVING count(*) BETWEEN 3 AND 150
+      GROUP BY token HAVING count(*) BETWEEN 3 AND 1000
     ),
     kept AS (SELECT tok.doc_id, tok.token, df FROM tok JOIN dfreq USING (token)),
     p AS (
@@ -4674,7 +4674,7 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument), rounded-PMI ranking with full tie-breaks."""
     from kommunedata_data_pipeline_spark.operators.corpus import token_pmi_pairs
 
-    return token_pmi_pairs(_t(spark, sf_dir, "documents"))
+    return token_pmi_pairs(_t(spark, sf_dir, "documents"), df_cap=1000)
 
 
 @_q(
@@ -7096,14 +7096,16 @@ def q12_priority_mix_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND s_suppkey IN (
         SELECT y.l_suppkey FROM yearly y
         JOIN total t ON y.l_partkey = t.l_partkey
-        WHERE y.year_qty > 0.3 * t.part_qty)
+        WHERE y.year_qty > 0.1 * t.part_qty)
     ORDER BY s_suppkey
     """,
 )
 def q20_threshold_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 SHAPE (adapted: the availqty threshold — partsupp is
-    absent — becomes 'shipped >30% of the part's all-time quantity in
-    one year'): the nested IN-subquery chain (name-filtered parts →
+    absent — becomes 'shipped >10% of the part's all-time quantity in
+    one year' (10%, not TPC-H's availqty-derived constant: the uniform
+    multi-year spread of the synthetic data caps any one-year share at
+    ~12%, so a 30% threshold was provably vacuous — the r9 gate)): the nested IN-subquery chain (name-filtered parts →
     per-(part,supp) year aggregate → correlated threshold against a
     per-part aggregate → supplier semi-join → nation filter) expressed
     as broadcast semi-joins and one agg-vs-agg equi-join, the
@@ -7129,7 +7131,7 @@ def q20_threshold_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = li_p.groupBy("l_partkey").agg(F.sum("l_quantity").alias("part_qty"))
     qualified = (
         yearly.join(total, "l_partkey")
-        .where(F.col("year_qty") > 0.3 * F.col("part_qty"))
+        .where(F.col("year_qty") > 0.1 * F.col("part_qty"))
         .select("l_suppkey")
     )
     return (
@@ -9493,13 +9495,14 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT round(2.0 * (sxx * (2*sy - n) - sx * (2*sxy - sx))
                    / (n * sxx - sx * sx), 6) AS b0,
              round(2.0 * (n * (2*sxy - sx) - sx * (2*sy - n))
-                   / (n * sxx - sx * sx), 6) AS b1
+                   / (n * sxx - sx * sx), 6) AS b1,
+             round(ln(CAST(sy AS DOUBLE) / (n - sy)), 6) AS pl
       FROM s)
     SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS x,
            CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS INT) AS label,
            round(b.b0 + b.b1 * d.n_chars, 6) AS logit
     FROM documents d CROSS JOIN b
-    WHERE b.b0 + b.b1 * d.n_chars > 0
+    WHERE round(b.b0 + b.b1 * d.n_chars, 6) > b.pl
     ORDER BY d.doc_id
     """,
 )
@@ -9507,8 +9510,11 @@ def q_logreg_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality classifier trained AND applied (the detect→act twin of
     q_logreg_step, same discipline as the span cut and decontaminate):
     the one-step Newton betas score every document with the linear
-    logit b0 + b1·n_chars and the accepted rows (logit > 0) come back
-    as the kept manifest. The betas frame is one row broadcast onto
+    logit b0 + b1·n_chars and the rows beating the trained class
+    prior's logit (the self-calibrating gate — an absolute 0-threshold
+    never fires when the positive class is a minority everywhere; the
+    r9 non-vacuousness gate caught that) come back as the kept
+    manifest. The betas frame is one row broadcast onto
     the corpus scan — the apply pass is pure map-side filter+project;
     determinism holds because both engines score with the SAME
     round6 betas and exact integer features
@@ -9519,7 +9525,10 @@ def q_logreg_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return logreg_apply(
-        d, F.col("n_chars"), (F.col("lang") == "en").cast("int")
+        d,
+        F.col("n_chars"),
+        (F.col("lang") == "en").cast("int"),
+        gate="prior",
     )
 
 

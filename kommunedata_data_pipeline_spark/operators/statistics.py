@@ -543,30 +543,52 @@ def logreg_newton_step(
 
 
 def logreg_apply(
-    df: DataFrame, x: Column, y: Column, id_col: str = "doc_id"
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    id_col: str = "doc_id",
+    gate: str = "positive",
 ) -> DataFrame:
     """Train the one-step classifier AND apply it — the detect→act twin
     of `logreg_newton_step` (the span-cut / decontaminate discipline:
     a trainer that never scores anything curates nothing). The learned
-    betas score every row with the linear logit b0 + b1·x, and the
-    rows the classifier accepts (logit > 0, i.e. p > 1/2) come back as
-    the kept manifest ``(id, x, label, logit)`` — what a quality-gate
-    stage writes before tokenization.
+    betas score every row with the linear logit b0 + b1·x and the
+    accepted rows come back as the kept manifest ``(id, x, label,
+    logit)`` — what a quality-gate stage writes before tokenization.
 
-    Determinism: b0/b1 are emitted by the trainer already rounded to 6
-    decimals, so both engines score with bit-identical doubles; the
-    logit is one multiply-add over those and an exact integer x, and
-    the keep decision compares the identical double against 0. The
-    betas frame is one row — broadcast onto the corpus scan, the apply
-    pass is entirely map-side (filter + project, no shuffle beyond the
-    emission sort).
-    """
+    ``gate``: 'positive' keeps logit > 0 (p > 1/2 — the absolute
+    gate); 'prior' keeps rows whose ROUNDED logit exceeds the trained
+    class prior's logit ln(p̄/(1−p̄)) (also round6) — the
+    SELF-CALIBRATING "better than the corpus prior" gate, which binds
+    at any class balance (an absolute 0-threshold never fires when the
+    positive class is a minority everywhere — the r9 non-vacuousness
+    gate caught exactly that on the registered query).
+
+    Determinism: b0/b1 and the prior are round6 before the compare, so
+    both engines decide on bit-identical doubles; the apply pass is a
+    broadcast 1-row join + map-side filter/project."""
     betas = logreg_newton_step(df, x, y).select("b0", "b1")
     xi = x.cast("bigint")
     logit = F.col("b0") + F.col("b1") * xi
+    if gate == "prior":
+        pr = df.agg(
+            F.round(
+                F.log(
+                    F.sum(y.cast("bigint")).cast("double")
+                    / (F.count(F.lit(1)) - F.sum(y.cast("bigint")))
+                ),
+                6,
+            ).alias("__pl")
+        )
+        keep = F.round(logit, 6) > F.col("__pl")
+        scored = df.crossJoin(F.broadcast(betas)).crossJoin(
+            F.broadcast(pr)
+        )
+    else:
+        keep = logit > 0
+        scored = df.crossJoin(F.broadcast(betas))
     return (
-        df.crossJoin(F.broadcast(betas))
-        .where(logit > 0)
+        scored.where(keep)
         .select(
             F.col(id_col),
             xi.alias("x"),
