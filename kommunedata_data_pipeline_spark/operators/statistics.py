@@ -1202,7 +1202,8 @@ def ks_test(
     → NULL d and reject.
 
     Scale shape: histogram groupBy + bounded histogram windows + a
-    1-row reduce. Output: one row (n0, n1, d, reject_05)."""
+    1-row reduce. Output: one row (n0, n1, d, reject_05) — an EMPTY
+    input yields an empty frame (no group to aggregate), stated."""
     g = scored.groupBy(F.col(score_col).alias("s")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col(group_col).cast("bigint")).alias("c1"),

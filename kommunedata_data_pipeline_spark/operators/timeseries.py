@@ -635,7 +635,9 @@ def theil_sen_trend(
     LOWER median picked by rank over the total order (slope, x_i, x_j)
     — deterministic, no interpolation, no float summation.
 
-    Output: one row per group (grp, n_points, n_pairs, slope)."""
+    Output: one row per group (grp, n_points, n_pairs, slope);
+    single-point groups have no pairs and are absent (stated — a
+    1-day series has no trend)."""
     base = series.select(
         F.col(group_col).alias("grp"),
         F.col(x_col).alias("x"),

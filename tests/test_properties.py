@@ -618,3 +618,152 @@ def test_ranged_global_rank_is_exact_for_any_strings(spark, strings):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == expect
+
+
+# ------------------------------------------------ round-9 properties
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=30),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_substring_cover_equals_brute_force_any_corpus(spark, texts):
+    """The Lee et al. cover identity holds for ANY corpus: the merged
+    duplicated-L-gram spans equal the brute-force repeated-substring
+    cover. Tiny alphabet forces heavy within- and cross-doc repeats."""
+    from collections import Counter
+
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        substring_dup_spans,
+    )
+
+    L = 4
+    docs = list(enumerate(texts))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_dup_spans(d, min_len=L).collect()
+    }
+    grams = Counter()
+    for _, t in docs:
+        for p in range(len(t) - L + 1):
+            grams[t[p : p + L]] += 1
+    want = set()
+    for i, t in docs:
+        spans = []
+        for p in range(len(t) - L + 1):
+            if grams[t[p : p + L]] < 2:
+                continue
+            s, e = p + 1, p + L
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([s, e])
+        want |= {(i, s, e) for s, e in spans}
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 1)),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_ks_matches_bisect_model_any_data(spark, data):
+    """KS D equals the two-ECDF max-gap model for any tied integer
+    data; D ∈ [0, 1]; D == 0 for identical multisets."""
+    import bisect
+
+    from kommunedata_data_pipeline_spark.operators.statistics import ks_test
+
+    d = spark.createDataFrame(data, "s int, g int")
+    row = ks_test(d, "s", "g").collect()[0]
+    xs0 = sorted(s for s, g in data if g == 0)
+    xs1 = sorted(s for s, g in data if g == 1)
+    if not xs0 or not xs1:
+        assert row["d"] is None
+        return
+    dmax = max(
+        abs(
+            bisect.bisect_right(xs1, t) / len(xs1)
+            - bisect.bisect_right(xs0, t) / len(xs0)
+        )
+        for t in {s for s, _ in data}
+    )
+    assert row["d"] == round(dmax, 6)
+    assert 0.0 <= row["d"] <= 1.0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 30), min_size=1, max_size=8, unique=True),
+        min_size=1,
+        max_size=4,
+    ),
+    st.permutations(range(4)),
+)
+def test_rrf_invariant_under_list_order(spark, rank_lists, perm):
+    """RRF fusion is a SUM over lists — permuting the input list order
+    must not change any fused score."""
+    from kommunedata_data_pipeline_spark.operators.retrieval import rrf_fuse
+
+    frames = [
+        spark.createDataFrame(
+            [(doc, r + 1) for r, doc in enumerate(lst)],
+            "doc_id long, rank int",
+        )
+        for lst in rank_lists
+    ]
+    a = {
+        (r["doc_id"], r["n_lists"], r["rrf_u"])
+        for r in rrf_fuse(frames, topk=100).collect()
+    }
+    shuffled = [frames[i] for i in perm if i < len(frames)]
+    if not shuffled:
+        shuffled = frames
+    b = {
+        (r["doc_id"], r["n_lists"], r["rrf_u"])
+        for r in rrf_fuse(shuffled, topk=100).collect()
+    }
+    if len(shuffled) == len(frames):
+        assert a == b
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=40),
+    st.integers(2, 4),
+)
+def test_histogram_merge_associative_any_split(spark, vals, n_shards):
+    """Merging per-shard histogram states equals the one-shot
+    histogram for ANY shard assignment (commutative monoid)."""
+    from kommunedata_data_pipeline_spark.operators.aggregates import (
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    rows = [("k", i, float(v)) for i, v in enumerate(vals)]
+    d = spark.createDataFrame(rows, "k string, i int, v double")
+    direct = sorted(
+        map(tuple, histogram_state(d, ["k"], "v", 7.0).collect())
+    )
+    shards = [
+        histogram_state(
+            d.where(F.col("i") % n_shards == s), ["k"], "v", 7.0
+        )
+        for s in range(n_shards)
+    ]
+    u = shards[0]
+    for sh in shards[1:]:
+        u = u.unionByName(sh)
+    merged = sorted(
+        map(tuple, merge_histogram_states(u, ["k"]).collect())
+    )
+    assert merged == direct
