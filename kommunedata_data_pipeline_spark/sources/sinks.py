@@ -160,7 +160,13 @@ def merge_upsert(
     orphaned part files that no commit references — invisible to reads;
     sweep them with `vacuum_uncommitted`. `_test_hook(attempt)` runs
     between staging and the commit claim (deterministic-interleaving
-    seam for the concurrency test). Returns rows written."""
+    seam for the concurrency test). Returns rows written.
+
+    Contracts: ``df`` must not itself read from ``path`` (each retry
+    re-plans it against a newer snapshot); and the log is read whole on
+    every call — at very high commit counts the production upgrade is
+    Delta-style log CHECKPOINT compaction, out of scope for this
+    minimal protocol."""
     import json
     import os
     import shutil
