@@ -9993,6 +9993,72 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_substring_cut",
+    """
+    WITH d AS (SELECT doc_id, text AS t FROM documents),
+    g0 AS (SELECT doc_id, t,
+                  unnest(range(1, CAST(length(t) AS BIGINT) - 25 + 2)) AS p
+           FROM d),
+    g AS (SELECT doc_id, p,
+          CAST(('0x' || substr(md5(substr(t, p, 25)), 1, 8)) AS BIGINT) AS h1,
+          CAST(('0x' || substr(md5(substr(t, p, 25)), 9, 8)) AS BIGINT) AS h2
+          FROM g0),
+    fo AS (SELECT h1, h2, min(doc_id) AS md FROM g GROUP BY h1, h2),
+    cov AS (SELECT g.doc_id, p AS s, p + 24 AS e
+            FROM g JOIN fo USING (h1, h2) WHERE fo.md < g.doc_id),
+    isl AS (SELECT doc_id, s, e,
+            CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+                 ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 1 PRECEDING), s - 2) + 1 THEN 1 ELSE 0 END AS ni
+            FROM cov),
+    isl2 AS (SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             FROM isl),
+    spans AS (SELECT doc_id, min(s) AS ss, max(e) AS ee
+              FROM isl2 GROUP BY doc_id, island),
+    segs AS (
+      SELECT spans.doc_id, ss AS ord,
+             substr(t, CAST(coalesce(lag(ee) OVER (PARTITION BY
+                 spans.doc_id ORDER BY ss), 0) + 1 AS INT),
+               CAST(ss - coalesce(lag(ee) OVER (PARTITION BY spans.doc_id
+                 ORDER BY ss), 0) - 1 AS INT)) AS seg
+      FROM spans JOIN d ON spans.doc_id = d.doc_id),
+    tails AS (
+      SELECT m.doc_id, CAST(length(t) + 1 AS BIGINT) AS ord,
+             substr(t, CAST(last_e + 1 AS INT),
+                    CAST(greatest(length(t) - last_e, 0) AS INT)) AS seg
+      FROM (SELECT doc_id, max(ee) AS last_e FROM spans GROUP BY doc_id) m
+      JOIN d ON m.doc_id = d.doc_id),
+    rebuilt AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS nt
+      FROM (SELECT * FROM segs UNION ALL SELECT * FROM tails)
+      GROUP BY doc_id)
+    SELECT d.doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+           CAST(length(t) - length(coalesce(nt, t)) AS BIGINT) AS cut_chars,
+           md5(coalesce(nt, t)) AS new_fp
+    FROM d LEFT JOIN rebuilt ON d.doc_id = rebuilt.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-grain substring dedup APPLIED (keep-first-by-id): every
+    character covered by a >= 25-char gram that also occurs in a
+    smaller-id document is CUT, the text rebuilt by lag-segment
+    concatenation, and the manifest emits exact cut counts plus the
+    md5 of the surviving text (blobs never leave the engine). The
+    detect→act completion of the ExactSubstr family
+    (operators/corpus.py:substring_cut_keep_first)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        substring_cut_keep_first,
+    )
+
+    return substring_cut_keep_first(
+        _t(spark, sf_dir, "documents"), min_len=25
+    )
+
+
+@_q(
     "q_histogram_merge",
     """
     WITH h AS (

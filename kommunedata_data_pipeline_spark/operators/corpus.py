@@ -1909,3 +1909,112 @@ def token_keyness(
         .limit(k)
         .select("token", "n_a", "n_b", "direction", "g2")
     )
+
+
+def substring_cut_keep_first(
+    documents: DataFrame,
+    min_len: int = 25,
+    text_col: str = "text",
+) -> DataFrame:
+    """Char-grain substring dedup APPLIED — the detect→act member of
+    the ExactSubstr family (`substring_dup_spans` detects,
+    `substring_dedup_ingest` drops whole docs; this CUTS surgically,
+    Lee et al. 2022's actual remedy): remove every character covered
+    by an L-gram that also occurs in a SMALLER-id document
+    (keep-first-by-id — the first document keeps its text, later
+    copies lose exactly the shared regions), and emit the cut
+    manifest.
+
+    The cut itself is the lag-segment reconstruction (identical shape
+    in both engines, no sequential fold): merged covered spans per doc
+    → each span contributes the text segment between the PREVIOUS
+    span's end and its own start (lag window, doc-partitioned) → plus
+    the tail after the last span → ordered concat. Docs with no
+    covered span pass through whole. Output: (doc_id, n_chars,
+    cut_chars, new_fp) — new_fp is the md5 of the surviving text (the
+    blob never needs to leave the engine for the audit; a real cut
+    job writes the text column instead of hashing it).
+
+    Scale shape: the gram pass / first-occurrence groupBy / interval
+    union are `substring_dup_spans`' linear stages; the reconstruction
+    adds one doc-partitioned lag window over SPAN rows and one
+    per-doc ordered concat."""
+    L = int(min_len)
+    d = documents.select("doc_id", F.col(text_col).alias("t"))
+    grams = char_gram_hashes(documents, min_len, text_col)
+    firsts = grams.groupBy("h1", "h2").agg(F.min("doc_id").alias("md"))
+    covered = (
+        grams.join(firsts, ["h1", "h2"])
+        .where(F.col("md") < F.col("doc_id"))
+        .select("doc_id", F.col("p").alias("s"), (F.col("p") + L - 1).alias("e"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = covered.withColumn(
+        "new_island",
+        (F.col("s") > F.coalesce(prev_max_e, F.col("s") - 2) + 1).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("s").alias("ss"), F.max("e").alias("ee")
+    )
+    wl = Window.partitionBy("doc_id").orderBy("ss")
+    segs = (
+        spans.join(d, "doc_id")
+        .withColumn(
+            "prev_e",
+            F.coalesce(F.lag("ee").over(wl), F.lit(0).cast("bigint")),
+        )
+        .select(
+            "doc_id",
+            F.col("ss").alias("ord"),
+            F.substring(
+                F.col("t"),
+                (F.col("prev_e") + 1).cast("int"),
+                (F.col("ss") - F.col("prev_e") - 1).cast("int"),
+            ).alias("seg"),
+        )
+    )
+    tails = (
+        spans.groupBy("doc_id")
+        .agg(F.max("ee").alias("last_e"))
+        .join(d, "doc_id")
+        .select(
+            "doc_id",
+            (F.length("t") + 1).cast("bigint").alias("ord"),
+            F.substring(
+                F.col("t"),
+                (F.col("last_e") + 1).cast("int"),
+                F.greatest(
+                    F.length("t") - F.col("last_e"), F.lit(0)
+                ).cast("int"),
+            ).alias("seg"),
+        )
+    )
+    rebuilt = (
+        segs.unionByName(tails)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "seg"))),
+                    lambda x: x["seg"],
+                ),
+            ).alias("nt")
+        )
+    )
+    return (
+        d.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.length("t").cast("bigint").alias("n_chars"),
+            (F.length("t") - F.length(F.coalesce("nt", "t")))
+            .cast("bigint")
+            .alias("cut_chars"),
+            F.md5(F.coalesce("nt", "t")).alias("new_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -556,3 +556,60 @@ def test_cpr_mod11_known_values(spark):
     )
     out = [r["ok"] for r in d.select(cpr_mod11_valid(F.col("d")).alias("ok")).collect()]
     assert out == [1, 0, None, None]
+
+
+# --------------------------------------------------- substring cut
+
+
+def test_substring_cut_keep_first_semantics(spark):
+    """The smaller-id doc keeps its text untouched; the larger-id copy
+    loses exactly the shared region; rebuilt text matches a Python
+    replica of the lag-segment reconstruction."""
+    import hashlib
+
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        substring_cut_keep_first,
+    )
+
+    shared = "THE_SHARED_BOILERPLATE_BLOCK"
+    t1 = f"alpha {shared} omega"
+    t2 = f"start {shared} finish"
+    d = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+    L = 10
+    out = {r["doc_id"]: r for r in substring_cut_keep_first(
+        d, min_len=L
+    ).collect()}
+    # doc 1 is first: nothing cut
+    assert out[1]["cut_chars"] == 0
+    assert out[1]["new_fp"] == hashlib.md5(t1.encode()).hexdigest()
+    # doc 2: the covered region is the union of dup L-gram spans —
+    # replicate it directly
+    grams1 = {t1[p : p + L] for p in range(len(t1) - L + 1)}
+    covered = sorted(
+        p for p in range(len(t2) - L + 1) if t2[p : p + L] in grams1
+    )
+    keep = [True] * len(t2)
+    for p in covered:
+        for i in range(p, p + L):
+            keep[i] = False
+    expect = "".join(c for c, k in zip(t2, keep) if k)
+    assert out[2]["cut_chars"] == len(t2) - len(expect)
+    assert out[2]["new_fp"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_substring_cut_no_dups_is_identity(spark):
+    import hashlib
+
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        substring_cut_keep_first,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "completely unique text one"), (2, "another different body")],
+        "doc_id long, text string",
+    )
+    out = substring_cut_keep_first(d, min_len=10).collect()
+    for r in out:
+        assert r["cut_chars"] == 0
