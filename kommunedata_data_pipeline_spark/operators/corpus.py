@@ -1942,11 +1942,17 @@ def substring_cut_keep_first(
     L = int(min_len)
     d = documents.select("doc_id", F.col(text_col).alias("t"))
     grams = char_gram_hashes(documents, min_len, text_col)
-    firsts = grams.groupBy("h1", "h2").agg(F.min("doc_id").alias("md"))
+    # first-occurrence ownership via a min window PARTITIONED by the
+    # hash key over the ONE gram stream — a groupBy + join-back would
+    # re-scan and re-hash the corpus and double-evaluate the md5 under
+    # inferred join-key filters (the substring_dup_spans lesson)
+    wh = Window.partitionBy("h1", "h2")
     covered = (
-        grams.join(firsts, ["h1", "h2"])
+        grams.withColumn("md", F.min("doc_id").over(wh))
         .where(F.col("md") < F.col("doc_id"))
-        .select("doc_id", F.col("p").alias("s"), (F.col("p") + L - 1).alias("e"))
+        .select(
+            "doc_id", F.col("p").alias("s"), (F.col("p") + L - 1).alias("e")
+        )
     )
     w = Window.partitionBy("doc_id").orderBy("s")
     prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
