@@ -10076,11 +10076,11 @@ def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     q1 AS (
       SELECT event_type, 0.5 AS q, bin, cum_n, total_n,
              row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rn
-      FROM c WHERE cum_n >= ceil(0.5 * total_n)),
+      FROM c WHERE cum_n >= ceil(0.5 * total_n - 1e-9)),
     q2 AS (
       SELECT event_type, 0.9 AS q, bin, cum_n, total_n,
              row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rn
-      FROM c WHERE cum_n >= ceil(0.9 * total_n))
+      FROM c WHERE cum_n >= ceil(0.9 * total_n - 1e-9))
     SELECT event_type, q, bin,
            round(bin * 10.0, 6) AS bin_lo,
            round((bin + 1) * 10.0, 6) AS bin_hi,
@@ -10558,12 +10558,11 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (
       SELECT token, CAST(sum(ia) AS BIGINT) AS a,
              CAST(sum(1 - ia) AS BIGINT) AS b
-      FROM tok GROUP BY token
-      HAVING sum(ia) + sum(1 - ia) >= 5),
+      FROM tok GROUP BY token),
+    g AS (SELECT sum(a) AS na, sum(b) AS nb FROM c),
     t AS (
-      SELECT token, a, b,
-             sum(a) OVER () AS na, sum(b) OVER () AS nb
-      FROM c),
+      SELECT token, a, b, na, nb
+      FROM c CROSS JOIN g WHERE a + b >= 5),
     s AS (
       SELECT token, a AS n_a, b AS n_b,
              CASE WHEN CAST(a AS DOUBLE) * nb >= CAST(b AS DOUBLE) * na
@@ -10586,7 +10585,9 @@ def q_token_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     en sub-corpus and the rest — the corpus-comparison statistic for
     domain/style drift, next to q_kl_divergence (distribution grain)
     and q_token_pmi (within-doc association). One explode, one
-    combinable (token, a, b) aggregate, vocab-bounded totals window,
+    combinable (token, a, b) aggregate, pooled-corpus totals as a
+    broadcast 1-row aggregate of the UNFILTERED vocab (computed before
+    the min_count cut, so expectations include the singleton tail),
     TakeOrdered on the ROUNDED g2 (the token_pmi tie discipline)
     (operators/corpus.py:token_keyness)."""
     from kommunedata_data_pipeline_spark.operators.corpus import (

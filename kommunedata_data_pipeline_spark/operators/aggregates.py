@@ -358,7 +358,12 @@ def quantile_bins_from_histogram(
     )
     outs = []
     for q in qs:
-        need = F.ceil(F.lit(q) * F.col("total_n"))
+        # epsilon before ceil: q*total is an IEEE double, and an exact
+        # integer product can land a hair ABOVE the true value (0.07 *
+        # 100 = 7.000000000000001), which would round the needed count
+        # UP one row — the same guard prefix_filter_jaccard_pairs uses
+        # (mirrored in the q_histogram_merge DuckDB twin)
+        need = F.ceil(F.lit(q) * F.col("total_n") - F.lit(1e-9))
         hit = cum.where(F.col("cum_n") >= need)
         wq = Window.partitionBy(*keys).orderBy("bin")
         outs.append(

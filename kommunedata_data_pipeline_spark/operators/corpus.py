@@ -1862,12 +1862,17 @@ def token_keyness(
     expectations from the pooled corpus; 0-count terms contribute 0.
 
     Scale shape: ONE token explode → ONE combinable (token, a, b)
-    count aggregate; corpus totals ride a vocab-bounded window; the
-    head is a TakeOrdered on the ROUNDED g2 (ties by token — the
-    token_pmi discipline: cross-engine float ulps can't flip a rank on
-    a rounded key). ``min_count`` drops the long singleton tail before
-    ranking. Output: (token, n_a, n_b, direction, g2) — direction +1
-    when the token leans A (rate_a > rate_b), −1 otherwise."""
+    count aggregate; corpus totals Nₐ/N_b are a 1-row aggregate of the
+    UNFILTERED vocab table broadcast onto the ``min_count``-filtered
+    vocab — computed before the filter so the G² expectations really
+    are drawn from the pooled corpus (ADVICE r9: totals taken after
+    the filter silently exclude the long singleton tail, which can be
+    a large share of tokens, biasing every score); the head is a
+    TakeOrdered on the ROUNDED g2 (ties by token — the token_pmi
+    discipline: cross-engine float ulps can't flip a rank on a rounded
+    key). ``min_count`` drops the long singleton tail before ranking.
+    Output: (token, n_a, n_b, direction, g2) — direction +1 when the
+    token leans A (rate_a > rate_b), −1 otherwise."""
     toks = documents.select(
         is_a.cast("int").alias("ia"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
@@ -1875,12 +1880,13 @@ def token_keyness(
     counts = toks.groupBy("token").agg(
         F.sum("ia").cast("bigint").alias("a"),
         F.sum(1 - F.col("ia")).cast("bigint").alias("b"),
-    ).where(F.col("a") + F.col("b") >= min_count)
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    tot = counts.withColumn("na", F.sum("a").over(wall)).withColumn(
-        "nb", F.sum("b").over(wall)
+    totals = counts.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    tot = counts.where(F.col("a") + F.col("b") >= min_count).crossJoin(
+        F.broadcast(totals)
     )
     n = F.col("na") + F.col("nb")
     ad = F.col("a").cast("double")

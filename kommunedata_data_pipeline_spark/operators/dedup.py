@@ -275,19 +275,32 @@ def prefix_filter_jaccard_pairs(
     exceed the true integer ceiling, else the prefix shortens and
     recall breaks).
 
-    Token representation: shingles are md5-hashed to BIGINT before the
-    first shuffle, so the df groupBy, the prefix equi-join, and the
-    packed verification arrays all move 8-byte longs instead of k-word
-    strings — the r9 fix for the 256× external-sort spill tail
-    (SCALING.md: the verify stage sorted string-array payloads; hashed
-    arrays cut the measured 128× spill 42G → ~7G and the wall ~2×).
-    Same exactness class as `dedup_exact`'s md5 fingerprint: the prefix
-    theorem needs only A consistent total order (df, hash is one), and
-    the intersection is exact up to md5 collisions.
+    Token representation: shingles are md5-hashed to a 64-bit
+    TWO-SLICE key struct (h1, h2 — the `char_gram_hashes` pattern)
+    before the first shuffle, so the df groupBy, the prefix equi-join,
+    and the packed verification arrays all move 16-byte structs
+    instead of k-word strings — the r9 fix for the 256× external-sort
+    spill tail (SCALING.md: the verify stage sorted string-array
+    payloads; hashed arrays cut the measured 128× spill 42G → ~7G and
+    the wall ~2×). 64 bits, not one 32-bit slice: at corpus scale a
+    32-bit key is past its birthday bound (~2^16 distinct shingles),
+    and a cross-doc collision inflates the exact intersection while a
+    within-doc collision shrinks a set and can break the prefix
+    bound's recall theorem; at 64 bits per-pair collision odds are
+    ~|A|·|B|/2^64 — the `dedup_exact` md5-fingerprint guarantee class.
+    The prefix theorem needs only A consistent total order (df, then
+    the hash struct, is one).
     """
-    sh = doc_shingles(documents, k).select(
-        "doc_id", md5_bigint(F.col("shingle")).alias("h")
+    from ..functions.expr import let as _let
+
+    hx = _let(
+        F.md5(F.col("shingle")),
+        lambda mh: F.struct(
+            F.conv(F.substring(mh, 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(mh, 9, 8), 16, 10).cast("bigint").alias("h2"),
+        ),
     )
+    sh = doc_shingles(documents, k).select("doc_id", hx.alias("h"))
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # pack each doc ONCE on the doc_id shuffle: globally-ordered token
     # array + size; prefixes slice off the front, verification
@@ -1513,9 +1526,16 @@ def winnowing_overlap_pairs(
     )
 
 
-# last persist()-fallback frame (Spark Connect path only) — see
-# ranged_global_rank: bounded to one cached frame per process
-_RANGED_RANK_FALLBACK_CACHE = None
+# persist()-fallback frames (Spark Connect path only) — see
+# ranged_global_rank: bounded FIFO so a long-lived Connect session
+# holds at most _RANGED_RANK_FALLBACK_CAP cached frames, and a frame
+# is only evicted after CAP-1 newer calls — by then every plan that
+# composed it (rfm_segments chains three ranged ranks before a single
+# action) has executed. Guarded by a lock: concurrent query threads
+# share the module global.
+_RANGED_RANK_FALLBACK_CACHE: list = []
+_RANGED_RANK_FALLBACK_CAP = 8
+_RANGED_RANK_FALLBACK_LOCK = __import__("threading").Lock()
 
 
 def ranged_global_rank(
@@ -1537,10 +1557,14 @@ def ranged_global_rank(
     The stamped frame is lazily localCheckpoint-ed so the sampled
     range boundaries are pinned across its two uses (counts + rank);
     under Spark Connect builds without localCheckpoint it falls back
-    to persist() — both uses still see one materialization, and the
-    previous call's fallback frame is unpersisted on the next call so
-    a long-lived Connect session holds at most ONE cached frame
-    (never an unbounded per-call leak). Ties
+    to persist() — both uses still see one materialization. Fallback
+    frames live in a bounded FIFO (cap 8, lock-guarded): a frame is
+    evicted only after 8 newer calls, so plans that COMPOSE several
+    ranged ranks before one action (rfm_segments chains three) never
+    lose a persist before the consuming action runs, and a long-lived
+    Connect session still can't leak unboundedly (ADVICE r9: the
+    previous evict-on-next-call scheme could unpin a not-yet-executed
+    frame's boundaries and emit wrong ranks). Ties
     cannot straddle partitions when ``order_cols`` ends in a unique
     id (callers pass one); RangePartitioner routes equal keys to one
     partition regardless."""
@@ -1552,17 +1576,18 @@ def ranged_global_rank(
     parted = df.repartitionByRange(
         max(n_parts, 1), *[F.col(c) for c in order_cols]
     ).withColumn("__pid", F.spark_partition_id())
-    global _RANGED_RANK_FALLBACK_CACHE
     try:
         parted = parted.localCheckpoint(eager=False)
     except Exception:
-        if _RANGED_RANK_FALLBACK_CACHE is not None:
-            try:
-                _RANGED_RANK_FALLBACK_CACHE.unpersist()
-            except Exception:
-                pass
         parted = parted.persist()
-        _RANGED_RANK_FALLBACK_CACHE = parted
+        with _RANGED_RANK_FALLBACK_LOCK:
+            _RANGED_RANK_FALLBACK_CACHE.append(parted)
+            while len(_RANGED_RANK_FALLBACK_CACHE) > _RANGED_RANK_FALLBACK_CAP:
+                old = _RANGED_RANK_FALLBACK_CACHE.pop(0)
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
     wb = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         parted.groupBy("__pid")

@@ -834,7 +834,6 @@ _BOUNDED_GLOBAL_WINDOWS = {
     ("q_skyline", "__bin"),            # bin-table cumulative min
     ("q_ks_test", "s"),                # distinct-score histogram
     ("q_ks_test", ""),                 # group totals over histogram
-    ("q_token_keyness", ""),           # corpus totals over vocab table
     ("q_clustering_depth", "v"),       # file-metadata boundary events
     ("q_hybrid_rrf", "bm25"),          # rank over the 20-row top-k frame
     ("q_hybrid_rrf", "tj"),            # rank over the 20-row top-k frame
