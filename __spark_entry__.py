@@ -13261,6 +13261,7 @@ def q_stream_cc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kommunedata_data_pipeline_spark.streaming.ingest import (
         cc_label_ingest,
+        read_cc_labels,
         run_writer_available_now,
     )
 
@@ -13284,9 +13285,10 @@ def q_stream_cc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{base}/ckpt",
             durations_key="q_stream_cc_ingest_sink",
         )
-        labels = (
-            spark.read.parquet(f"{base}/labels")
-            .localCheckpoint(eager=True)
+        # resolved view of the delta-append store (min-per-doc = the
+        # latest label; labels only decrease under min-label merges)
+        labels = read_cc_labels(spark, f"{base}/labels").localCheckpoint(
+            eager=True
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)

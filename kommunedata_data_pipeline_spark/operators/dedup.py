@@ -561,6 +561,7 @@ def minhash_index_update(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    new_bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dedup of a NEW document batch against an
     already-indexed corpus — the operation a production pipeline runs
@@ -598,8 +599,14 @@ def minhash_index_update(
     batch's band rows — AQE can broadcast a small batch against a huge
     index); verify is slot comparison on candidates. The stored index
     grows by num_bands rows/doc, the same asymptotics any LSH store
-    pays."""
-    new_bands = minhash_band_table(new_docs, k, num_hashes, bands)
+    pays.
+
+    ``new_bands``: optionally a PRECOMPUTED `minhash_band_table` of
+    ``new_docs`` (callers that also need the batch's band rows — the
+    streaming ingest's delta-append — pass a lazily checkpointed one so
+    signatures are computed once, not once per consumer)."""
+    if new_bands is None:
+        new_bands = minhash_band_table(new_docs, k, num_hashes, bands)
     # drop the stored rows of any re-ingested doc_id BEFORE both the
     # candidate join and the union: new text supersedes old
     base_index = index_df.join(

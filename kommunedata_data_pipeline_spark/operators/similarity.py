@@ -254,6 +254,7 @@ def ann_index_update(
     n_bands: int = 4,
     band_bits: int = 8,
     threshold: float = 0.95,
+    new_bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental embedding near-dup of a NEW vector batch against an
     already-indexed corpus — the ANN sibling of
@@ -282,8 +283,14 @@ def ann_index_update(
     (band, bkey) equi-join whose shuffle is sized by the new batch's
     band rows — AQE broadcasts a small ingest batch against a huge
     stored index; verify is an exact cosine on candidates only. The
-    stored index grows by n_bands rows/vector."""
-    new_bands = ann_band_table(new_vecs, n_bands, band_bits)
+    stored index grows by n_bands rows/vector.
+
+    ``new_bands``: optionally a PRECOMPUTED `ann_band_table` of
+    ``new_vecs`` (the streaming ingest passes a lazily checkpointed one
+    so banding is computed once for both the pair join and the store
+    delta)."""
+    if new_bands is None:
+        new_bands = ann_band_table(new_vecs, n_bands, band_bits)
     base_index = index_df.join(
         new_vecs.select("vec_id").distinct(), "vec_id", "left_anti"
     )

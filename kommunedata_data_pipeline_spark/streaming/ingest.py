@@ -27,10 +27,25 @@ id-ordered batch splits, and by the driver oracle of
 Scale shape per batch: signatures/banding cost O(batch); the only
 contact with the stored index is the (band, bkey) equi-join (AQE
 broadcasts a small batch against a huge index); landing is the ST2
-anti-join against the landed-keys catalog. The index swap below is a
-local-FS rename — a real deployment writes the band table to a
-transactional table (the swap is the only non-object-store-safe step,
-and it is confined to this sink function).
+anti-join against the landed-keys catalog.
+
+Store persistence is DELTA-APPEND, not rewrite (VERDICT r9 #1): every
+store update in this family is a commutative monoid (band-row union
+keyed by id; (h1,h2)→min_doc min-merge; CC label min), so each batch
+appends only its DELTA as a new `ver=N` partition dir — made visible
+atomically by a single directory rename — and readers resolve the
+monoid at load (plain union for the id-disjoint band deltas; min-merge
+for gram/label stores). Per-batch write I/O is therefore O(batch), not
+O(corpus-so-far): cumulative ingest cost is linear where the previous
+full-overwrite-per-batch shape was quadratic (SCALING.md carries the
+measured bytes-written-per-batch rows at two store sizes). A periodic
+`compact_*` pass (offered here, exercised by pytest) folds the deltas
+back into one resolved base (`ver=0`) to cap read amplification — at
+100 TB the same layout maps onto any transactional table format's
+append + compaction maintenance. Replay idempotence no longer leans on
+overwrite: each family's delta is computed AGAINST the stored state
+(band rows anti-joined on already-stored ids; grams/labels filtered to
+strictly-new-or-lower rows), so a replayed batch appends zero rows.
 """
 
 from __future__ import annotations
@@ -49,11 +64,21 @@ _ANN_SCHEMA = "vec_id bigint, embedding array<float>, band int, bkey bigint"
 def _load_index(
     spark: SparkSession, index_path: str, schema: str = _BAND_SCHEMA
 ) -> DataFrame:
-    """Stored band table, or a typed empty frame before the first batch."""
+    """RAW stored rows (union of every `ver=N` delta, base included; the
+    `ver` partition column is dropped), or a typed empty frame before
+    the first batch. Band stores need no further resolution — their
+    deltas are id-disjoint by construction (the append anti-joins on
+    already-stored ids); min-merge stores (grams, CC labels) resolve
+    the monoid on top of this (`read_cc_labels`; the substring consumer
+    min-merges inline)."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.schema(schema).parquet(index_path)
+        return (
+            spark.read.schema(schema + ", ver int")
+            .parquet(index_path)
+            .drop("ver")
+        )
     except AnalysisException as exc:
         msg = str(exc)
         cond = (exc.getCondition() or "") if hasattr(exc, "getCondition") else ""
@@ -62,6 +87,112 @@ def _load_index(
         ):
             return spark.createDataFrame([], schema)
         raise
+
+
+def _next_ver(index_path: str) -> int:
+    """Next delta version: max existing `ver=N` + 1 (driver-side dir
+    listing — file-count-sized, never data-sized)."""
+    if not os.path.isdir(index_path):
+        return 0
+    vers = [
+        int(name.split("=", 1)[1])
+        for name in os.listdir(index_path)
+        if name.startswith("ver=") and name.split("=", 1)[1].isdigit()
+    ]
+    return max(vers) + 1 if vers else 0
+
+
+def _append_delta(delta: DataFrame, index_path: str) -> None:
+    """Persist ONE batch's store delta as a new `ver=N` partition dir.
+    The delta is written to a sibling staging dir first, then a SINGLE
+    atomic rename makes it visible — a crashed write leaves only an
+    invisible staging dir (swept by the next compaction's swap), never
+    a half-visible delta, so readers and the replay anti-joins always
+    see complete deltas. Write volume is the delta (∝ batch), never the
+    store — the linear-cumulative-I/O contract of this family."""
+    tmp = f"{index_path}__delta_{uuid.uuid4().hex[:8]}"
+    delta.write.mode("overwrite").parquet(tmp)
+    os.makedirs(index_path, exist_ok=True)
+    os.replace(tmp, os.path.join(index_path, f"ver={_next_ver(index_path)}"))
+
+
+def read_cc_labels(spark: SparkSession, labels_path: str) -> DataFrame:
+    """Resolved (doc_id, cluster_id) view of a CC label store: labels
+    only ever DECREASE (a merge relabels to the min of the merged
+    roots), so min-per-doc over the appended history IS the latest
+    label — one combinable aggregate, no version bookkeeping."""
+    raw = _load_index(spark, labels_path, "doc_id bigint, cluster_id bigint")
+    return raw.groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+
+
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    schema: str,
+    resolve=None,
+) -> None:
+    """Fold every delta into ONE resolved base (`ver=0`) — the periodic
+    maintenance pass that caps read amplification (reads scan O(deltas)
+    files between compactions; writes stay O(batch) always). ``resolve``
+    applies the store's monoid (min-merge / natural-key dedup); None
+    keeps rows as-is. Crash-safe swap: the resolved store is staged
+    beside the live one and swapped in by renames with a recoverable
+    copy existing at every instant (the rename-aside discipline the
+    per-batch overwrite used to need on EVERY batch — now paid only at
+    compaction)."""
+    raw = _load_index(spark, index_path, schema)
+    resolved = resolve(raw) if resolve is not None else raw
+    tmp = f"{index_path}__compact_{uuid.uuid4().hex[:8]}"
+    resolved.write.mode("overwrite").parquet(tmp)
+    new = f"{index_path}__new_{uuid.uuid4().hex[:8]}"
+    os.makedirs(new)
+    os.replace(tmp, os.path.join(new, "ver=0"))
+    bak = f"{index_path}__bak_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(index_path):
+        os.replace(index_path, bak)
+    os.replace(new, index_path)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
+def compact_band_index(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "doc_id",
+    schema: str = _BAND_SCHEMA,
+) -> None:
+    """Compaction for MinHash/ANN band stores. Deltas are id-disjoint by
+    construction, so the natural-key dedup is defensive only (exact
+    replays of a crashed append)."""
+    compact_index(
+        spark,
+        index_path,
+        schema,
+        lambda df: df.dropDuplicates([id_col, "band"]),
+    )
+
+
+def compact_substring_index(spark: SparkSession, index_path: str) -> None:
+    """Compaction for the ExactSubstr gram store: min-merge per gram."""
+    compact_index(
+        spark,
+        index_path,
+        "h1 bigint, h2 bigint, min_doc bigint",
+        lambda df: df.groupBy("h1", "h2").agg(
+            F.min("min_doc").alias("min_doc")
+        ),
+    )
+
+
+def compact_cc_labels(spark: SparkSession, labels_path: str) -> None:
+    """Compaction for the CC label store: min-per-doc (= latest label)."""
+    compact_index(
+        spark,
+        labels_path,
+        "doc_id bigint, cluster_id bigint",
+        lambda df: df.groupBy("doc_id").agg(
+            F.min("cluster_id").alias("cluster_id")
+        ),
+    )
 
 
 def _dedup_ingest(
@@ -74,14 +205,23 @@ def _dedup_ingest(
     update_fn,
 ):
     """Shared foreachBatch core: near-dedup each micro-batch against the
-    stored index via ``update_fn(batch, index) -> (pairs, updated)``,
-    land survivors exactly once, persist the updated index. Replay-safe
-    at every crash point: (a) landed-then-crashed → the landed-catalog
-    anti-join drops the whole replay; (b) index-persisted-then-crashed →
-    update_fn's replace-on-reingest anti-join makes the effective index
-    identical to the pre-batch one, so the replay recomputes the same
-    pairs. Returns an un-started writeStream (caller picks
-    trigger/checkpoint and starts it)."""
+    stored index via ``update_fn(batch, index) -> (pairs, delta)`` —
+    ``delta`` is the batch's OWN band rows restricted to ids not already
+    stored — land survivors exactly once, and APPEND the delta as a new
+    store version (O(batch) write I/O; see the module docstring).
+    Replay-safe at every crash point: (a) landed-then-crashed → the
+    landed-catalog anti-join drops the whole replay's landing, and the
+    delta anti-join (ids already stored? none were) re-appends the same
+    delta it was about to; (b) delta-appended-then-crashed → the replay
+    recomputes the same pairs (update_fn's anti-join on the batch's ids
+    makes the effective candidate index identical to the pre-batch one)
+    and the delta anti-join now finds every id stored, appending zero
+    rows. First-write-wins across batches: a later batch re-sending an
+    already-stored id contributes no band rows (consistent with the
+    append-only landed sink, which cannot retract either; the
+    batch-level `minhash_index_update` API keeps replace-on-reingest
+    for manually maintained indexes). Returns an un-started writeStream
+    (caller picks trigger/checkpoint and starts it)."""
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from ..sources.sinks import load_catalog
@@ -91,7 +231,7 @@ def _dedup_ingest(
         if batch.isEmpty():
             return
         index = _load_index(spark, index_path, index_schema)
-        pairs, updated = update_fn(batch, index)
+        pairs, delta = update_fn(batch, index)
         # drop rule: a row is a duplicate iff it is the LARGER id of any
         # verified pair (keep-first-by-id; pairs emit a < b by construction)
         larger = pairs.columns[1]  # doc_b / vec_b
@@ -103,19 +243,7 @@ def _dedup_ingest(
         if landed is not None:
             kept = kept.join(landed, [id_col], "left_anti")
         kept.write.mode("append").parquet(out_path)
-        # persist the updated index: write-new-then-swap (local FS; a
-        # real deployment writes a transactional table instead). The
-        # updated frame READS the old index, so it must fully
-        # materialize before the old dir is replaced.
-        tmp = f"{index_path}__next_{uuid.uuid4().hex[:8]}"
-        updated.write.mode("overwrite").parquet(tmp)
-        # crash-safe: old store renamed aside before the new one moves
-        # in — a recoverable copy exists at every instant
-        bak = f"{index_path}__bak_{uuid.uuid4().hex[:8]}"
-        if os.path.exists(index_path):
-            os.replace(index_path, bak)
-        os.replace(tmp, index_path)
-        shutil.rmtree(bak, ignore_errors=True)
+        _append_delta(delta, index_path)
 
     return stream.writeStream.foreachBatch(process_batch)
 
@@ -130,9 +258,25 @@ def minhash_dedup_ingest(
     threshold: float = 0.5,
 ):
     """foreachBatch writer: near-dedup each document micro-batch against
-    the stored MinHash band index, land survivors exactly once, persist
-    the updated index (see `_dedup_ingest` for the replay contract)."""
-    from ..operators.dedup import minhash_index_update
+    the stored MinHash band index, land survivors exactly once, append
+    the batch's band-row DELTA to the store (see `_dedup_ingest` for
+    the replay contract). Signatures are computed ONCE per batch (the
+    band table is lazily checkpointed and shared by the pair join and
+    the delta)."""
+    from ..operators.dedup import minhash_band_table, minhash_index_update
+
+    def update(batch: DataFrame, index: DataFrame):
+        bands_df = minhash_band_table(
+            batch, k, num_hashes, bands
+        ).localCheckpoint(eager=False)
+        pairs, _ = minhash_index_update(
+            batch, index, k, num_hashes, bands, threshold,
+            new_bands=bands_df,
+        )
+        delta = bands_df.join(
+            index.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        return pairs, delta
 
     return _dedup_ingest(
         doc_stream,
@@ -141,9 +285,7 @@ def minhash_dedup_ingest(
         "doc_id",
         ["text"],
         _BAND_SCHEMA,
-        lambda batch, index: minhash_index_update(
-            batch, index, k, num_hashes, bands, threshold
-        ),
+        update,
     )
 
 
@@ -160,10 +302,23 @@ def ann_dedup_ingest(
     sign-LSH store via `similarity.ann_index_update` (banding costs the
     batch only; one (band, bkey) equi-join against the stored index;
     exact-cosine verify), survivors land exactly once, the index grows
-    by the batch's band rows. Same batch-invariance contract: for
-    id-ordered arrival, the landed set equals the batch-mode rule
-    "drop a vector iff near-dup of ANY smaller-id vector ever seen"."""
-    from ..operators.similarity import ann_index_update
+    by the batch's band-row DELTA (O(batch) write — `_append_delta`).
+    Same batch-invariance contract: for id-ordered arrival, the landed
+    set equals the batch-mode rule "drop a vector iff near-dup of ANY
+    smaller-id vector ever seen"."""
+    from ..operators.similarity import ann_band_table, ann_index_update
+
+    def update(batch: DataFrame, index: DataFrame):
+        bands_df = ann_band_table(batch, n_bands, band_bits).localCheckpoint(
+            eager=False
+        )
+        pairs, _ = ann_index_update(
+            batch, index, n_bands, band_bits, threshold, new_bands=bands_df
+        )
+        delta = bands_df.join(
+            index.select("vec_id").distinct(), "vec_id", "left_anti"
+        )
+        return pairs, delta
 
     return _dedup_ingest(
         vec_stream,
@@ -172,9 +327,7 @@ def ann_dedup_ingest(
         "vec_id",
         ["embedding"],
         _ANN_SCHEMA,
-        lambda batch, index: ann_index_update(
-            batch, index, n_bands, band_bits, threshold
-        ),
+        update,
     )
 
 
@@ -390,11 +543,16 @@ def cc_label_ingest(
     update==rebuild hypothesis property pins it for arbitrary splits).
     Replay safety: folding the same pairs twice is idempotent (their
     endpoints' labels already share the root, so the contracted graph
-    collapses to self-loops and the remap is the identity)."""
-    import os
-    import shutil
-    import uuid
+    collapses to self-loops, the remap is the identity, and the
+    CHANGED-ROWS delta below is empty — the replay appends nothing).
 
+    Store shape: the persisted history is append-only (doc_id,
+    cluster_id) rows; the delta per batch is exactly the rows whose
+    label CHANGED (new nodes + every member of a merged losing
+    cluster) — the minimal expressible increment for per-doc labels.
+    Labels only decrease under min-label contraction, so the resolved
+    view is min-per-doc (`read_cc_labels`); `compact_cc_labels` folds
+    history into one row per doc."""
     from ..operators.dedup import cc_index_update
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -404,21 +562,20 @@ def cc_label_ingest(
         )
         if batch.isEmpty():
             return
-        labels = _load_index(
-            spark, labels_path, "doc_id bigint, cluster_id bigint"
+        labels = read_cc_labels(spark, labels_path).localCheckpoint(
+            eager=False
         )
         updated = cc_index_update(labels, batch)
-        tmp = f"{labels_path}__next_{uuid.uuid4().hex[:8]}"
-        updated.write.mode("overwrite").parquet(tmp)
-        # crash-safe swap: rename the old store ASIDE first, move the
-        # new one in, THEN delete the backup — a recoverable copy
-        # exists at every point (rmtree-before-replace would lose the
-        # whole persisted cluster store on a crash between the two)
-        bak = f"{labels_path}__bak_{uuid.uuid4().hex[:8]}"
-        if os.path.exists(labels_path):
-            os.replace(labels_path, bak)
-        os.replace(tmp, labels_path)
-        shutil.rmtree(bak, ignore_errors=True)
+        old = labels.withColumnRenamed("cluster_id", "old_cid")
+        delta = (
+            updated.join(old, "doc_id", "left")
+            .where(
+                F.col("old_cid").isNull()
+                | (F.col("old_cid") != F.col("cluster_id"))
+            )
+            .select("doc_id", "cluster_id")
+        )
+        _append_delta(delta, labels_path)
 
     return pair_stream.writeStream.foreachBatch(process_batch)
 
@@ -445,18 +602,24 @@ def substring_dedup_ingest(
     pure function of the document set under id-ordered arrival (the
     family's batch-invariance contract), so the landed set equals the
     one-batch answer for any id-ordered split (pytest-pinned). The
-    min-merge store update is IDEMPOTENT, which makes the
-    index-persisted-then-crashed replay case trivial (re-merging the
-    same batch changes nothing); landing stays exactly-once via the
-    ST2 catalog anti-join.
+    min-merge store update is IDEMPOTENT, and the appended delta is
+    computed AGAINST the stored state (strictly new-or-lower gram
+    rows only), so a replayed batch appends ZERO rows; landing stays
+    exactly-once via the ST2 catalog anti-join.
 
     Scale shape per batch: the gram pass costs O(batch chars); the
     only contact with history is the (h1, h2) equi-join against the
-    store; the interval union runs under doc-partitioned windows over
-    batch rows. Store size = distinct corpus grams (16 B + id per
-    row) — the honest exactness premium; the sampled/winnowed
-    fingerprint family is the cheap screen when char-exact coverage
-    isn't required. Output rows: (doc_id, n_chars, dup_chars)."""
+    store (one store-sized resolve aggregate + one join keyed by the
+    BATCH's grams — the lookup frame is batch-sized, the store is
+    never unioned whole into it); the interval union runs under
+    doc-partitioned windows over batch rows; the store WRITE is the
+    delta (new grams), never the store (`_append_delta` — the r9
+    full-rewrite-per-batch fix). Store size = distinct corpus grams
+    (16 B + id per row) — the honest exactness premium; the
+    sampled/winnowed fingerprint family is the cheap screen when
+    char-exact coverage isn't required. `compact_substring_index`
+    folds the deltas periodically. Output rows: (doc_id, n_chars,
+    dup_chars)."""
     from ..operators.corpus import char_gram_hashes, merged_span_lengths
 
     schema = "h1 bigint, h2 bigint, min_doc bigint"
@@ -475,10 +638,23 @@ def substring_dedup_ingest(
         firsts = grams.groupBy("h1", "h2").agg(
             F.min("doc_id").alias("min_doc")
         )
-        lookup = (
-            store.unionByName(firsts)
-            .groupBy("h1", "h2")
-            .agg(F.min("min_doc").alias("min_doc"))
+        # resolve the store's min-merge monoid (defensive: deltas are
+        # gram-disjoint under the id-ordered contract, so this groupBy
+        # is a pass-through), then annotate each BATCH gram with the
+        # stored first-occurrence — the joined frame is batch-sized and
+        # shared (lazy checkpoint) by the coverage lookup AND the delta
+        stored = store.groupBy("h1", "h2").agg(
+            F.min("min_doc").alias("stored_min")
+        )
+        joined = firsts.join(stored, ["h1", "h2"], "left").localCheckpoint(
+            eager=False
+        )
+        lookup = joined.select(
+            "h1",
+            "h2",
+            F.least(
+                F.col("min_doc"), F.coalesce("stored_min", F.col("min_doc"))
+            ).alias("min_doc"),
         )
         covered = (
             grams.join(lookup, ["h1", "h2"])
@@ -505,14 +681,14 @@ def substring_dedup_ingest(
         if landed is not None:
             kept = kept.join(landed, ["doc_id"], "left_anti")
         kept.write.mode("append").parquet(out_path)
-        # persist the min-merged store (idempotent on replay);
-        # crash-safe rename-aside swap, same as the other stores
-        tmp = f"{index_path}__next_{uuid.uuid4().hex[:8]}"
-        lookup.write.mode("overwrite").parquet(tmp)
-        bak = f"{index_path}__bak_{uuid.uuid4().hex[:8]}"
-        if os.path.exists(index_path):
-            os.replace(index_path, bak)
-        os.replace(tmp, index_path)
-        shutil.rmtree(bak, ignore_errors=True)
+        # append the delta: grams the store has never seen (or — only
+        # off the id-ordered contract — seen with a larger min_doc).
+        # On replay every batch gram is already stored with the same
+        # min_doc, so the delta is empty.
+        delta = joined.where(
+            F.col("stored_min").isNull()
+            | (F.col("min_doc") < F.col("stored_min"))
+        ).select("h1", "h2", "min_doc")
+        _append_delta(delta, index_path)
 
     return doc_stream.writeStream.foreachBatch(process_batch)

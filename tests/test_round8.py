@@ -933,6 +933,7 @@ def test_cc_label_ingest_matches_batch_and_replays_idempotent(spark, tmp_path):
     from kommunedata_data_pipeline_spark.operators.dedup import dup_clusters
     from kommunedata_data_pipeline_spark.streaming.ingest import (
         cc_label_ingest,
+        read_cc_labels,
         run_writer_available_now,
     )
 
@@ -953,7 +954,7 @@ def test_cc_label_ingest_matches_batch_and_replays_idempotent(spark, tmp_path):
     run(str(tmp_path / "ck1"))
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in spark.read.parquet(labels_p).collect()
+        for r in read_cc_labels(spark, labels_p).collect()
     }
     full = {
         r["doc_id"]: r["cluster_id"] for r in dup_clusters(df).collect()
@@ -963,9 +964,13 @@ def test_cc_label_ingest_matches_batch_and_replays_idempotent(spark, tmp_path):
     run(str(tmp_path / "ck2"))
     again = {
         r["doc_id"]: r["cluster_id"]
-        for r in spark.read.parquet(labels_p).collect()
+        for r in read_cc_labels(spark, labels_p).collect()
     }
     assert again == full
+    # replay appended NO rows: the raw history is unchanged (the
+    # changed-rows delta of an already-folded edge set is empty)
+    raw = spark.read.parquet(labels_p)
+    assert raw.count() == raw.dropDuplicates(["doc_id", "cluster_id"]).count()
 
 
 # ------------------------------------------------------------------- RFM
