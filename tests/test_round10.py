@@ -292,3 +292,321 @@ def test_compact_substring_and_cc_preserve_resolved_state(spark):
         assert spark.read.parquet(lpath).count() == 3
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# -------------------------------------------- transactional sink scale
+
+
+def test_anti_join_broadcast_gated_by_keyset_size(spark):
+    """The idempotency anti-join's broadcast hint is FORCED only below
+    BROADCAST_KEYSET_MAX_BYTES (VERDICT r9 #2: an unboundedly growing
+    keyset must not be hint-broadcast into executor memory). Below the
+    threshold the analyzed plan carries the hint; above it the join is
+    left unhinted for Spark/AQE to decide."""
+    from kommunedata_data_pipeline_spark.sources.sinks import (
+        BROADCAST_KEYSET_MAX_BYTES,
+        _maybe_broadcast,
+    )
+
+    fresh = spark.createDataFrame([(1, "a")], "k int, v string")
+    existing = spark.createDataFrame([(1,)], "k int")
+
+    def analyzed(data_bytes):
+        j = fresh.join(
+            _maybe_broadcast(existing, data_bytes), ["k"], "left_anti"
+        )
+        return j._jdf.queryExecution().analyzed().toString()
+
+    assert "ResolvedHint" in analyzed(0)
+    assert "ResolvedHint" not in analyzed(BROADCAST_KEYSET_MAX_BYTES + 1)
+
+
+def test_merge_upsert_correct_above_broadcast_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """Behavioral twin of the plan assertion: with the threshold forced
+    to 0 (every table counts as 'too big to broadcast'), the unhinted
+    anti-join path still lands exactly the fresh keys."""
+    import kommunedata_data_pipeline_spark.sources.sinks as sinks
+
+    monkeypatch.setattr(sinks, "BROADCAST_KEYSET_MAX_BYTES", 0)
+    path = str(tmp_path / "tbl")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b = spark.createDataFrame([(2, "dup"), (3, "c")], "k int, v string")
+    assert sinks.merge_upsert(a, path, ["k"]) == 2
+    assert sinks.merge_upsert(b, path, ["k"]) == 1
+    out = {r["k"]: r["v"] for r in sinks.read_committed(spark, path).collect()}
+    assert out == {1: "a", 2: "b", 3: "c"}
+
+
+def test_commit_log_checkpoint_resolves_without_old_commits(
+    spark, tmp_path, monkeypatch
+):
+    """Checkpoint compaction (VERDICT r9 next #3): after >K commits a
+    checkpoint manifest exists, and reads resolve THROUGH it — proven
+    by deleting every pre-checkpoint commit file and still reading the
+    full table. Commits after the checkpoint still apply on top."""
+    import os
+
+    import kommunedata_data_pipeline_spark.sources.sinks as sinks
+
+    monkeypatch.setattr(sinks, "CHECKPOINT_INTERVAL", 4)
+    path = str(tmp_path / "tbl")
+    for k in range(6):  # 6 commits, checkpoint due after version 3
+        df = spark.createDataFrame([(k, f"v{k}")], "k int, v string")
+        assert sinks.merge_upsert(df, path, ["k"]) == 1
+    logd = os.path.join(path, "_kdp_log")
+    names = os.listdir(logd)
+    ckpts = [n for n in names if n.startswith("checkpoint-")]
+    assert ckpts == ["checkpoint-000000000003.json"], names
+    v_full, files_full = sinks.committed_files(path)
+    # remove every commit the checkpoint subsumes: reads must not miss
+    for n in names:
+        if n.endswith(".json") and not n.startswith("checkpoint-"):
+            if int(n[: -len(".json")]) <= 3:
+                os.remove(os.path.join(logd, n))
+    version, files = sinks.committed_files(path)
+    assert version == v_full == 5
+    assert sorted(files) == sorted(files_full)
+    out = {r["k"]: r["v"] for r in sinks.read_committed(spark, path).collect()}
+    assert out == {k: f"v{k}" for k in range(6)}
+    # and writes continue past the truncated log
+    df = spark.createDataFrame([(99, "z")], "k int, v string")
+    assert sinks.merge_upsert(df, path, ["k"]) == 1
+    assert sinks.read_committed(spark, path).count() == 7
+
+
+def test_merge_upsert_races_still_safe_with_checkpoints(
+    spark, tmp_path, monkeypatch
+):
+    """4-thread overlapping upserts with a tiny checkpoint interval:
+    every key lands exactly once and checkpoints never corrupt
+    resolution mid-race."""
+    import threading
+
+    import kommunedata_data_pipeline_spark.sources.sinks as sinks
+
+    monkeypatch.setattr(sinks, "CHECKPOINT_INTERVAL", 2)
+    path = str(tmp_path / "tbl")
+    batches = [
+        spark.createDataFrame(
+            [(k, f"w{w}") for k in range(w * 5, w * 5 + 10)],
+            "k int, v string",
+        )
+        for w in range(4)
+    ]
+    errs = []
+
+    def run(b):
+        try:
+            sinks.merge_upsert(b, path, ["k"])
+        except Exception as exc:
+            errs.append(exc)
+
+    ts = [threading.Thread(target=run, args=(b,)) for b in batches]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    rows = sinks.read_committed(spark, path).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in rows)
+    assert {r["k"] for r in rows} == set(range(25))
+
+
+# ------------------------------------------------- MERGE update-on-match
+
+
+def test_merge_update_updates_matched_inserts_unmatched(spark, tmp_path):
+    from kommunedata_data_pipeline_spark.sources.sinks import (
+        merge_update,
+        merge_upsert,
+        read_committed,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, n int"
+    )
+    assert merge_upsert(base, path, ["k"]) == 3
+    merge = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "k int, v string, n int"
+    )
+    n_upd, n_ins = merge_update(merge, path, ["k"])
+    assert (n_upd, n_ins) == (1, 1)
+    out = {
+        r["k"]: (r["v"], r["n"])
+        for r in read_committed(spark, path).collect()
+    }
+    assert out == {
+        1: ("a", 10),
+        2: ("B", 200),
+        3: ("c", 30),
+        4: ("d", 40),
+    }
+
+
+def test_merge_update_replay_is_noop(spark, tmp_path):
+    """Replaying the same MERGE batch changes nothing: zero counts, no
+    new commit, identical file manifest."""
+    from kommunedata_data_pipeline_spark.sources.sinks import (
+        committed_files,
+        merge_update,
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    merge_upsert(base, path, ["k"])
+    m = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    assert merge_update(m, path, ["k"]) == (1, 1)
+    v1, files1 = committed_files(path)
+    assert merge_update(m, path, ["k"]) == (0, 0)
+    v2, files2 = committed_files(path)
+    assert (v1, sorted(files1)) == (v2, sorted(files2))
+
+
+def test_merge_update_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write blast radius: updating keys in ONE partition's
+    files retires only those files; other partitions' files survive in
+    the manifest untouched."""
+    from kommunedata_data_pipeline_spark.sources.sinks import (
+        committed_files,
+        merge_update,
+        merge_upsert,
+        read_committed,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "p0", "a"), (2, "p0", "b"), (3, "p1", "c"), (4, "p1", "d")],
+        "k int, part string, v string",
+    )
+    merge_upsert(base, path, ["k"], partition_cols=["part"])
+    _, files_before = committed_files(path)
+    p1_files = {f for f in files_before if f.startswith("part=p1")}
+    m = spark.createDataFrame(
+        [(1, "p0", "A")], "k int, part string, v string"
+    )
+    assert merge_update(m, path, ["k"], partition_cols=["part"]) == (1, 0)
+    _, files_after = committed_files(path)
+    assert p1_files <= set(files_after)  # p1 untouched
+    retired = set(files_before) - set(files_after)
+    assert retired  # something was rewritten...
+    assert all(f.startswith("part=p0") for f in retired)  # ...only in p0
+    out = {r["k"]: r["v"] for r in read_committed(spark, path).collect()}
+    assert out == {1: "A", 2: "b", 3: "c", 4: "d"}
+
+
+def test_merge_update_concurrent_update_and_insert_serialize(
+    spark, tmp_path
+):
+    """A MERGE planning against snapshot V while another writer commits
+    first must lose the version race and re-plan: both effects land,
+    and the racing writer's overlapping key reflects LAST-writer-wins
+    (the retry sees the winner's value and still applies its own)."""
+    from kommunedata_data_pipeline_spark.sources.sinks import (
+        merge_update,
+        merge_upsert,
+        read_committed,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    merge_upsert(base, path, ["k"])
+    racer = spark.createDataFrame(
+        [(1, "racer"), (5, "e")], "k int, v string"
+    )
+    mine = spark.createDataFrame(
+        [(1, "mine"), (6, "f")], "k int, v string"
+    )
+    fired = []
+
+    def interleave(attempt):
+        if not fired:
+            fired.append(1)
+            merge_update(racer, path, ["k"])
+
+    n_upd, n_ins = merge_update(mine, path, ["k"], _test_hook=interleave)
+    assert (n_upd, n_ins) == (1, 1)
+    out = {r["k"]: r["v"] for r in read_committed(spark, path).collect()}
+    assert out == {1: "mine", 2: "b", 5: "e", 6: "f"}
+
+
+def test_merge_update_parallel_threads_disjoint_keys(spark, tmp_path):
+    """4 concurrent MERGE writers over disjoint key ranges (updates of
+    a shared base + fresh inserts): all effects land exactly once."""
+    import threading
+
+    from kommunedata_data_pipeline_spark.sources.sinks import (
+        merge_update,
+        merge_upsert,
+        read_committed,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(k, "old") for k in range(20)], "k int, v string"
+    )
+    merge_upsert(base, path, ["k"])
+    errs = []
+
+    def run(w):
+        try:
+            b = spark.createDataFrame(
+                [(k, f"w{w}") for k in range(w * 5, w * 5 + 5)]
+                + [(100 + w, f"new{w}")],
+                "k int, v string",
+            )
+            merge_update(b, path, ["k"])
+        except Exception as exc:
+            errs.append(exc)
+
+    ts = [threading.Thread(target=run, args=(w,)) for w in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    out = {r["k"]: r["v"] for r in read_committed(spark, path).collect()}
+    assert len(out) == 24
+    for w in range(4):
+        for k in range(w * 5, w * 5 + 5):
+            assert out[k] == f"w{w}", (k, out[k])
+        assert out[100 + w] == f"new{w}"
+
+
+def test_vacuum_removes_files_retired_by_merge_update(spark, tmp_path):
+    import os
+
+    from kommunedata_data_pipeline_spark.sources.sinks import (
+        merge_update,
+        merge_upsert,
+        read_committed,
+        vacuum_uncommitted,
+    )
+
+    path = str(tmp_path / "tbl")
+    merge_upsert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        path,
+        ["k"],
+    )
+    merge_update(
+        spark.createDataFrame([(1, "A")], "k int, v string"), path, ["k"]
+    )
+    removed = vacuum_uncommitted(path)
+    assert removed >= 1  # the rewritten file's old bytes are reclaimed
+    out = {r["k"]: r["v"] for r in read_committed(spark, path).collect()}
+    assert out == {1: "A", 2: "b"}
+    # every remaining parquet file is referenced
+    on_disk = {
+        os.path.relpath(os.path.join(r, f), path)
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    from kommunedata_data_pipeline_spark.sources.sinks import committed_files
+
+    _, files = committed_files(path)
+    assert on_disk == {os.path.normpath(f) for f in files}
