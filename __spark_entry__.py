@@ -6266,6 +6266,48 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_decontaminate_bloom",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, {_ngrams_sql(8)} AS grams FROM t),
+    tr AS (SELECT doc_id, grams FROM g WHERE doc_id % 3 <> 1),
+    te AS (SELECT DISTINCT ngram
+           FROM (SELECT unnest(grams) AS ngram FROM g WHERE doc_id % 3 = 1)),
+    bad AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(grams) AS ngram FROM tr) x
+      WHERE ngram IN (SELECT ngram FROM te)
+    )
+    SELECT doc_id, CAST(len(grams) AS INT) AS n_ngrams
+    FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    ORDER BY doc_id
+    """,
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a BLOOM-FILTER screen in front of the exact
+    ngram semi-join: the eval gram set collapses to one broadcast
+    bitmap row (~10 bits/gram, k=4 double-hash probes), train grams are
+    screened MAP-SIDE, and only survivors (true hits + ~1% false
+    positives) reach the exact semi-join — so the oracle is the same
+    EXACT SQL (false negatives are impossible; the bloom changes the
+    shuffle volume, not the answer). At 100 TB this cuts the
+    train-gram shuffle — the dominant movement — to contaminated-ish
+    volume (operators/corpus.py:decontaminate_bloom)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        decontaminate_bloom,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate_bloom(
+        d.where(F.col("doc_id") % 3 != 1),
+        d.where(F.col("doc_id") % 3 == 1),
+        n=8,
+        n_bits=1 << 20,
+        k=4,
+    )
+
+
+@_q(
     "q_chunk_dedup",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

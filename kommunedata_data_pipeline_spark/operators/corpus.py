@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.expr import let
+from ..functions.strings import md5_bigint
 from ..functions.text import tokens
 
 
@@ -157,6 +158,131 @@ def decontaminate(train: DataFrame, test: DataFrame, n: int = 8) -> DataFrame:
     return (
         train.join(contaminated, "doc_id", "left_anti")
         .select("doc_id", F.size(word_ngrams(F.col("text"), n)).alias("n_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+def bloom_filter_row(
+    items: DataFrame, col: str, n_bits: int, k: int
+) -> DataFrame:
+    """ONE-row frame holding a dense bloom bitmap (`__words`:
+    array<bigint>, ceil(n_bits/64) words) of the distinct values of
+    ``col``. Double hashing (Kirsch & Mitzenmacher 2006): probe i sets
+    bit pmod(h1 + i·h2, n_bits), with h1/h2 the two md5 slices — the
+    same 64-bit material every hash in this repo uses. The dense array
+    broadcasts as a single row, so membership probes are a pure
+    MAP-SIDE bit test (`bloom_probe_pred`) — no shuffle, no explode.
+
+    Sizing contract (caller's): ~10 bits/item with k=4 gives ≈1% false
+    positives; false NEGATIVES are impossible (every true member set
+    all its bits). Build cost: k positions per item, one bit_or
+    aggregate over n_bits/64 words."""
+    m = int(n_bits)
+    w = (m + 63) // 64
+    hashed = items.select(
+        md5_bigint(F.col(col)).alias("__h1"),
+        md5_bigint(F.col(col), 8).alias("__h2"),
+    )
+    sparse = (
+        hashed.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {k - 1}),"
+                    f" i -> pmod(__h1 + i * __h2, {m}L))"
+                )
+            ).alias("pos")
+        )
+        .select(
+            F.expr("pos DIV 64").alias("word_idx"),
+            F.expr("CAST(pmod(pos, 64) AS INT)").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("bits"))
+    )
+    dense = (
+        items.sparkSession.range(w)
+        .select(F.col("id").alias("word_idx"))
+        .join(sparse, "word_idx", "left")
+        .select(
+            "word_idx",
+            F.coalesce("bits", F.lit(0).cast("bigint")).alias("bits"),
+        )
+    )
+    return dense.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word_idx", "bits"))),
+            lambda s: s["bits"],
+        ).alias("__words")
+    )
+
+
+def bloom_probe_pred(n_bits: int, k: int) -> str:
+    """SQL predicate (for F.expr) testing columns `__h1`/`__h2` against
+    the broadcast `__words` bitmap — true iff ALL k probe bits are set
+    (value POSSIBLY in the set)."""
+    m = int(n_bits)
+    terms = []
+    for i in range(k):
+        pos = f"pmod(__h1 + {i} * __h2, {m}L)"
+        terms.append(
+            f"(shiftright(element_at(__words, CAST({pos} DIV 64 AS INT) + 1),"
+            f" CAST(pmod({pos}, 64) AS INT)) & 1) = 1"
+        )
+    return " AND ".join(terms)
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    n_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """`decontaminate` with a BLOOM-FILTER screen in front of the exact
+    ngram semi-join (VERDICT r9 next #7b): the eval gram set collapses
+    to an n_bits bitmap (ONE broadcast row, ~10 bits/gram vs the 50+
+    bytes/row of the gram table), every train gram is screened by a
+    map-side bit test, and only the survivors — true hits plus the ~1%
+    bloom false positives — reach the exact semi-join. False negatives
+    are impossible, so the OUTPUT IS BIT-IDENTICAL to the exact
+    operator (pytest-pinned, and the driver oracle is the same exact
+    SQL): the bloom changes the I/O shape, not the semantics.
+
+    Why it matters at 100 TB: the exact semi-join shuffles the FULL
+    train gram stream by ngram (the dominant movement — train is the
+    100 TB side); the screen cuts that shuffle to contaminated-ish
+    volume (measured ~99% fewer gram rows at sf0.01 for the standard
+    split, NOTES_r10) for one broadcast and a few integer ops per
+    gram. ``n_bits`` is the caller's capacity knob (~10× expected eval
+    grams; a production pipeline sizes it from the eval manifest —
+    never a plan-time count here)."""
+    test_grams = test.select(
+        F.explode(word_ngrams(F.col("text"), n)).alias("ngram")
+    ).dropDuplicates(["ngram"])
+    bloom = bloom_filter_row(test_grams, "ngram", n_bits, k)
+    train_grams = (
+        train.select(
+            "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("ngram")
+        )
+        .dropDuplicates(["doc_id", "ngram"])
+        .withColumn("__h1", md5_bigint(F.col("ngram")))
+        .withColumn("__h2", md5_bigint(F.col("ngram"), 8))
+    )
+    screened = (
+        train_grams.crossJoin(F.broadcast(bloom))
+        .where(F.expr(bloom_probe_pred(n_bits, k)))
+        .select("doc_id", "ngram")
+    )
+    contaminated = (
+        screened.join(test_grams, "ngram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        train.join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id", F.size(word_ngrams(F.col("text"), n)).alias("n_ngrams")
+        )
         .orderBy("doc_id")
     )
 

@@ -610,3 +610,60 @@ def test_vacuum_removes_files_retired_by_merge_update(spark, tmp_path):
 
     _, files = committed_files(path)
     assert on_disk == {os.path.normpath(f) for f in files}
+
+
+# ------------------------------------------------ bloom decontamination
+
+
+def test_decontaminate_bloom_output_equals_exact(spark):
+    """The bloom screen changes the shuffle volume, never the answer:
+    output is row-identical to the exact operator (false negatives are
+    impossible — every true member set all its bits)."""
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    d = load_table(spark, SF_SMALL, "documents")
+    tr = d.where(F.col("doc_id") % 3 != 1)
+    te = d.where(F.col("doc_id") % 3 == 1)
+    exact = sorted(map(tuple, decontaminate(tr, te, n=8).collect()))
+    # undersized bitmap on purpose (more false positives) — output must
+    # STILL be exact because survivors re-verify against the gram set
+    bloom = sorted(
+        map(tuple, decontaminate_bloom(tr, te, n=8, n_bits=1 << 14, k=4).collect())
+    )
+    assert exact == bloom and exact
+
+
+def test_bloom_probe_no_false_negatives_and_low_fp(spark):
+    """Membership contract of the bitmap itself: every inserted value
+    passes the probe; non-members pass at a LOW rate under the sizing
+    contract (~10 bits/item, k=4 -> ~1%)."""
+    from kommunedata_data_pipeline_spark.functions.strings import md5_bigint
+    from kommunedata_data_pipeline_spark.operators.corpus import (
+        bloom_filter_row,
+        bloom_probe_pred,
+    )
+
+    members = spark.range(1000).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("v")
+    )
+    others = spark.range(5000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("v")
+    )
+    n_bits, k = 10_240, 4
+    bloom = bloom_filter_row(members, "v", n_bits, k)
+
+    def hits(df):
+        return (
+            df.withColumn("__h1", md5_bigint(F.col("v")))
+            .withColumn("__h2", md5_bigint(F.col("v"), 8))
+            .crossJoin(F.broadcast(bloom))
+            .where(F.expr(bloom_probe_pred(n_bits, k)))
+            .count()
+        )
+
+    assert hits(members) == 1000  # zero false negatives, ever
+    fp = hits(others) / 5000
+    assert fp < 0.05, fp  # ~1% expected at 10 bits/item; 5% ceiling
