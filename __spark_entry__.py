@@ -13602,6 +13602,31 @@ _R8_DRIVER_CHECKED = frozenset(
     }
 )
 
+# Queries whose round-9 driver row is green (hash_match) — all 50 of
+# CORRECTNESS_r09.json, derived via scripts/next_tier.py.
+_R9_DRIVER_CHECKED = frozenset(
+    {
+        "q11_concentration_shape", "q1_pricing_summary",
+        "q21_blame_shape", "q3_shipping_priority", "q5_local_supplier",
+        "q6_forecast_revenue", "q9_profit_shape", "q_anti_join_catalog",
+        "q_calibration_bins_hist", "q_centroid_drift",
+        "q_cluster_weights", "q_clustering_depth", "q_cpr_valid",
+        "q_dedup_keep_first", "q_event_pattern", "q_event_transitions",
+        "q_histogram_merge", "q_hll_daily", "q_hybrid_rrf",
+        "q_join_size_est", "q_kmv_set_ops", "q_ks_test", "q_locf_fill",
+        "q_metrics_rollup", "q_minhash_est_err", "q_null_semantics",
+        "q_parent_child_assembly", "q_peak_concurrency",
+        "q_priority_per_group", "q_priority_sample", "q_profile_events",
+        "q_quality_gate", "q_rollup_region_nation", "q_semi_join",
+        "q_session_attribution", "q_set_ops", "q_skew_join",
+        "q_snapshot_diff", "q_split_assign",
+        "q_stream_substring_ingest", "q_substring_cut",
+        "q_substring_dedup", "q_theil_sen", "q_time_rollup",
+        "q_token_keyness", "q_topk_per_group", "q_udtf_lateral",
+        "q_unigram_surprisal", "q_window_functions", "q_zorder_layout",
+    }
+)
+
 _ALL_CHECK_ROUNDS = (
     _R1_DRIVER_CHECKED,
     _R2_DRIVER_CHECKED,
@@ -13611,6 +13636,7 @@ _ALL_CHECK_ROUNDS = (
     _R6_DRIVER_CHECKED,
     _R7_DRIVER_CHECKED,
     _R8_DRIVER_CHECKED,
+    _R9_DRIVER_CHECKED,
 )
 
 
