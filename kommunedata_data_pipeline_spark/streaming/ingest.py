@@ -106,9 +106,9 @@ def _append_delta(delta: DataFrame, index_path: str) -> None:
     """Persist ONE batch's store delta as a new `ver=N` partition dir.
     The delta is written to a sibling staging dir first, then a SINGLE
     atomic rename makes it visible — a crashed write leaves only an
-    invisible staging dir (swept by the next compaction's swap), never
-    a half-visible delta, so readers and the replay anti-joins always
-    see complete deltas. Write volume is the delta (∝ batch), never the
+    orphaned staging dir BESIDE the store (never visible to readers),
+    never a half-visible delta, so readers and the replay anti-joins
+    always see complete deltas. Write volume is the delta (∝ batch), never the
     store — the linear-cumulative-I/O contract of this family."""
     tmp = f"{index_path}__delta_{uuid.uuid4().hex[:8]}"
     delta.write.mode("overwrite").parquet(tmp)
@@ -152,6 +152,50 @@ def compact_index(
         os.replace(index_path, bak)
     os.replace(new, index_path)
     shutil.rmtree(bak, ignore_errors=True)
+
+
+def store_bytes(index_path: str) -> tuple[int, int]:
+    """(base bytes, delta bytes): size of `ver=0` vs the sum of every
+    later delta — the size-tiered compaction trigger's inputs. Driver-
+    side listing only."""
+    base = delta = 0
+    if not os.path.isdir(index_path):
+        return 0, 0
+    for name in os.listdir(index_path):
+        if not name.startswith("ver="):
+            continue
+        total = 0
+        sub = os.path.join(index_path, name)
+        for root, _dirs, files in os.walk(sub):
+            for fn in files:
+                total += os.path.getsize(os.path.join(root, fn))
+        if name == "ver=0":
+            base += total
+        else:
+            delta += total
+    return base, delta
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_path: str,
+    schema: str,
+    resolve,
+    ratio: float = 1.0,
+) -> bool:
+    """Size-tiered compaction trigger (the LSM doubling rule): fold the
+    deltas iff their bytes reach ``ratio`` × the base's. With ratio=1
+    the base at least doubles per compaction, so there are at most
+    log2(store) compactions over a table's life and TOTAL compaction
+    write volume is bounded by ~2× the final store — amortized O(1)
+    extra bytes per byte ingested, i.e. cumulative ingest I/O stays
+    linear even WITH the periodic folds. Returns True if it
+    compacted."""
+    base, delta = store_bytes(index_path)
+    if delta and delta >= ratio * max(base, 1):
+        compact_index(spark, index_path, schema, resolve)
+        return True
+    return False
 
 
 def compact_band_index(
@@ -203,6 +247,7 @@ def _dedup_ingest(
     payload_cols: list[str],
     index_schema: str,
     update_fn,
+    auto_compact: bool = False,
 ):
     """Shared foreachBatch core: near-dedup each micro-batch against the
     stored index via ``update_fn(batch, index) -> (pairs, delta)`` —
@@ -221,7 +266,15 @@ def _dedup_ingest(
     append-only landed sink, which cannot retract either; the
     batch-level `minhash_index_update` API keeps replace-on-reingest
     for manually maintained indexes). Returns an un-started writeStream
-    (caller picks trigger/checkpoint and starts it)."""
+    (caller picks trigger/checkpoint and starts it).
+
+    ``auto_compact``: fold the deltas whenever their bytes reach the
+    base's (`maybe_compact` — the LSM doubling rule, amortized O(1)
+    extra write bytes per ingested byte). Off by default so delta
+    boundaries stay inspectable (the write-volume tests and the
+    measurement script read per-ver sizes); a production deployment
+    turns it on or compacts on a maintenance schedule."""
+    id_key = [id_col, "band"]
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from ..sources.sinks import load_catalog
@@ -244,6 +297,13 @@ def _dedup_ingest(
             kept = kept.join(landed, [id_col], "left_anti")
         kept.write.mode("append").parquet(out_path)
         _append_delta(delta, index_path)
+        if auto_compact:
+            maybe_compact(
+                spark,
+                index_path,
+                index_schema,
+                lambda df: df.dropDuplicates(id_key),
+            )
 
     return stream.writeStream.foreachBatch(process_batch)
 
@@ -256,6 +316,7 @@ def minhash_dedup_ingest(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    auto_compact: bool = False,
 ):
     """foreachBatch writer: near-dedup each document micro-batch against
     the stored MinHash band index, land survivors exactly once, append
@@ -286,6 +347,7 @@ def minhash_dedup_ingest(
         ["text"],
         _BAND_SCHEMA,
         update,
+        auto_compact=auto_compact,
     )
 
 
@@ -296,6 +358,7 @@ def ann_dedup_ingest(
     n_bands: int = 4,
     band_bits: int = 8,
     threshold: float = 0.95,
+    auto_compact: bool = False,
 ):
     """Embedding-side sibling of `minhash_dedup_ingest`: each micro-batch
     of fresh vectors is near-deduped against the PERSISTED banded
@@ -328,6 +391,7 @@ def ann_dedup_ingest(
         ["embedding"],
         _ANN_SCHEMA,
         update,
+        auto_compact=auto_compact,
     )
 
 
@@ -528,6 +592,7 @@ def quality_route_ingest(
 def cc_label_ingest(
     pair_stream: DataFrame,
     labels_path: str,
+    auto_compact: bool = False,
 ):
     """Streaming cluster-store maintenance — the CC member of the
     ingest family: micro-batches of near-dup PAIRS (the output stream
@@ -576,6 +641,15 @@ def cc_label_ingest(
             .select("doc_id", "cluster_id")
         )
         _append_delta(delta, labels_path)
+        if auto_compact:
+            maybe_compact(
+                spark,
+                labels_path,
+                "doc_id bigint, cluster_id bigint",
+                lambda df: df.groupBy("doc_id").agg(
+                    F.min("cluster_id").alias("cluster_id")
+                ),
+            )
 
     return pair_stream.writeStream.foreachBatch(process_batch)
 
@@ -586,6 +660,7 @@ def substring_dedup_ingest(
     out_path: str,
     min_len: int = 25,
     max_dup_ratio: float = 0.5,
+    auto_compact: bool = False,
 ):
     """Char-grain substring dedup made streaming — the ExactSubstr
     member of the incremental-ingest family (`substring_dup_spans`'s
@@ -690,5 +765,14 @@ def substring_dedup_ingest(
             | (F.col("min_doc") < F.col("stored_min"))
         ).select("h1", "h2", "min_doc")
         _append_delta(delta, index_path)
+        if auto_compact:
+            maybe_compact(
+                spark,
+                index_path,
+                schema,
+                lambda df: df.groupBy("h1", "h2").agg(
+                    F.min("min_doc").alias("min_doc")
+                ),
+            )
 
     return doc_stream.writeStream.foreachBatch(process_batch)

@@ -667,3 +667,70 @@ def test_bloom_probe_no_false_negatives_and_low_fp(spark):
     assert hits(members) == 1000  # zero false negatives, ever
     fp = hits(others) / 5000
     assert fp < 0.05, fp  # ~1% expected at 10 bits/item; 5% ceiling
+
+
+def test_auto_compact_bounds_delta_count_and_preserves_answer(spark):
+    """auto_compact=True (the LSM doubling rule): many small batches
+    keep the store's ver-dir count BOUNDED (deltas fold whenever their
+    bytes reach the base's) while the landed set still equals the
+    batch-mode rule and the resolved store equals the full band
+    table."""
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_pairs,
+    )
+    from kommunedata_data_pipeline_spark.streaming.ingest import (
+        minhash_dedup_ingest,
+        run_writer_available_now,
+    )
+
+    docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 90)
+    )
+    pairs = minhash_lsh_pairs(docs, 3, 16, 4, 0.5)
+    dup_b = {r.doc_b for r in pairs.select("doc_b").distinct().collect()}
+    want = {r.doc_id for r in docs.select("doc_id").collect()} - dup_b
+    base = _tmpbase("kdp-r10-autoc-")
+    try:
+        bounds = [15, 30, 45, 60, 75, 90]  # 6 equal batches
+        _stage_batches(docs, "doc_id", bounds, f"{base}/stage")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/stage")
+        )
+        run_writer_available_now(
+            minhash_dedup_ingest(
+                stream, f"{base}/index", f"{base}/landed",
+                k=3, num_hashes=16, bands=4, threshold=0.5,
+                auto_compact=True,
+            ),
+            f"{base}/ckpt",
+        )
+        vers = [
+            n
+            for n in os.listdir(f"{base}/index")
+            if n.startswith("ver=")
+        ]
+        # equal-size batches under the doubling rule fold often: far
+        # fewer ver dirs than batches
+        assert len(vers) < len(bounds), vers
+        landed = {
+            r.doc_id for r in spark.read.parquet(f"{base}/landed").collect()
+        }
+        assert landed == want
+        idx = sorted(
+            (r["doc_id"], r["band"], r["bkey"])
+            for r in spark.read.parquet(f"{base}/index")
+            .dropDuplicates(["doc_id", "band"])
+            .collect()
+        )
+        full = sorted(
+            (r["doc_id"], r["band"], r["bkey"])
+            for r in minhash_band_table(docs, 3, 16, 4).collect()
+        )
+        assert idx == full
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
