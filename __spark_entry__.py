@@ -12454,6 +12454,43 @@ def q_stream_quality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_stream_state_metrics",
+    """
+    SELECT 'dedup' AS stream, 'dedupe' AS operator,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS state_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS rows_updated
+    FROM events
+    UNION ALL
+    SELECT 'tumbling' AS stream, 'stateStoreSave' AS operator, n, n
+    FROM (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT
+               time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+               event_type
+        FROM events)
+    )
+    ORDER BY stream, operator
+    """,
+)
+def q_stream_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store observability as a query (the 100 TB streaming
+    health check): drive the two canonical stateful shapes — a
+    watermarked dropDuplicates and a tumbling windowed agg in update
+    mode — over the events file source, then surface the engine's own
+    per-operator state metrics (StreamingQueryProgress.stateOperators)
+    for the final data batch. With a watermark wider than the corpus's
+    time span nothing evicts, so state_rows/rows_updated are EXACTLY
+    the batch-SQL distinct-key counts — the oracle pins that the
+    reported telemetry equals ground truth, which is precisely what an
+    operator trusts it for (streaming/observability.py)."""
+    from kommunedata_data_pipeline_spark.streaming.observability import (
+        state_store_metrics,
+    )
+
+    return state_store_metrics(spark, sf_dir)
+
+
+@_q(
     "q_rank_sum_test",
     """
     WITH g AS (

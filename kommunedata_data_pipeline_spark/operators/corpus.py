@@ -1741,19 +1741,22 @@ def ngram_lang_id(
     (broadcast); score = one equi-join on trigram + per-(doc, lang)
     count + per-doc argmax window; confusion is a tiny rollup.
     Output: (lang, predicted, n)."""
+    from ..functions.expr import let as _let
     from ..functions.text import normalized_text
     from .dedup import _ensure_parallel
 
     norm = normalized_text(F.col(text_col))
-    tris = F.array_distinct(
-        F.when(
-            F.length(norm) >= 3,
-            F.transform(
-                F.sequence(F.lit(1), F.length(norm) - 2),
-                lambda i: norm.substr(i, F.lit(3)),
-            ),
-        ).otherwise(F.array(norm)),
-    )
+    # raw (non-distinct) trigrams: the classify path's array_intersect
+    # dedups by contract, so only the seed/profile branch pays the
+    # per-doc array_distinct sort (r10 profiling: the distinct was ~25%
+    # of the non-seed scan stage for zero semantic effect)
+    tris = F.when(
+        F.length(norm) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - 2),
+            lambda i: norm.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array(norm))
     # spread FIRST: the per-row trigram transform multiplies work by
     # text length and the seed explode by ~n_chars rows — bound to a
     # 1-partition parquet read both serialize on one core (the
@@ -1769,7 +1772,10 @@ def ngram_lang_id(
     # heavy transform stays in the spread stage
     seed_tris = (
         base.where(F.col("__seed"))
-        .select("lang", F.explode_outer("tris").alias("tri"))
+        .select(
+            "lang",
+            F.explode_outer(F.array_distinct("tris")).alias("tri"),
+        )
         .where(F.col("tri").isNotNull())
     )
     wprof = Window.partitionBy("lang").orderBy(
@@ -1804,16 +1810,22 @@ def ngram_lang_id(
             F.lit(0).cast("int").alias("score"),
             F.lit("unknown").alias("predicted"),
         ),
-        lambda acc, pr: F.when(
-            F.size(F.array_intersect(F.col("tris"), pr["ptris"]))
-            > acc["score"],
-            F.struct(
-                F.size(F.array_intersect(F.col("tris"), pr["ptris"]))
-                .cast("int")
-                .alias("score"),
-                pr["p_lang"].alias("predicted"),
+        # let-bind the overlap: Catalyst has no CSE inside HOF lambdas,
+        # so naming it once halves the array_intersect work per profile
+        # (r10 profiling — the intersect was evaluated in both the when
+        # condition and the replacement struct)
+        lambda acc, pr: _let(
+            F.size(F.array_intersect(F.col("tris"), pr["ptris"])).cast(
+                "int"
             ),
-        ).otherwise(acc),
+            lambda sc: F.when(
+                sc > acc["score"],
+                F.struct(
+                    sc.alias("score"),
+                    pr["p_lang"].alias("predicted"),
+                ),
+            ).otherwise(acc),
+        ),
     )
     labeled = (
         base.where(~F.col("__seed"))

@@ -222,6 +222,14 @@ def _needs_nodata_finalize(stream_df: DataFrame, output_mode: str) -> bool:
 # per-query streaming floor (planning, WAL/offset commits, drain waits).
 LAST_RUN_DURATIONS: dict[str, dict[str, int]] = {}
 
+# Per-sink state-store metrics from the last run_to_memory drive: for
+# each micro-batch that reported stateOperators, one entry of
+# (batch_id, num_input_rows, [per-operator metric dicts]). This is the
+# engine's own observability feed (StreamingQueryProgress.stateOperators)
+# surfaced where library code can reach it after the query stops —
+# consumed by streaming.observability.state_store_metrics.
+LAST_RUN_STATE: dict[str, list[dict]] = {}
+
 
 def run_to_memory(
     stream_df: DataFrame,
@@ -311,11 +319,21 @@ def run_to_memory(
             import json as _json2
 
             phases: dict[str, int] = {}
+            state_batches: list[dict] = []
             for p in q.recentProgress:
                 d = _json2.loads(p.json) if hasattr(p, "json") else p
                 for k, v in (d.get("durationMs") or {}).items():
                     phases[k] = phases.get(k, 0) + int(v)
+                if d.get("stateOperators"):
+                    state_batches.append(
+                        {
+                            "batch_id": int(d.get("batchId", -1)),
+                            "num_input_rows": int(d.get("numInputRows", 0)),
+                            "operators": d["stateOperators"],
+                        }
+                    )
             LAST_RUN_DURATIONS[name] = phases
+            LAST_RUN_STATE[name] = state_batches
         except Exception:
             pass
         q.stop()

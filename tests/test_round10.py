@@ -734,3 +734,60 @@ def test_auto_compact_bounds_delta_count_and_preserves_answer(spark):
         assert idx == full
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ------------------------------------------- state-store observability
+
+
+def test_state_store_metrics_match_batch_ground_truth(spark):
+    """The engine-reported state telemetry equals batch-SQL ground
+    truth when nothing evicts: dedup state rows == distinct event_ids,
+    tumbling state rows == distinct (hour-window, event_type) groups —
+    the exact contract q_stream_state_metrics oracles."""
+    from kommunedata_data_pipeline_spark.streaming.observability import (
+        state_store_metrics,
+        state_store_metrics_full,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    n_keys = ev.select("event_id").distinct().count()
+    n_groups = (
+        ev.select(
+            F.window("ts", "1 hour")["start"].alias("w"), "event_type"
+        )
+        .distinct()
+        .count()
+    )
+    rows = {
+        r["stream"]: r
+        for r in state_store_metrics(spark, SF_SMALL).collect()
+    }
+    assert rows["dedup"]["operator"] == "dedupe"
+    assert rows["dedup"]["state_rows"] == n_keys
+    assert rows["dedup"]["rows_updated"] == n_keys
+    assert rows["tumbling"]["operator"] == "stateStoreSave"
+    assert rows["tumbling"]["state_rows"] == n_groups
+
+    # the full frame carries the provider-dependent fields: memory is
+    # positive (a store that reports 0 bytes for 1000 rows is lying),
+    # nothing evicted under the over-wide watermark
+    full = state_store_metrics_full(spark, SF_SMALL).collect()
+    assert len(full) >= 2
+    assert all(r["memory_used_bytes"] > 0 for r in full)
+    assert all(r["rows_removed"] == 0 for r in full)
+
+
+def test_state_metrics_frame_raises_on_undriven_sink(spark):
+    """Asking for metrics of a stream that was never driven is an
+    error, not an empty frame — silence here hides a broken health
+    check."""
+    import pytest as _pytest
+
+    from kommunedata_data_pipeline_spark.streaming.observability import (
+        state_metrics_frame,
+    )
+
+    with _pytest.raises(ValueError, match="no state-metrics stash"):
+        state_metrics_frame(
+            spark, {"ghost": "never_driven_sink_name"}
+        )
