@@ -275,29 +275,34 @@ def prefix_filter_jaccard_pairs(
     exceed the true integer ceiling, else the prefix shortens and
     recall breaks).
 
-    Token representation: shingles are md5-hashed to a 64-bit
-    TWO-SLICE key struct (h1, h2 — the `char_gram_hashes` pattern)
-    before the first shuffle, so the df groupBy, the prefix equi-join,
-    and the packed verification arrays all move 16-byte structs
-    instead of k-word strings — the r9 fix for the 256× external-sort
-    spill tail (SCALING.md: the verify stage sorted string-array
-    payloads; hashed arrays cut the measured 128× spill 42G → ~7G and
-    the wall ~2×). 64 bits, not one 32-bit slice: at corpus scale a
-    32-bit key is past its birthday bound (~2^16 distinct shingles),
-    and a cross-doc collision inflates the exact intersection while a
-    within-doc collision shrinks a set and can break the prefix
-    bound's recall theorem; at 64 bits per-pair collision odds are
-    ~|A|·|B|/2^64 — the `dedup_exact` md5-fingerprint guarantee class.
-    The prefix theorem needs only A consistent total order (df, then
-    the hash struct, is one).
+    Token representation: shingles are md5-hashed to ONE 64-bit BIGINT
+    (the two 32-bit md5 slices packed by shiftleft(h1,32)|h2 — bitwise,
+    so no ANSI overflow; the value may be negative, which is fine: the
+    prefix theorem needs only A consistent total order, and df then
+    signed-bigint is one) before the first shuffle, so the df groupBy,
+    the prefix equi-join, and the packed verification arrays all move
+    8-byte primitives instead of k-word strings — the r9 fix for the
+    256× external-sort spill tail (SCALING.md: the verify stage sorted
+    string-array payloads; hashed arrays cut the measured 128× spill
+    42G → ~7G and the wall ~2×). 64 bits, not one 32-bit slice: at
+    corpus scale a 32-bit key is past its birthday bound (~2^16
+    distinct shingles), and a cross-doc collision inflates the exact
+    intersection while a within-doc collision shrinks a set and can
+    break the prefix bound's recall theorem; at 64 bits per-pair
+    collision odds are ~|A|·|B|/2^64 — the `dedup_exact`
+    md5-fingerprint guarantee class. A PRIMITIVE key, not a struct of
+    the two slices: struct keys drop array_intersect and the join
+    hashing off the primitive fast path (measured 18× wall on the full
+    operator at sf0.1 when the r9 advice fix briefly shipped structs).
     """
     from ..functions.expr import let as _let
 
     hx = _let(
         F.md5(F.col("shingle")),
-        lambda mh: F.struct(
-            F.conv(F.substring(mh, 1, 8), 16, 10).cast("bigint").alias("h1"),
-            F.conv(F.substring(mh, 9, 8), 16, 10).cast("bigint").alias("h2"),
+        lambda mh: F.shiftleft(
+            F.conv(F.substring(mh, 1, 8), 16, 10).cast("bigint"), 32
+        ).bitwiseOR(
+            F.conv(F.substring(mh, 9, 8), 16, 10).cast("bigint")
         ),
     )
     sh = doc_shingles(documents, k).select("doc_id", hx.alias("h"))
