@@ -7021,8 +7021,12 @@ def q21_blame_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier on a multi-supplier order.
 
     Rewritten r5 from the two-semi-join form to TWO aggregations over
-    ONE lineitem pass: orders ships as a broadcast (orderkey,
-    orderdate) projection so per-row lateness is a map-side flag; then
+    ONE lineitem pass: orders joins as an UNHINTED (orderkey,
+    orderdate) projection — AQE broadcasts it at test scale where it is
+    tiny, but orders is a fact table (~lineitem/4 rows at any TPC-H
+    scale), so a FORCED broadcast hint is exactly the merge_upsert r9
+    defect and OOMs at 100 TB where a shuffle join is correct (caught
+    by test_registry_no_forced_fact_broadcasts, r10); then
     groupBy (orderkey, suppkey) folds each supplier's late-item count,
     and groupBy orderkey derives n_suppliers / n_late_suppliers / the
     unique late supplier + its item count (valid exactly when
@@ -7035,7 +7039,7 @@ def q21_blame_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
     flagged = li.join(
-        F.broadcast(o.select("o_orderkey", "o_orderdate")),
+        o.select("o_orderkey", "o_orderdate"),
         F.col("o_orderkey") == F.col("l_orderkey"),
     ).select(
         "l_orderkey",
