@@ -985,3 +985,69 @@ def test_registry_no_forced_fact_broadcasts(spark):
         "at runtime) or, if the frame is PROVABLY bounded, allowlist "
         "it with the bound stated"
     )
+
+
+def _unbounded_cartesians(df):
+    """Optimized-plan walk: Join nodes with NO join condition (cross /
+    inner-without-predicate) where BOTH sides contain an unbounded
+    fact-table scan — the O(N²) shape no cluster survives. One bounded
+    side (Aggregate/GlobalLimit above every fact scan) is the
+    legitimate broadcast-crossJoin pattern (1-row aggregates, profile
+    rows, codebooks, centroid tables) and passes structurally."""
+    FACTS = ("documents", "embeddings", "lineitem", "orders", "events")
+
+    def unbounded(node):
+        name = node.getClass().getSimpleName()
+        if name in ("Aggregate", "GlobalLimit"):
+            return False
+        if name == "LogicalRelation":
+            try:
+                paths = node.relation().location().rootPaths()
+                p0 = paths.apply(0).toString() if paths.size() > 0 else ""
+            except Exception:
+                p0 = ""
+            return any(f"/{t}.parquet" in p0 for t in FACTS)
+        ch = node.children()
+        return any(unbounded(ch.apply(i)) for i in range(ch.size()))
+
+    bad = 0
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() == "Join"
+            and not node.condition().isDefined()
+            and unbounded(node.children().apply(0))
+            and unbounded(node.children().apply(1))
+        ):
+            bad += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return bad
+
+
+# Queries allowed to keep a fact×fact condition-less join — each entry
+# must state why the product is NOT corpus-quadratic anyway. Empty
+# today; a corpus-sized product is never allowlistable.
+_BOUNDED_CARTESIANS: set = set()
+
+
+def test_registry_no_fact_by_fact_cartesians(spark):
+    """Registry-wide lint for the all-pairs shape: a condition-less
+    join is only legal when at least one side is structurally bounded
+    (the broadcast-crossJoin pattern). Candidate generation must come
+    from banded/bucketed EQUI-joins — the repo-wide dedup discipline,
+    now asserted for every batch query instead of spot-checked."""
+    bad = []
+    for name, fn in sorted(entrymod.queries().items()):
+        if name.startswith("q_stream"):
+            continue
+        n = _unbounded_cartesians(fn(spark, SF))
+        if n and name not in _BOUNDED_CARTESIANS:
+            bad.append((name, n))
+    assert not bad, (
+        f"fact-by-fact condition-less join: {bad} — candidates must "
+        "come from a banded/bucketed equi-join, or one side must be "
+        "bounded (Aggregate/GlobalLimit) before the product"
+    )
