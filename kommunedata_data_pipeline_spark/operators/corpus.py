@@ -162,27 +162,50 @@ def decontaminate(train: DataFrame, test: DataFrame, n: int = 8) -> DataFrame:
     )
 
 
+def _bloom_hashes(col: Column) -> list[Column]:
+    """(`__h1`, `__h2`): two 31-bit double-hashing values from ONE
+    xxhash64 evaluation (low 31 bits / next 31 bits). Shared by the
+    bitmap build and the probe predicate — they must agree bit-for-bit,
+    nothing else about the hash matters to a bloom screen."""
+    h = F.xxhash64(col)
+    return [
+        h.bitwiseAND(F.lit(0x7FFFFFFF)).alias("__h1"),
+        F.shiftrightunsigned(h, 31)
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+        .alias("__h2"),
+    ]
+
+
 def bloom_filter_row(
     items: DataFrame, col: str, n_bits: int, k: int
 ) -> DataFrame:
     """ONE-row frame holding a dense bloom bitmap (`__words`:
     array<bigint>, ceil(n_bits/64) words) of the distinct values of
     ``col``. Double hashing (Kirsch & Mitzenmacher 2006): probe i sets
-    bit pmod(h1 + i·h2, n_bits), with h1/h2 the two md5 slices — the
-    same 64-bit material every hash in this repo uses. The dense array
+    bit pmod(h1 + i·h2, n_bits), with h1/h2 the two 31-bit xxhash64
+    slices from ``_bloom_hashes``. The dense array
     broadcasts as a single row, so membership probes are a pure
     MAP-SIDE bit test (`bloom_probe_pred`) — no shuffle, no explode.
 
     Sizing contract (caller's): ~10 bits/item with k=4 gives ≈1% false
     positives; false NEGATIVES are impossible (every true member set
     all its bits). Build cost: k positions per item, one bit_or
-    aggregate over n_bits/64 words."""
+    aggregate over n_bits/64 words.
+
+    Hash material: ONE xxhash64 per item, sliced into two 31-bit
+    halves (`_bloom_hashes`) — NOT the md5 pipeline the exactness-
+    bearing operators use. A bloom screen's hash never touches
+    correctness (false positives are re-verified exactly downstream,
+    false negatives are impossible for ANY deterministic hash), it
+    only needs to agree between build and probe — and xxhash64 is a
+    single JVM intrinsic vs md5's digest+hex+conv chain, which was
+    the measured CPU bottleneck of the screen (r10: the md5 double
+    hash made the screened path SLOWER than the unscreened exact join
+    on a local box where shuffles are memory-speed). 31-bit halves so
+    `h1 + i·h2` stays far from BIGINT overflow under ANSI."""
     m = int(n_bits)
     w = (m + 63) // 64
-    hashed = items.select(
-        md5_bigint(F.col(col)).alias("__h1"),
-        md5_bigint(F.col(col), 8).alias("__h2"),
-    )
+    hashed = items.select(*_bloom_hashes(F.col(col)))
     sparse = (
         hashed.select(
             F.explode(
@@ -248,26 +271,29 @@ def decontaminate_bloom(
     operator (pytest-pinned, and the driver oracle is the same exact
     SQL): the bloom changes the I/O shape, not the semantics.
 
-    Why it matters at 100 TB: the exact semi-join shuffles the FULL
-    train gram stream by ngram (the dominant movement — train is the
-    100 TB side); the screen cuts that shuffle to contaminated-ish
-    volume (measured ~99% fewer gram rows at sf0.01 for the standard
-    split, NOTES_r10) for one broadcast and a few integer ops per
-    gram. ``n_bits`` is the caller's capacity knob (~10× expected eval
-    grams; a production pipeline sizes it from the eval manifest —
+    Why it matters at 100 TB: the exact semi-join shuffles the train
+    gram stream by ngram (the dominant movement — train is the 100 TB
+    side); the screen cuts that shuffle to contaminated-ish volume
+    (measured ~97% fewer gram rows at sf0.01 for the standard split,
+    NOTES_r10) for one broadcast and a few integer ops per gram. The
+    train side deliberately does NOT dropDuplicates before the screen
+    (the exact twin does, as map-side pre-aggregation for ITS full
+    semi-join shuffle): a pre-screen dedup is itself a full train-gram
+    shuffle, which would negate the screen entirely, and duplicates are
+    harmless to a semi-join feeding a distinct doc_id set — NOTHING
+    shuffles here until after the bit test (r10 self-review; the first
+    cut shipped the dedup and kept the full shuffle it existed to
+    remove). ``n_bits`` is the caller's capacity knob (~10× expected
+    eval grams; a production pipeline sizes it from the eval manifest —
     never a plan-time count here)."""
     test_grams = test.select(
         F.explode(word_ngrams(F.col("text"), n)).alias("ngram")
     ).dropDuplicates(["ngram"])
     bloom = bloom_filter_row(test_grams, "ngram", n_bits, k)
-    train_grams = (
-        train.select(
-            "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("ngram")
-        )
-        .dropDuplicates(["doc_id", "ngram"])
-        .withColumn("__h1", md5_bigint(F.col("ngram")))
-        .withColumn("__h2", md5_bigint(F.col("ngram"), 8))
-    )
+    train_grams = train.select(
+        "doc_id",
+        F.explode(word_ngrams(F.col("text"), n)).alias("ngram"),
+    ).select("doc_id", "ngram", *_bloom_hashes(F.col("ngram")))
     screened = (
         train_grams.crossJoin(F.broadcast(bloom))
         .where(F.expr(bloom_probe_pred(n_bits, k)))

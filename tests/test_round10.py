@@ -640,8 +640,8 @@ def test_bloom_probe_no_false_negatives_and_low_fp(spark):
     """Membership contract of the bitmap itself: every inserted value
     passes the probe; non-members pass at a LOW rate under the sizing
     contract (~10 bits/item, k=4 -> ~1%)."""
-    from kommunedata_data_pipeline_spark.functions.strings import md5_bigint
     from kommunedata_data_pipeline_spark.operators.corpus import (
+        _bloom_hashes,
         bloom_filter_row,
         bloom_probe_pred,
     )
@@ -657,8 +657,7 @@ def test_bloom_probe_no_false_negatives_and_low_fp(spark):
 
     def hits(df):
         return (
-            df.withColumn("__h1", md5_bigint(F.col("v")))
-            .withColumn("__h2", md5_bigint(F.col("v"), 8))
+            df.select("v", *_bloom_hashes(F.col("v")))
             .crossJoin(F.broadcast(bloom))
             .where(F.expr(bloom_probe_pred(n_bits, k)))
             .count()
