@@ -15,6 +15,26 @@ Scale notes (100 TB):
 - Blob payloads should be landed from the fetch UDF and carried as
   paths + metadata through shuffles (SURVEY §7.4); these sinks write
   whatever columns they are given and do not re-shuffle blobs.
+
+Object-store portability (the 100 TB deployment note — VERDICT r10
+#7): the transactional protocol below assumes exactly three POSIX
+primitives, each with a standard S3-class substitute:
+- the commit CLAIM uses `os.link` (atomic, fails-if-exists) — on an
+  object store this becomes a conditional PUT (`If-None-Match: *` on
+  S3/GCS/ABFS) or an external lock row (the DynamoDB pattern Delta's
+  S3 LogStore uses) on the `{version}.json` key;
+- atomic renames (`os.replace` for staged->final part files, zone/
+  checkpoint manifests) become plain PUTs of uniquely-named objects —
+  every name here is already collision-free (uuid part names,
+  versioned manifests), so non-atomic rename is never actually
+  required, only last-writer-wins PUT of a NEW key;
+- driver-side directory walks (`committed_files` listing the log,
+  `_parquet_bytes` sizing) become LIST calls against the same
+  prefixes — both are metadata-sized (log files / file stats), never
+  data-sized.
+Data-file reads/writes go through Spark's Hadoop FS layer and need no
+change. Nothing in the protocol relies on directory mtimes, inode
+identity, or in-place file mutation.
 """
 
 from __future__ import annotations
@@ -135,7 +155,9 @@ def _log_dir(path: str) -> str:
 CHECKPOINT_INTERVAL = 10
 
 
-def committed_files(path: str) -> tuple[int, list[str]]:
+def committed_files(
+    path: str, version: int | None = None
+) -> tuple[int, list[str]]:
     """Read the commit log: (latest version, table-relative data files).
     Version -1 = no committed table. Commit files are written atomically
     (content first, then an atomic link into the log), so a concurrent
@@ -146,7 +168,15 @@ def committed_files(path: str) -> tuple[int, list[str]]:
     `CHECKPOINT_INTERVAL` commits) and applies only the commits after
     it — O(interval) files read regardless of table age. Commits may
     carry a `removed` list (merge_update's copy-on-write rewrites);
-    removal applies in version order before that commit's adds."""
+    removal applies in version order before that commit's adds.
+
+    ``version``: TIME TRAVEL — resolve the table AS OF that commit
+    (the audit/debug read the `removed`-file retention exists to
+    serve). Starts from the newest checkpoint <= version (checkpoints
+    newer than the ask are ignored) or from scratch; raises
+    ValueError if the state is no longer reconstructible (a
+    pre-checkpoint commit needed for the replay was deleted). Asking
+    beyond HEAD resolves to HEAD (the Delta convention)."""
     import json
     import os
 
@@ -155,32 +185,98 @@ def committed_files(path: str) -> tuple[int, list[str]]:
         return -1, []
     names = os.listdir(d)
     base_version, files = -1, []
-    ckpts = sorted(
+    all_ckpts = sorted(
         n
         for n in names
         if n.startswith("checkpoint-") and n.endswith(".json")
     )
+    ckpts = all_ckpts
+    if version is not None:
+        ckpts = [
+            n
+            for n in ckpts
+            if int(n[len("checkpoint-"): -len(".json")]) <= version
+        ]
     if ckpts:
         with open(os.path.join(d, ckpts[-1])) as f:
             rec = json.load(f)
         base_version, files = rec["version"], list(rec["files"])
-    version = base_version
+    resolved = base_version
     for name in sorted(
         n
         for n in names
         if n.endswith(".json") and not n.startswith((".", "checkpoint-"))
     ):
         v = int(name[: -len(".json")])
-        if v <= base_version:
+        if v <= base_version or (version is not None and v > version):
             continue
+        if v != resolved + 1:
+            # a gap can only mean deleted pre-checkpoint commits that a
+            # time-travel replay still needs — never a torn write (the
+            # atomic link serializes versions densely)
+            raise ValueError(
+                f"cannot resolve version {version} of {path}: commit "
+                f"{resolved + 1} is missing (pre-checkpoint commits "
+                "were removed); oldest reconstructible state is the "
+                "nearest surviving checkpoint"
+            )
         with open(os.path.join(d, name)) as f:
             rec = json.load(f)
-        version = max(version, rec["version"])
+        resolved = rec["version"]
         removed = set(rec.get("removed", []))
         if removed:
             files = [f for f in files if f not in removed]
         files.extend(rec["added"])
-    return version, files
+    if version is not None and resolved < version:
+        # distinguish "asked beyond HEAD" (fine: resolve to HEAD) from
+        # "version existed but its commits were deleted" (must raise,
+        # never silently serve an older/empty state as version V)
+        head_known = max(
+            (
+                int(n[:-len(".json")].removeprefix("checkpoint-"))
+                for n in names
+                if n.endswith(".json") and not n.startswith(".")
+            ),
+            default=-1,
+        )
+        if head_known > version:
+            raise ValueError(
+                f"cannot resolve version {version} of {path}: its "
+                "commits were removed (log compaction); oldest "
+                "reconstructible state is the nearest surviving "
+                "checkpoint"
+            )
+    return resolved, files
+
+
+def table_history(path: str) -> list[dict]:
+    """Commit-by-commit audit trail of a transactional table: one dict
+    per surviving commit file — version, wall-clock ``ts`` (None for
+    commits written before timestamps landed), files added/removed.
+    Driver-side log listing only (never reads data)."""
+    import json
+    import os
+
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(
+        n
+        for n in os.listdir(d)
+        if n.endswith(".json") and not n.startswith((".", "checkpoint-"))
+    ):
+        with open(os.path.join(d, name)) as f:
+            rec = json.load(f)
+        out.append(
+            {
+                "version": rec["version"],
+                "ts": rec.get("ts"),
+                "n_added": len(rec.get("added", [])),
+                "n_removed": len(rec.get("removed", [])),
+            }
+        )
+    return out
 
 
 def _maybe_checkpoint(path: str, version: int, files: list[str]) -> None:
@@ -203,14 +299,24 @@ def _maybe_checkpoint(path: str, version: int, files: list[str]) -> None:
     os.replace(tmp, os.path.join(d, f"checkpoint-{version:012d}.json"))
 
 
-def read_committed(spark: SparkSession, path: str) -> DataFrame | None:
+def read_committed(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame | None:
     """Snapshot read of a merge_upsert table: ONLY files named by the
     commit log (an in-flight writer's staged/orphaned part files are
     invisible — the manifest, not the directory listing, defines the
-    table). basePath keeps Hive-style partition columns."""
+    table). basePath keeps Hive-style partition columns.
+
+    ``version``: time-travel read AS OF that commit — pre-update/
+    pre-delete values are visible because merge_update's copy-on-write
+    keeps retired files on disk until `vacuum_uncommitted`'s retention
+    lets them go. Reading a version whose retired files were already
+    vacuumed fails at scan time (the honest failure mode every
+    table format shares); size the vacuum retention to the audit
+    window."""
     import os
 
-    _, files = committed_files(path)
+    _, files = committed_files(path, version=version)
     if not files:
         return None
     return spark.read.option("basePath", path).parquet(
@@ -338,32 +444,69 @@ def merge_upsert(
             fresh.unpersist()
         if _test_hook is not None:
             _test_hook(attempt)
-        # claim the next version: write content to a temp file, then
-        # LINK it into the log — link(2) is atomic and fails with
-        # EEXIST if another writer claimed this version first
-        logd = _log_dir(path)
-        os.makedirs(logd, exist_ok=True)
-        cpath = os.path.join(logd, f"{version + 1:012d}.json")
-        tmp = os.path.join(logd, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump({"version": version + 1, "added": added}, f)
-        try:
-            os.link(tmp, cpath)
-            _maybe_checkpoint(path, version + 1, cur_files + added)
+        if _try_commit(path, version, cur_files, added):
             return n
-        except FileExistsError:
-            # lost the race: drop our (uncommitted, invisible) files
-            # and retry against the winner's state
-            for rel in added:
-                try:
-                    os.remove(os.path.join(path, rel))
-                except OSError:
-                    pass
-        finally:
-            os.remove(tmp)
+        # lost the race: staged files were dropped; retry against the
+        # winner's state
     raise RuntimeError(
         f"merge_upsert: no commit after {max_retries} attempts ({path})"
     )
+
+
+def _try_commit(
+    path: str,
+    version: int,
+    cur_files: list[str],
+    added: list[str],
+    removed: list[str] | tuple = (),
+) -> bool:
+    """Claim commit ``version + 1``: write the record to a temp file,
+    then LINK it into the log — link(2) is atomic and fails with
+    EEXIST if another writer claimed this version first. On a win,
+    maybe write the checkpoint manifest and return True. On a loss,
+    delete the caller's (uncommitted, invisible) staged files and
+    return False so it can retry against the winner's state."""
+    import json
+    import os
+    import time
+    import uuid
+
+    logd = _log_dir(path)
+    os.makedirs(logd, exist_ok=True)
+    cpath = os.path.join(logd, f"{version + 1:012d}.json")
+    tmp = os.path.join(logd, f".tmp-{uuid.uuid4().hex}")
+    rec = {"version": version + 1, "added": added, "ts": time.time()}
+    if removed:
+        rec["removed"] = list(removed)
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    try:
+        os.link(tmp, cpath)
+        gone = set(removed)
+        _maybe_checkpoint(
+            path,
+            version + 1,
+            [f for f in cur_files if f not in gone] + added,
+        )
+        return True
+    except FileExistsError:
+        for rel in added:
+            try:
+                os.remove(os.path.join(path, rel))
+            except OSError:
+                pass
+        return False
+    finally:
+        os.remove(tmp)
+
+
+def _rel_to_table(uri: str, path: str) -> str:
+    """Table-relative path of an `input_file_name()` URI."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    p = unquote(urlparse(uri).path or uri)
+    return os.path.normpath(os.path.relpath(p, os.path.abspath(path)))
 
 
 def merge_update(
@@ -402,20 +545,11 @@ def merge_update(
     never a forced broadcast; the table is unbounded). Returns
     (n_updated, n_inserted). Contract: ``df`` must not read ``path``,
     and its schema must equal the table schema."""
-    import os
-    import uuid
-    from urllib.parse import urlparse
-
     spark = df.sparkSession
     pcols = partition_cols or []
     # pin the batch once: it is re-joined and re-counted across
     # attempts, and must not drift between the plan and the write
     batch = df.dropDuplicates(keys).localCheckpoint(eager=True)
-    abspath = os.path.abspath(path)
-
-    def _rel(uri: str) -> str:
-        p = urlparse(uri).path or uri
-        return os.path.normpath(os.path.relpath(p, abspath))
 
     for attempt in range(max_retries):
         version, cur_files = committed_files(path)
@@ -455,7 +589,9 @@ def merge_update(
                 r["__file"]
                 for r in changed.select("__file").distinct().collect()
             ]
-            rewrite_rel = sorted({_rel(u) for u in file_uris})
+            rewrite_rel = sorted(
+                {_rel_to_table(u, path) for u in file_uris}
+            )
             changed_keys = changed.select(*keys).distinct()
             keep_old = (
                 snap.where(F.col("__file").isin(file_uris))
@@ -469,53 +605,166 @@ def merge_update(
         added = _stage_part_files(staged_frame, path, pcols)
         if _test_hook is not None:
             _test_hook(attempt)
-        logd = _log_dir(path)
-        os.makedirs(logd, exist_ok=True)
-        cpath = os.path.join(logd, f"{version + 1:012d}.json")
-        tmp = os.path.join(logd, f".tmp-{uuid.uuid4().hex}")
-        import json
-
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "version": version + 1,
-                    "added": added,
-                    "removed": rewrite_rel,
-                },
-                f,
-            )
-        try:
-            os.link(tmp, cpath)
-            gone = set(rewrite_rel)
-            _maybe_checkpoint(
-                path,
-                version + 1,
-                [f2 for f2 in cur_files if f2 not in gone] + added,
-            )
+        if _try_commit(path, version, cur_files, added, rewrite_rel):
             return (n_upd, n_ins)
-        except FileExistsError:
-            for rel in added:
-                try:
-                    os.remove(os.path.join(path, rel))
-                except OSError:
-                    pass
-        finally:
-            os.remove(tmp)
     raise RuntimeError(
         f"merge_update: no commit after {max_retries} attempts ({path})"
     )
 
 
-def vacuum_uncommitted(path: str) -> int:
-    """Delete data files not referenced by the CURRENT manifest
-    resolution: crashed writers' orphans and files retired by
-    merge_update's copy-on-write rewrites. Safe only when no writer is
-    mid-stage and no reader is resolving an older version; returns
-    count."""
+def merge_delete(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_cols: list[str] | None = None,
+    max_retries: int = 20,
+    _test_hook=None,
+) -> int:
+    """WHEN MATCHED DELETE on the transactional sink (VERDICT r10 #4 —
+    the right-to-be-forgotten arm of the MERGE family): rows of the
+    committed table whose keys match a row of ``df`` are REMOVED via
+    copy-on-write rewrite of exactly the files holding them (the
+    survivors of each touched file are restaged; the commit's
+    ``removed`` list retires the originals); unmatched ``df`` keys are
+    ignored. Same optimistic protocol as `merge_upsert`/`merge_update`
+    — plan against snapshot V, stage invisible files, claim V+1 by
+    atomic link.
+
+    Replay is a NO-OP: a re-run finds zero matching keys and returns 0
+    without staging or committing. Deleted rows stay readable through
+    `read_committed(..., version=V-1)` until `vacuum_uncommitted`'s
+    retention lets the retired files go — retention IS the audit/undo
+    window. Scale shape mirrors merge_update: matched keys, touched
+    files, and the rewrite frame are delete-sized plus the contents of
+    touched files (the CoW amplification a clustered layout bounds).
+    ``df`` must not read ``path``. Returns rows deleted."""
+    spark = df.sparkSession
+    pcols = partition_cols or []
+    del_keys = (
+        df.select(*keys).dropDuplicates(keys).localCheckpoint(eager=True)
+    )
+    for attempt in range(max_retries):
+        version, cur_files = committed_files(path)
+        snapshot = read_committed(spark, path)
+        if snapshot is None:
+            return 0
+        snap = snapshot.withColumn("__file", F.input_file_name())
+        matched = (
+            snap.join(del_keys, keys, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_del = matched.count()
+        if n_del == 0:
+            return 0
+        file_uris = [
+            r["__file"]
+            for r in matched.select("__file").distinct().collect()
+        ]
+        rewrite_rel = sorted(
+            {_rel_to_table(u, path) for u in file_uris}
+        )
+        keep_old = (
+            snap.where(F.col("__file").isin(file_uris))
+            .drop("__file")
+            .join(del_keys, keys, "left_anti")
+        )
+        added = _stage_part_files(keep_old, path, pcols)
+        if _test_hook is not None:
+            _test_hook(attempt)
+        if _try_commit(path, version, cur_files, added, rewrite_rel):
+            return n_del
+    raise RuntimeError(
+        f"merge_delete: no commit after {max_retries} attempts ({path})"
+    )
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+    max_retries: int = 20,
+    _test_hook=None,
+) -> tuple[int, int]:
+    """Transactional OPTIMIZE on the merge sink (VERDICT r10 #8a): fold
+    the committed table's data files into ~``target_file_bytes`` files
+    — optionally range-CLUSTERED by ``cluster_by`` (repartitionByRange
+    + sortWithinPartitions, the layout that tightens per-file min/max
+    for zone-map / row-group skipping; `layout.zone_map_skip_stats`
+    measures the effect) — committed through the log as one version:
+    ``added`` = the rewritten files, ``removed`` = every file of the
+    snapshot it rewrote.
+
+    Reads are ROW-identical before/after (no dedup, no filter — pure
+    re-layout), and time travel to the pre-OPTIMIZE version still works
+    until vacuum retention releases the retired files. Same optimistic
+    protocol as the MERGE family: a concurrent writer that claims the
+    version first wins; the loser re-reads the new snapshot and
+    restages, so no committed row is ever lost or duplicated by an
+    OPTIMIZE racing an upsert/update/delete. Returns
+    (files_before, files_after)."""
     import os
+
+    pcols = partition_cols or []
+    for attempt in range(max_retries):
+        version, cur_files = committed_files(path)
+        if not cur_files:
+            return (0, 0)
+        snapshot = read_committed(spark, path)
+        total = 0
+        for rel in cur_files:
+            try:
+                total += os.path.getsize(os.path.join(path, rel))
+            except OSError:
+                pass
+        n_files = max(1, -(-total // target_file_bytes))
+        if cluster_by:
+            frame = snapshot.repartitionByRange(
+                n_files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            frame = snapshot.repartition(n_files)
+        added = _stage_part_files(frame, path, pcols)
+        if _test_hook is not None:
+            _test_hook(attempt)
+        if _try_commit(path, version, cur_files, added, cur_files):
+            return (len(cur_files), len(added))
+    raise RuntimeError(
+        f"optimize_table: no commit after {max_retries} attempts ({path})"
+    )
+
+
+def vacuum_uncommitted(
+    path: str, retention_seconds: float = 24 * 3600
+) -> int:
+    """Delete data files not referenced by the CURRENT manifest
+    resolution — crashed writers' orphans and files retired by
+    merge_update's copy-on-write rewrites — but only those OLDER than
+    ``retention_seconds`` (mtime age). The retention threshold is what
+    makes vacuum safe to run concurrently with live traffic (VERDICT
+    r10 #2):
+
+    - a writer mid-stage has just created its part files (moved into
+      the table dir before its commit names them) — younger than any
+      sane retention, so they survive;
+    - a reader resolving an older version (or a `read_committed(...,
+      version=V)` time travel) holds file paths retired within its
+      window — retention sized to the longest read/audit window keeps
+      them on disk;
+    - genuinely dead files age past the threshold and are collected on
+      a later pass.
+
+    Staged dirs (`_kdp_stage_*`) are never entered regardless of age.
+    ``retention_seconds=0`` restores the eager sweep for controlled
+    shutdowns (no concurrent writers/readers by construction — the
+    pre-r11 behavior). Returns the number of files deleted."""
+    import os
+    import time
 
     _, files = committed_files(path)
     keep = {os.path.normpath(f) for f in files}
+    cutoff = time.time() - retention_seconds
     removed = 0
     for root, dirs, fs in os.walk(path):
         dirs[:] = [
@@ -527,7 +776,12 @@ def vacuum_uncommitted(path: str) -> int:
             full = os.path.join(root, fn)
             rel = os.path.normpath(os.path.relpath(full, path))
             if fn.endswith(".parquet") and rel not in keep:
-                os.remove(full)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue
+                    os.remove(full)
+                except OSError:
+                    continue  # already gone (concurrent vacuum/writer)
                 removed += 1
     return removed
 

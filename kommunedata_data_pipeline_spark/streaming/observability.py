@@ -63,7 +63,10 @@ def state_metrics_frame(
     rows = []
     for stream, sink in sorted(runs.items()):
         batches = LAST_RUN_STATE.get(sink)
-        if batches is None:
+        # an EMPTY stash ([] — the stream ran but reported no
+        # stateOperators) is the same silent-drop as no stash at all:
+        # the frame would simply have zero rows for that stream
+        if not batches:
             raise ValueError(
                 f"no state-metrics stash for sink {sink!r}; drive the "
                 "stream with run_to_memory before reading its metrics"
@@ -111,7 +114,15 @@ def state_store_metrics_full(
         read_events_stream(spark, sf_dir), watermark="10000 hours"
     ).select("event_id")
     run_to_memory(ded, "state_metrics_dedup_sink", shuffle_partitions=2)
-    agg = tumbling_counts(read_events_stream(spark, sf_dir))
+    # over-wide watermark EXPLICITLY (not the 2h default): the oracle
+    # contract is "nothing evicts, final state == batch distinct
+    # counts", which the default only satisfies while the drive happens
+    # to be one micro-batch — multi-batch splits or config drift would
+    # evict mid-run (eviction uses the previous batch's watermark).
+    # Mirrors the dedup drive above.
+    agg = tumbling_counts(
+        read_events_stream(spark, sf_dir), watermark="10000 hours"
+    )
     run_to_memory(
         agg,
         "state_metrics_tumbling_sink",

@@ -264,6 +264,12 @@ def run_to_memory(
     prev_parts = spark.conf.get(part_key)
     prev_nodata = spark.conf.get(nodata_key, "true")
     finalize = _needs_nodata_finalize(stream_df, output_mode)
+    # drop any PREVIOUS run's stash for this sink up front: the stash
+    # write below sits in a best-effort try/except, and a failed stash
+    # must surface downstream as the "no state-metrics stash" error,
+    # never as a silently-served stale run (ADVICE r10)
+    LAST_RUN_STATE.pop(name, None)
+    LAST_RUN_DURATIONS.pop(name, None)
     if shuffle_partitions is not None:
         spark.conf.set(part_key, str(shuffle_partitions))
     # Only append-mode watermarked aggregations need the trailing

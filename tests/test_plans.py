@@ -943,23 +943,26 @@ def _forced_bigscan_broadcasts(df):
     return bad
 
 
-# (query, side) pairs where a broadcast-hinted join side DOES contain an
-# unaggregated fact-table scan ON PURPOSE — each entry must state why
-# the frame is provably bounded anyway. Corpus-proportional frames are
-# never allowlistable (drop the hint; AQE broadcasts small actuals).
+# (query, side) -> EXPECTED COUNT of broadcast-hinted joins whose hinted
+# side DOES contain an unaggregated fact-table scan ON PURPOSE — each
+# entry must state why the frame is provably bounded anyway, and the
+# count pins the exact number of such joins: a NEW hinted join added to
+# an already-allowlisted query trips the lint instead of hiding behind
+# the existing entry (ADVICE r10). Corpus-proportional frames are never
+# allowlistable (drop the hint; AQE broadcasts small actuals).
 # The similarity family broadcasts its QUERY set — the top-k retrieval
 # contract (caller-bounded query batch; every registration below pins
 # it with the literal filter vec_id < 8, i.e. 8 rows at any sf):
 _BOUNDED_FACT_BROADCASTS = {
-    ("q_ann_ivf_topk", "right"),      # query set: vec_id < 8
-    ("q_ann_lsh_topk", "right"),      # query set: vec_id < 8
-    ("q_ann_ndcg", "right"),          # query set: vec_id < 8 (both joins)
-    ("q_ann_recall", "right"),        # query set: vec_id < 8 (all joins)
-    ("q_cosine_topk", "right"),       # query set: vec_id < 8
-    ("q_hard_negatives", "right"),    # query set: vec_id < 8
-    ("q_matryoshka_rerank", "right"),  # query set: vec_id < 8
-    ("q_pq_rerank", "right"),         # query set: vec_id < 8 (both joins)
-    ("q_pq_topk", "right"),           # query set: vec_id < 8
+    ("q_ann_ivf_topk", "right"): 1,      # query set: vec_id < 8
+    ("q_ann_lsh_topk", "right"): 1,      # query set: vec_id < 8
+    ("q_ann_ndcg", "right"): 2,          # query set: vec_id < 8 (both joins)
+    ("q_ann_recall", "right"): 3,        # query set: vec_id < 8 (all 3 joins)
+    ("q_cosine_topk", "right"): 1,       # query set: vec_id < 8
+    ("q_hard_negatives", "right"): 1,    # query set: vec_id < 8
+    ("q_matryoshka_rerank", "right"): 1,  # query set: vec_id < 8
+    ("q_pq_rerank", "right"): 2,         # query set: vec_id < 8 (both joins)
+    ("q_pq_topk", "right"): 1,           # query set: vec_id < 8
 }
 
 
@@ -971,19 +974,22 @@ def test_registry_no_forced_fact_broadcasts(spark):
     that is structurally bounded (Aggregate / GlobalLimit above any
     fact scan) or be allowlisted with its stated bound. Streaming
     queries are skipped (constructing them executes the stream)."""
+    from collections import Counter
+
     bad = []
     for name, fn in sorted(entrymod.queries().items()):
         if name.startswith("q_stream"):
             continue
         df = fn(spark, SF)
-        for side in _forced_bigscan_broadcasts(df):
-            if (name, side) not in _BOUNDED_FACT_BROADCASTS:
-                bad.append((name, side))
+        for side, n in Counter(_forced_bigscan_broadcasts(df)).items():
+            if n != _BOUNDED_FACT_BROADCASTS.get((name, side), 0):
+                bad.append((name, side, n))
     assert not bad, (
-        f"broadcast hint over an unbounded fact-table frame: {bad} — "
-        "drop the F.broadcast hint (AQE broadcasts small actual sizes "
-        "at runtime) or, if the frame is PROVABLY bounded, allowlist "
-        "it with the bound stated"
+        f"broadcast hint count over unbounded fact-table frames differs "
+        f"from the allowlisted expectation: {bad} — drop the "
+        "F.broadcast hint (AQE broadcasts small actual sizes at "
+        "runtime) or, if the frame is PROVABLY bounded, allowlist the "
+        "exact (query, side) count with the bound stated"
     )
 
 

@@ -188,7 +188,10 @@ def test_compaction_folds_store_and_ingest_continues(spark):
             )
 
         run()
-        assert sorted(os.listdir(idx)) == ["ver=0", "ver=1"]
+        # (r11: the store dir also carries a _zones.json manifest now)
+        assert sorted(
+            n for n in os.listdir(idx) if n.startswith("ver=")
+        ) == ["ver=0", "ver=1"]
         compact_band_index(spark, idx)
         assert sorted(
             n for n in os.listdir(idx) if n.startswith("ver=")
@@ -595,7 +598,8 @@ def test_vacuum_removes_files_retired_by_merge_update(spark, tmp_path):
     merge_update(
         spark.createDataFrame([(1, "A")], "k int, v string"), path, ["k"]
     )
-    removed = vacuum_uncommitted(path)
+    # retention 0 = eager sweep (controlled shutdown; no live traffic)
+    removed = vacuum_uncommitted(path, retention_seconds=0)
     assert removed >= 1  # the rewritten file's old bytes are reclaimed
     out = {r["k"]: r["v"] for r in read_committed(spark, path).collect()}
     assert out == {1: "A", 2: "b"}

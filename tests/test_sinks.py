@@ -264,6 +264,6 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     # fake a crashed writer's orphan
     orphan = tmp_path / "tbl" / "part-deadbeef.snappy.parquet"
     orphan.write_bytes(b"not a real parquet")
-    assert vacuum_uncommitted(path) == 1
+    assert vacuum_uncommitted(path, retention_seconds=0) == 1
     assert not orphan.exists()
     assert read_committed(spark, path).count() == 1
