@@ -645,8 +645,13 @@ def _dedup_ingest(
             keys = probe["bkey"][1]
             band_ranges["bkey"] = (keys[0], keys[-1])
         _append_delta(delta, index_path, zone_ranges=band_ranges)
+        # seen-ids delta from the BATCH (already id-deduped), not from
+        # the exploded band delta — no distinct shuffle per batch. A
+        # batch doc with no band rows (e.g. sub-shingle text) is still
+        # recorded as seen: it contributes nothing on replay either
+        # way, and first-write-wins treats a later re-send as inert.
         _append_delta(
-            delta.select(id_col).distinct(),
+            batch.select(id_col).join(seen, id_col, "left_anti"),
             ids_path,
             zone_ranges={id_col: (lo, hi)},
         )
