@@ -13668,6 +13668,31 @@ _R9_DRIVER_CHECKED = frozenset(
     }
 )
 
+_R10_DRIVER_CHECKED = frozenset(
+    {
+        "q10_returned_items", "q12_priority_mix_shape",
+        "q14_promo_effect", "q16_supplier_cnt", "q17_small_qty",
+        "q19_disjunctive", "q20_threshold_shape", "q22_no_orders",
+        "q2_min_cost_supplier", "q4_exists_priority",
+        "q7_volume_shipping", "q_ann_lsh_topk",
+        "q_approx_quantile_bound", "q_arg_extremes", "q_collation",
+        "q_cosine_topk", "q_cube_aggregate", "q_date_parse_multiformat",
+        "q_decontaminate_bloom", "q_dedup_exact",
+        "q_doc_key_derivation", "q_dup_clusters", "q_fingerprint",
+        "q_flagship_worklist", "q_incremental_filter", "q_json_extract",
+        "q_lang_guess", "q_minhash_lsh_pairs", "q_minhash_signatures",
+        "q_ngram_jaccard_capped", "q_ngram_jaccard_pairs",
+        "q_outer_join_agg", "q_pca_power_iteration", "q_pipe_syntax",
+        "q_python_datasource", "q_quality_score", "q_regexp_extract",
+        "q_simhash", "q_sliding_window", "q_stream_dedup_ttl",
+        "q_stream_join_outer", "q_stream_session_parity",
+        "q_stream_state_metrics", "q_stream_tws",
+        "q_stream_tws_mapstate", "q_stream_tws_topk", "q_text_stats",
+        "q_token_pmi", "q_tumbling_window", "q_variant_json",
+    }
+)
+# ...and append _R10_DRIVER_CHECKED to _ALL_CHECK_ROUNDS
+
 _ALL_CHECK_ROUNDS = (
     _R1_DRIVER_CHECKED,
     _R2_DRIVER_CHECKED,
@@ -13678,6 +13703,7 @@ _ALL_CHECK_ROUNDS = (
     _R7_DRIVER_CHECKED,
     _R8_DRIVER_CHECKED,
     _R9_DRIVER_CHECKED,
+    _R10_DRIVER_CHECKED,
 )
 
 
