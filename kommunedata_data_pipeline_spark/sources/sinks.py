@@ -725,7 +725,16 @@ def optimize_table(
             ).sortWithinPartitions(*cluster_by)
         else:
             frame = snapshot.repartition(n_files)
-        added = _stage_part_files(frame, path, pcols)
+        # the requested file count is the layout contract (per-file key
+        # ranges sized for zone-map skipping); AQE's partition
+        # coalescing would merge them back — scope it off for the stage
+        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev_coalesce = spark.conf.get(coalesce_key, "true")
+        spark.conf.set(coalesce_key, "false")
+        try:
+            added = _stage_part_files(frame, path, pcols)
+        finally:
+            spark.conf.set(coalesce_key, prev_coalesce)
         if _test_hook is not None:
             _test_hook(attempt)
         if _try_commit(path, version, cur_files, added, cur_files):

@@ -852,3 +852,155 @@ def test_optimize_table_compacts_clusters_and_races_safe(spark, tmp_path):
         (r["k"], r["v"]) for r in sinks.read_committed(spark, path).collect()
     }
     assert got == before | {(999, "new")}
+
+
+def test_tombstone_ann_store_and_compaction(spark):
+    """ANN-side tombstones: a deleted vector drops out of candidate
+    generation (a later near-identical vector lands) and compaction
+    physically removes its band rows."""
+    from kommunedata_data_pipeline_spark.operators.similarity import (
+        ann_band_table,
+    )
+    from kommunedata_data_pipeline_spark.streaming import ingest as ing
+
+    vecs = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < 40)
+    )
+    base = _tmpbase("kdp-tomb-ann-")
+    try:
+        import glob as _g
+
+        os.makedirs(f"{base}/stage")
+        vecs.coalesce(1).write.mode("overwrite").parquet(f"{base}/p")
+        os.rename(
+            _g.glob(f"{base}/p/part-*.parquet")[0],
+            f"{base}/stage/b0.parquet",
+        )
+
+        def drive(ck):
+            stream = (
+                spark.readStream.schema(
+                    "vec_id bigint, embedding array<float>"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{base}/stage")
+            )
+            ing.run_writer_available_now(
+                ing.ann_dedup_ingest(
+                    stream, f"{base}/idx", f"{base}/landed"
+                ),
+                ck,
+            )
+
+        drive(f"{base}/ck1")
+        victim = 7
+        emb = vecs.where(F.col("vec_id") == victim).first()["embedding"]
+        # exact clone of the victim as a larger id: dropped (cos = 1)
+        clone = spark.createDataFrame(
+            [(500, emb)], "vec_id bigint, embedding array<float>"
+        )
+        clone.coalesce(1).write.mode("overwrite").parquet(f"{base}/c1")
+        os.rename(
+            _g.glob(f"{base}/c1/part-*.parquet")[0],
+            f"{base}/stage/b1.parquet",
+        )
+        drive(f"{base}/ck1")
+        landed = {
+            r.vec_id
+            for r in spark.read.parquet(f"{base}/landed").collect()
+        }
+        assert 500 not in landed
+        # tombstone the victim; a second clone now lands iff the victim
+        # was its only blocker (an exact clone's only banded match)
+        ing.tombstone_index_ids(
+            spark,
+            f"{base}/idx",
+            spark.createDataFrame([(victim,)], "vec_id bigint"),
+            id_col="vec_id",
+        )
+        clone2 = spark.createDataFrame(
+            [(600, emb)], "vec_id bigint, embedding array<float>"
+        )
+        clone2.coalesce(1).write.mode("overwrite").parquet(f"{base}/c2")
+        os.rename(
+            _g.glob(f"{base}/c2/part-*.parquet")[0],
+            f"{base}/stage/b2.parquet",
+        )
+        drive(f"{base}/ck1")
+        landed = {
+            r.vec_id
+            for r in spark.read.parquet(f"{base}/landed").collect()
+        }
+        # 500's band rows are in the store (dropped vectors are indexed
+        # too), so 600 can still match 500 — but never the tombstoned 7
+        # through candidate generation. Compaction must drop 7's rows:
+        ing.compact_band_index(
+            spark, f"{base}/idx", id_col="vec_id", schema=ing._ANN_SCHEMA
+        )
+        got_ids = {
+            r["vec_id"]
+            for r in spark.read.parquet(f"{base}/idx")
+            .select("vec_id")
+            .distinct()
+            .collect()
+        }
+        assert victim not in got_ids
+        want_ids = {
+            r["vec_id"]
+            for r in ann_band_table(vecs.union(clone).union(clone2))
+            .select("vec_id")
+            .distinct()
+            .collect()
+        } - {victim}
+        assert got_ids == want_ids
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_optimize_improves_zone_map_skipping(spark, tmp_path):
+    """OPTIMIZE(cluster_by) measurably improves zone-map skipping: the
+    skip audit (layout.zone_map_skip_stats shape) on actual files shows
+    a range predicate skipping MORE files after clustering than before
+    (interleaved appends give every file a wide key range)."""
+    from kommunedata_data_pipeline_spark.sources import sinks
+
+    path = str(tmp_path / "tbl")
+    # interleaved keys per commit -> every file spans the whole range
+    for i in range(6):
+        sinks.merge_upsert(
+            spark.createDataFrame(
+                [(j * 6 + i, f"v{i}_{j}") for j in range(20)],
+                "k int, v string",
+            ),
+            path,
+            ["k"],
+        )
+
+    def skipped(lo, hi):
+        stats = (
+            sinks.read_committed(spark, path)
+            .select("k", F.input_file_name().alias("f"))
+            .groupBy("f")
+            .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+            .collect()
+        )
+        return sum(1 for r in stats if r["hi"] < lo or r["lo"] > hi), len(
+            stats
+        )
+
+    before_skip, before_files = skipped(0, 9)
+    sinks.optimize_table(
+        spark, path, target_file_bytes=1024, cluster_by=["k"]
+    )
+    after_skip, after_files = skipped(0, 9)
+    # clustered layout: only the handful of files holding [0, 9] (~4
+    # keys/file at this target) remain unskippable, and the skip RATIO
+    # strictly improves over the appended layout
+    assert after_files > 1 and after_skip >= after_files - 4
+    assert after_skip / after_files > before_skip / max(before_files, 1)
+    rows = {
+        (r["k"], r["v"]) for r in sinks.read_committed(spark, path).collect()
+    }
+    assert len(rows) == 120
