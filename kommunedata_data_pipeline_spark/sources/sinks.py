@@ -175,8 +175,10 @@ def committed_files(
     serve). Starts from the newest checkpoint <= version (checkpoints
     newer than the ask are ignored) or from scratch; raises
     ValueError if the state is no longer reconstructible (a
-    pre-checkpoint commit needed for the replay was deleted). Asking
-    beyond HEAD resolves to HEAD (the Delta convention)."""
+    pre-checkpoint commit needed for the replay was deleted) — and
+    ALSO when the asked version exceeds HEAD (matching Delta's
+    VersionNotFoundException: silently serving newer data than an
+    audit asked for would mask caller bugs; ADVICE r11 #3)."""
     import json
     import os
 
@@ -228,9 +230,11 @@ def committed_files(
             files = [f for f in files if f not in removed]
         files.extend(rec["added"])
     if version is not None and resolved < version:
-        # distinguish "asked beyond HEAD" (fine: resolve to HEAD) from
-        # "version existed but its commits were deleted" (must raise,
-        # never silently serve an older/empty state as version V)
+        # distinguish "asked beyond HEAD" (raise: the version does not
+        # exist — Delta's VersionNotFoundException; silently resolving
+        # to HEAD would let a typo'd audit read newer data and "pass")
+        # from "version existed but its commits were deleted" (also
+        # raise, with the log-compaction explanation)
         head_known = max(
             (
                 int(n[:-len(".json")].removeprefix("checkpoint-"))
@@ -246,6 +250,10 @@ def committed_files(
                 "reconstructible state is the nearest surviving "
                 "checkpoint"
             )
+        raise ValueError(
+            f"cannot resolve version {version} of {path}: latest "
+            f"committed version is {head_known}"
+        )
     return resolved, files
 
 
@@ -719,22 +727,19 @@ def optimize_table(
             except OSError:
                 pass
         n_files = max(1, -(-total // target_file_bytes))
+        # the requested file count is the layout contract (per-file key
+        # ranges sized for zone-map skipping). An EXPLICIT partition
+        # count makes the shuffle origin REPARTITION_BY_NUM, which
+        # AQE's partition coalescing never touches (pytest-pinned) —
+        # no session-global conf toggle, so concurrent queries planned
+        # in this session keep their AQE behavior (ADVICE r11 #4)
         if cluster_by:
             frame = snapshot.repartitionByRange(
                 n_files, *cluster_by
             ).sortWithinPartitions(*cluster_by)
         else:
             frame = snapshot.repartition(n_files)
-        # the requested file count is the layout contract (per-file key
-        # ranges sized for zone-map skipping); AQE's partition
-        # coalescing would merge them back — scope it off for the stage
-        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-        prev_coalesce = spark.conf.get(coalesce_key, "true")
-        spark.conf.set(coalesce_key, "false")
-        try:
-            added = _stage_part_files(frame, path, pcols)
-        finally:
-            spark.conf.set(coalesce_key, prev_coalesce)
+        added = _stage_part_files(frame, path, pcols)
         if _test_hook is not None:
             _test_hook(attempt)
         if _try_commit(path, version, cur_files, added, cur_files):
@@ -749,8 +754,17 @@ def vacuum_uncommitted(
 ) -> int:
     """Delete data files not referenced by the CURRENT manifest
     resolution — crashed writers' orphans and files retired by
-    merge_update's copy-on-write rewrites — but only those OLDER than
-    ``retention_seconds`` (mtime age). The retention threshold is what
+    merge_update/merge_delete/optimize_table's copy-on-write rewrites —
+    but only those whose RETIREMENT is older than ``retention_seconds``.
+    The age of a retired file is measured from the ``ts`` of the commit
+    whose ``removed`` list dropped it (scanned from the surviving log
+    records), NOT from file mtime: mtime is creation time, and a file
+    written 25h ago but retired one minute ago must survive the default
+    24h retention so time travel to V-1 and in-flight old-version scans
+    keep working right after a commit (ADVICE r11 #2). Orphans that no
+    commit ever referenced (crashed stagings) have no retirement
+    record and age by mtime — for them creation IS the last moment
+    anything could hold their paths. The retention threshold is what
     makes vacuum safe to run concurrently with live traffic (VERDICT
     r10 #2):
 
@@ -768,11 +782,34 @@ def vacuum_uncommitted(
     ``retention_seconds=0`` restores the eager sweep for controlled
     shutdowns (no concurrent writers/readers by construction — the
     pre-r11 behavior). Returns the number of files deleted."""
+    import json
     import os
     import time
 
     _, files = committed_files(path)
     keep = {os.path.normpath(f) for f in files}
+    # retirement times: rel -> ts of the commit that removed it (added
+    # names are collision-free uuids, so a rel is removed at most once;
+    # commits predating the ts field leave None -> mtime fallback, the
+    # legacy lower bound)
+    retired_ts: dict[str, float] = {}
+    d = _log_dir(path)
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if not name.endswith(".json") or name.startswith(
+                (".", "checkpoint-")
+            ):
+                continue
+            try:
+                with open(os.path.join(d, name)) as f:
+                    rec = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            ts = rec.get("ts")
+            if ts is None:
+                continue
+            for rel in rec.get("removed", []):
+                retired_ts[os.path.normpath(rel)] = ts
     cutoff = time.time() - retention_seconds
     removed = 0
     for root, dirs, fs in os.walk(path):
@@ -786,7 +823,10 @@ def vacuum_uncommitted(
             rel = os.path.normpath(os.path.relpath(full, path))
             if fn.endswith(".parquet") and rel not in keep:
                 try:
-                    if os.path.getmtime(full) > cutoff:
+                    age_base = retired_ts.get(rel)
+                    if age_base is None:
+                        age_base = os.path.getmtime(full)
+                    if age_base > cutoff:
                         continue
                     os.remove(full)
                 except OSError:

@@ -140,29 +140,58 @@ def update_zones(
     return zones
 
 
-def record_zone_ranges(table_path: str, ranges: dict) -> None:
-    """Tag every UNMANIFESTED data file with the caller-known value
-    ranges (``{col: (lo, hi)}``) — zero Spark jobs. Sound because a
-    zone entry only has to be a SUPERSET of the file's actual values:
-    a wider range can only make a probe read a file it didn't need,
-    never skip one it did. This is the per-batch append path (the
-    writer already knows its batch's key range); compaction replaces
-    these coarse entries with exact per-file stats (`update_zones`),
+def record_zone_ranges(
+    table_path: str, ranges: dict, files: list[str]
+) -> None:
+    """Tag exactly the data files the CALLER JUST WROTE (``files``,
+    table-relative paths) with the caller-known value ranges
+    (``{col: (lo, hi)}``) — zero Spark jobs. Sound because a zone
+    entry only has to be a SUPERSET of the file's actual values: a
+    wider range can only make a probe read a file it didn't need,
+    never skip one it did — AND because only the caller's own files
+    are tagged: an unmanifested file some OTHER writer (or a crashed
+    compaction swap) left behind keeps no entry and is therefore
+    always read conservatively. Tagging every unmanifested file with
+    this batch's range would be unsound — a crash between a
+    compaction's base swap and its manifest rebuild would let the next
+    batch stamp the whole base with its narrow range, silently
+    skipping files that do hold other keys (ADVICE r11 #1).
+
+    This is the per-batch append path (the writer already knows its
+    batch's key range and its new file names); compaction replaces the
+    coarse entries with exact per-file stats (`update_zones`),
     amortized by the doubling rule like the compaction write itself."""
-    files = list_parquet_files(table_path)
     if not files:
         return
+    present = list_parquet_files(table_path)
+    if not present:
+        return
     zones = load_zones(table_path)
-    present = set(files)
-    zones = {k: v for k, v in zones.items() if k in present}
+    present_set = set(present)
+    zones = {k: v for k, v in zones.items() if k in present_set}
     entry = {c: [lo, hi] for c, (lo, hi) in ranges.items()}
     changed = False
     for f in files:
-        if f not in zones:
+        f = os.path.normpath(f)
+        if f in present_set and f not in zones:
             zones[f] = dict(entry)
             changed = True
     if changed:
         _save_zones(table_path, zones)
+
+
+def new_files_since(
+    table_path: str, before: list[str] | None
+) -> list[str]:
+    """Table-relative data files present now but not in ``before`` —
+    the caller's just-written set for `record_zone_ranges` after a
+    plain `mode("append")` write (driver-side listing only). ``before``
+    None (table didn't exist) means everything present is new."""
+    now = list_parquet_files(table_path) or []
+    if not before:
+        return now
+    prior = set(before)
+    return [f for f in now if f not in prior]
 
 
 def _file_matches(entry: dict | None, prune: dict) -> bool:

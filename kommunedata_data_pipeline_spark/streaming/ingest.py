@@ -80,6 +80,7 @@ from pyspark.sql import functions as F
 
 from ..sources.zones import (
     list_parquet_files,
+    new_files_since,
     record_zone_ranges,
     select_pruned_files,
     update_zones,
@@ -198,25 +199,32 @@ def _append_delta(
 
     Zone manifest maintenance (so pruned reads can skip the delta):
     ``zone_ranges`` ({col: (lo, hi)} — the batch's caller-known value
-    ranges) tags the new files DRIVER-SIDE, zero Spark jobs (sound: a
-    superset range never causes a wrong skip; the per-batch hot path
-    must not pay a stats job per append — compaction replaces the
-    coarse entries with exact per-file stats). ``zone_cols`` instead
-    computes exact per-file min/max with one delta-sized Spark job —
-    the maintenance-path option. A crash between the rename and the
+    ranges) tags THE NEW `ver=N` DIR'S FILES ONLY, driver-side, zero
+    Spark jobs (sound: a superset range never causes a wrong skip, and
+    tagging is scoped to the files this append created — an
+    unmanifested file left by anything else stays untagged and is read
+    conservatively; ADVICE r11 #1). ``zone_cols`` instead computes
+    exact per-file min/max with one delta-sized Spark job — the
+    maintenance-path option. A crash between the rename and the
     manifest update leaves the delta unmanifested — read conservatively
     by every probe, never lost."""
     tmp = f"{index_path}__delta_{uuid.uuid4().hex[:8]}"
     delta.write.mode("overwrite").parquet(tmp)
     os.makedirs(index_path, exist_ok=True)
-    dest = os.path.join(index_path, f"ver={_next_ver(index_path)}")
+    ver_name = f"ver={_next_ver(index_path)}"
+    dest = os.path.join(index_path, ver_name)
     os.replace(tmp, dest)
     if WRITE_LOG is not None:
         WRITE_LOG.append(
             {"kind": "delta", "path": index_path, "bytes": _dir_bytes(dest)}
         )
     if zone_ranges is not None:
-        record_zone_ranges(index_path, zone_ranges)
+        mine = [
+            os.path.join(ver_name, fn)
+            for fn in os.listdir(dest)
+            if fn.endswith(".parquet")
+        ]
+        record_zone_ranges(index_path, zone_ranges, mine)
     elif zone_cols:
         update_zones(delta.sparkSession, index_path, zone_cols)
 
@@ -258,30 +266,32 @@ def compact_index(
     the same doubling rule as the compaction write itself."""
     raw = _load_index(spark, index_path, schema)
     resolved = resolve(raw) if resolve is not None else raw
-    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-    prev_coalesce = None
     if range_col is not None:
         base_b, delta_b = store_bytes(index_path)
         tgt = target_file_bytes or COMPACT_TARGET_FILE_BYTES
         n_files = max(1, -(-(base_b + delta_b) // tgt))
+        # the requested file count IS the layout contract (per-file key
+        # ranges sized for batch probes). An EXPLICIT partition count
+        # makes the shuffle origin REPARTITION_BY_NUM, which AQE's
+        # partition coalescing never touches (pytest-pinned) — no
+        # session-global conf toggle needed, so concurrent queries in
+        # the same session keep their AQE behavior (ADVICE r11 #4)
         resolved = resolved.repartitionByRange(
             n_files, range_col
         ).sortWithinPartitions(range_col)
-        # the requested file count IS the layout contract (per-file key
-        # ranges sized for batch probes); AQE's partition coalescing
-        # would merge the small range partitions back into few wide
-        # files — scope it off for this one write
-        prev_coalesce = spark.conf.get(coalesce_key, "true")
-        spark.conf.set(coalesce_key, "false")
     tmp = f"{index_path}__compact_{uuid.uuid4().hex[:8]}"
-    try:
-        resolved.write.mode("overwrite").parquet(tmp)
-    finally:
-        if prev_coalesce is not None:
-            spark.conf.set(coalesce_key, prev_coalesce)
+    resolved.write.mode("overwrite").parquet(tmp)
     new = f"{index_path}__new_{uuid.uuid4().hex[:8]}"
     os.makedirs(new)
     os.replace(tmp, os.path.join(new, "ver=0"))
+    if zone_cols:
+        # build the exact per-file manifest INSIDE the staged dir so the
+        # swap below installs data + manifest atomically: the fresh base
+        # is never live-but-unmanifested, so no later append can tag it
+        # with a batch's narrow range (ADVICE r11 #1) and no probe ever
+        # pays a conservative full read of the whole base after a crash
+        # between swap and manifest write (the pre-r12 window)
+        update_zones(spark, new, zone_cols)
     bak = f"{index_path}__bak_{uuid.uuid4().hex[:8]}"
     if os.path.exists(index_path):
         os.replace(index_path, bak)
@@ -295,8 +305,6 @@ def compact_index(
                 "bytes": _dir_bytes(os.path.join(index_path, "ver=0")),
             }
         )
-    if zone_cols:
-        update_zones(spark, index_path, zone_cols)
 
 
 def store_bytes(index_path: str) -> tuple[int, int]:
@@ -634,11 +642,17 @@ def _dedup_ingest(
         landed = _load_catalog_pruned(spark, out_path, id_col, lo, hi)
         if landed is not None:
             kept = kept.join(landed, [id_col], "left_anti")
+        before = list_parquet_files(out_path)
         kept.write.mode("append").parquet(out_path)
         # zone maintenance is DRIVER-SIDE on the hot path (superset
         # ranges the batch already knows — no stats jobs per batch;
-        # compaction computes exact per-file stats)
-        record_zone_ranges(out_path, {id_col: (lo, hi)})
+        # compaction computes exact per-file stats). Only THIS append's
+        # files are tagged (before/after listing diff): a crashed
+        # earlier landing's unmanifested files must keep reading
+        # conservatively, not inherit this batch's id range.
+        record_zone_ranges(
+            out_path, {id_col: (lo, hi)}, new_files_since(out_path, before)
+        )
         band_ranges: dict = {id_col: (lo, hi)}
         probe = getattr(update_fn, "last_probe", None)
         if probe and "bkey" in probe:
@@ -900,8 +914,11 @@ def decontaminate_ingest(
         landed = _load_catalog_pruned(spark, out_path, "doc_id", lo, hi)
         if landed is not None:
             kept = kept.join(landed, ["doc_id"], "left_anti")
+        before = list_parquet_files(out_path)
         kept.write.mode("append").parquet(out_path)
-        record_zone_ranges(out_path, {"doc_id": (lo, hi)})
+        record_zone_ranges(
+            out_path, {"doc_id": (lo, hi)}, new_files_since(out_path, before)
+        )
 
     return doc_stream.writeStream.foreachBatch(process_batch)
 
@@ -957,8 +974,11 @@ def quality_route_ingest(
             out = frame
             if landed is not None:
                 out = out.join(landed, ["doc_id"], "left_anti")
+            before = list_parquet_files(path)
             out.write.mode("append").parquet(path)
-            record_zone_ranges(path, {"doc_id": (lo, hi)})
+            record_zone_ranges(
+                path, {"doc_id": (lo, hi)}, new_files_since(path, before)
+            )
 
     return doc_stream.writeStream.foreachBatch(process_batch)
 
@@ -1148,8 +1168,11 @@ def substring_dedup_ingest(
         landed = _load_catalog_pruned(spark, out_path, "doc_id", lo, hi)
         if landed is not None:
             kept = kept.join(landed, ["doc_id"], "left_anti")
+        before = list_parquet_files(out_path)
         kept.write.mode("append").parquet(out_path)
-        record_zone_ranges(out_path, {"doc_id": (lo, hi)})
+        record_zone_ranges(
+            out_path, {"doc_id": (lo, hi)}, new_files_since(out_path, before)
+        )
         # append the delta: grams the store has never seen (or — only
         # off the id-ordered contract — seen with a larger min_doc).
         # On replay every batch gram is already stored with the same

@@ -504,7 +504,10 @@ def test_substring_ingest_pruned_store_read(spark):
 def test_time_travel_reads_pre_update_values(spark, tmp_path):
     """read_committed(version=V) resolves the table AS OF V: pre-update
     and pre-delete values stay readable (their retired files survive
-    until vacuum), and asking beyond HEAD resolves to HEAD."""
+    until vacuum), and asking beyond HEAD raises (Delta's
+    VersionNotFoundException behavior — ADVICE r11 #3)."""
+    import pytest
+
     from kommunedata_data_pipeline_spark.sources import sinks
 
     path = str(tmp_path / "tbl")
@@ -528,7 +531,8 @@ def test_time_travel_reads_pre_update_values(spark, tmp_path):
     assert snap(0) == {1: "a", 2: "b"}
     assert snap(1) == {1: "A", 2: "b"}
     assert snap(2) == {1: "A"}
-    assert snap(99) == {1: "A"}  # beyond HEAD -> HEAD
+    with pytest.raises(ValueError, match="latest committed version"):
+        snap(99)  # beyond HEAD raises, never silently serves HEAD
     hist = sinks.table_history(path)
     assert [h["version"] for h in hist] == [0, 1, 2]
     assert all(h["ts"] is not None for h in hist)
@@ -596,17 +600,39 @@ def test_vacuum_retention_protects_young_files(spark, tmp_path):
         f.write(b"staged")
     assert sinks.vacuum_uncommitted(path, retention_seconds=3600) == 0
     assert os.path.exists(orphan)
-    # age both past the threshold: both collected
+    # a retired file ages by its REMOVING COMMIT's ts, not mtime
+    # (ADVICE r11 #2: a 25h-old file retired a minute ago must survive)
     old = time.time() - 7200
-    os.utime(orphan, (old, old))
     _, live = sinks.committed_files(path)
     keep = {os.path.normpath(f) for f in live}
     for root, _d, fs in os.walk(path):
         for fn in fs:
             full = os.path.join(root, fn)
             rel = os.path.normpath(os.path.relpath(full, path))
-            if fn.endswith(".parquet") and rel not in keep:
+            if (
+                fn.endswith(".parquet")
+                and rel not in keep
+                and full != orphan  # orphans legitimately age by mtime
+            ):
                 os.utime(full, (old, old))
+    # mtime aged but retirement is fresh: the CoW-retired file SURVIVES
+    assert sinks.vacuum_uncommitted(path, retention_seconds=3600) == 0
+    assert {r["v"] for r in sinks.read_committed(spark, path, version=0).collect()} == {"a"}
+    # age the retirement itself (backdate the removing commit's ts) and
+    # the orphan's mtime: both collected
+    import json
+
+    os.utime(orphan, (old, old))
+    logd = os.path.join(path, "_kdp_log")
+    for n in os.listdir(logd):
+        if n.endswith(".json") and not n.startswith((".", "checkpoint-")):
+            p = os.path.join(logd, n)
+            with open(p) as f:
+                rec = json.load(f)
+            if rec.get("removed"):
+                rec["ts"] = old
+                with open(p, "w") as f:
+                    json.dump(rec, f)
     assert sinks.vacuum_uncommitted(path, retention_seconds=3600) >= 2
     assert not os.path.exists(orphan)
     assert {r["v"] for r in sinks.read_committed(spark, path).collect()} == {"A"}
