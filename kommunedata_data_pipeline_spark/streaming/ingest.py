@@ -136,7 +136,13 @@ def _load_index(
     if prune is not None:
         files = select_pruned_files(index_path, prune, log_label=log_label)
         if not files:  # no store yet, or no file can hold a probe row
-            return spark.createDataFrame([], schema)
+            empty = spark.createDataFrame([], schema)
+            # provably-empty marker: consumers skip joins against this
+            # frame entirely (an anti-join with an empty build side is
+            # the identity, but still plans a BroadcastExchange — a
+            # measured ~0.1-0.2 s of the per-batch write floor)
+            empty._kdp_provably_empty = True
+            return empty
         return (
             spark.read.schema(schema + ", ver int")
             .option("basePath", index_path)
@@ -155,8 +161,21 @@ def _load_index(
         if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
             "PATH_NOT_FOUND" in msg or "Unable to infer schema" in msg
         ):
-            return spark.createDataFrame([], schema)
+            empty = spark.createDataFrame([], schema)
+            empty._kdp_provably_empty = True
+            return empty
         raise
+
+
+def _minus(df: DataFrame, other: DataFrame, on: str) -> DataFrame:
+    """``df`` anti-joined on ``on`` against ``other`` — short-circuited
+    to ``df`` itself when ``other`` is a provably-empty load
+    (`_load_index`'s marker): the join is the identity then, and
+    skipping it drops a BroadcastExchange from every delta write of the
+    common fresh-arrival batch (seen-ids pruned to zero files)."""
+    if getattr(other, "_kdp_provably_empty", False):
+        return df
+    return df.join(other, on, "left_anti")
 
 
 def _next_ver(index_path: str) -> int:
@@ -207,9 +226,17 @@ def _append_delta(
     exact per-file min/max with one delta-sized Spark job — the
     maintenance-path option. A crash between the rename and the
     manifest update leaves the delta unmanifested — read conservatively
-    by every probe, never lost."""
+    by every probe, never lost.
+
+    The write is REBALANCE-hinted (the optimized-write discipline): AQE
+    sizes the output partitions to the advisory target, so a tiny
+    micro-batch delta lands as ONE file (not shuffle-partition-count
+    near-empty files — fewer files to list, manifest and open on every
+    later batch) while a large backlog delta still fans out to
+    advisory-sized files. Costs one delta-sized shuffle; saves the
+    per-file open/list on every subsequent read of the store."""
     tmp = f"{index_path}__delta_{uuid.uuid4().hex[:8]}"
-    delta.write.mode("overwrite").parquet(tmp)
+    delta.hint("rebalance").write.mode("overwrite").parquet(tmp)
     os.makedirs(index_path, exist_ok=True)
     ver_name = f"ver={_next_ver(index_path)}"
     dest = os.path.join(index_path, ver_name)
@@ -414,7 +441,7 @@ def _load_band_index(
     tombs = _load_index(
         spark, index_path + "_tombstones", f"{id_col} bigint"
     )
-    return index.join(tombs, id_col, "left_anti")
+    return _minus(index, tombs, id_col)
 
 
 def compact_band_index(
@@ -518,9 +545,76 @@ def _key_set_probe(
     return {key_col: ("set", sorted(r[0] for r in rows))}
 
 
+def _footer_id_range(
+    batch: DataFrame, id_col: str
+) -> tuple[int, int] | None:
+    """Driver-side (min, max) of ``id_col`` from the batch's parquet
+    FOOTER statistics — zero Spark jobs. Returns None when the batch
+    has no file-scan leaves, any footer lacks stats, or pyarrow can't
+    read one (callers fall back to the agg job).
+
+    Soundness: footer stats cover every row of the scanned FILES, so
+    the range is a SUPERSET of the post-plan batch's ids (an upstream
+    filter can only narrow the true range). Every consumer tolerates a
+    superset: pruned reads open more files (never fewer), zone tags
+    get wider ranges (can only under-skip). (0, 0) rows across all
+    footers proves an empty batch; a non-empty footer with an empty
+    post-filter batch just wastes one no-op cycle."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        uris = batch.inputFiles()
+    except Exception:
+        return None
+    if not uris:
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    lo = hi = None
+    total_rows = 0
+    for uri in uris:
+        p = urlparse(uri)
+        if p.scheme not in ("", "file"):
+            return None  # remote FS: let Spark do it
+        path = unquote(p.path or uri)
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        try:
+            idx = md.schema.names.index(id_col)
+        except ValueError:
+            return None
+        total_rows += md.num_rows
+        for g in range(md.num_row_groups):
+            col = md.row_group(g).column(idx)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                if md.row_group(g).num_rows:
+                    return None  # rows without stats: can't bound
+                continue
+            if lo is None or st.min < lo:
+                lo = st.min
+            if hi is None or st.max > hi:
+                hi = st.max
+    if total_rows == 0:
+        return (None, None)  # provably empty batch
+    if lo is None:
+        return None
+    return lo, hi
+
+
 def _batch_id_range(batch: DataFrame, id_col: str) -> tuple[int, int]:
     """(min, max) id of a non-empty batch — the probe range for the
-    seen-ids and landed-catalog pruned reads (one tiny agg job)."""
+    seen-ids and landed-catalog pruned reads. Fast path: parquet
+    footer statistics, driver-side, zero Spark jobs (`_footer_id_range`
+    — superset-sound for every consumer); falls back to one tiny agg
+    job when footers can't prove a bound."""
+    fast = _footer_id_range(batch, id_col)
+    if fast is not None:
+        return fast
     r = batch.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).first()
@@ -618,10 +712,25 @@ def _dedup_ingest(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.select(id_col, *payload_cols).dropDuplicates([id_col])
-        # one tiny agg doubles as the emptiness check AND the id-range
-        # probe (no separate isEmpty job)
-        lo, hi = _batch_id_range(batch, id_col)
+        # lazy-checkpoint the deduped batch: it feeds the band table,
+        # the landing write AND the ids delta — one scan+dedup
+        # materialization shared by all three instead of re-running
+        # per action (the ids append was re-paying the batch shuffle)
+        # footer-stats probe BEFORE the checkpoint: a lazy
+        # localCheckpoint replaces the plan with a LogicalRDD, hiding
+        # the file-scan leaves from inputFiles() — probed here the
+        # range costs zero Spark jobs on the common file-source batch
+        fast = _footer_id_range(batch_df, id_col)
+        if fast == (None, None):
+            return  # footers prove an all-empty-files batch
+        batch = (
+            batch_df.select(id_col, *payload_cols)
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=False)
+        )
+        # emptiness check + id-range probe: footer stats when they
+        # bound the batch (superset-sound), else one tiny agg
+        lo, hi = fast if fast is not None else _batch_id_range(batch, id_col)
         if lo is None:
             return
         seen = _load_index(
@@ -665,7 +774,7 @@ def _dedup_ingest(
         # recorded as seen: it contributes nothing on replay either
         # way, and first-write-wins treats a later re-send as inert.
         _append_delta(
-            batch.select(id_col).join(seen, id_col, "left_anti"),
+            _minus(batch.select(id_col), seen, id_col),
             ids_path,
             zone_ranges={id_col: (lo, hi)},
         )
@@ -721,7 +830,7 @@ def minhash_dedup_ingest(
             batch, index, k, num_hashes, bands, threshold,
             new_bands=bands_df,
         )
-        delta = bands_df.join(seen, "doc_id", "left_anti")
+        delta = _minus(bands_df, seen, "doc_id")
         return pairs, delta
 
     return _dedup_ingest(
@@ -768,7 +877,7 @@ def ann_dedup_ingest(
         pairs, _ = ann_index_update(
             batch, index, n_bands, band_bits, threshold, new_bands=bands_df
         )
-        delta = bands_df.join(seen, "vec_id", "left_anti")
+        delta = _minus(bands_df, seen, "vec_id")
         return pairs, delta
 
     return _dedup_ingest(
@@ -1130,13 +1239,20 @@ def substring_dedup_ingest(
         # gram-disjoint under the id-ordered contract, so this groupBy
         # is a pass-through), then annotate each BATCH gram with the
         # stored first-occurrence — the joined frame is batch-sized and
-        # shared (lazy checkpoint) by the coverage lookup AND the delta
-        stored = store.groupBy("h1", "h2").agg(
-            F.min("min_doc").alias("stored_min")
-        )
-        joined = firsts.join(stored, ["h1", "h2"], "left").localCheckpoint(
-            eager=False
-        )
+        # shared (lazy checkpoint) by the coverage lookup AND the delta.
+        # A provably-empty store (first batch / all files zone-skipped)
+        # short-circuits to a null annotation — no groupBy, no join
+        if getattr(store, "_kdp_provably_empty", False):
+            joined = firsts.withColumn(
+                "stored_min", F.lit(None).cast("bigint")
+            ).localCheckpoint(eager=False)
+        else:
+            stored = store.groupBy("h1", "h2").agg(
+                F.min("min_doc").alias("stored_min")
+            )
+            joined = firsts.join(
+                stored, ["h1", "h2"], "left"
+            ).localCheckpoint(eager=False)
         lookup = joined.select(
             "h1",
             "h2",
