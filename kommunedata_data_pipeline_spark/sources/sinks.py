@@ -179,14 +179,132 @@ def committed_files(
     ALSO when the asked version exceeds HEAD (matching Delta's
     VersionNotFoundException: silently serving newer data than an
     audit asked for would mask caller bugs; ADVICE r11 #3)."""
+    resolved, files, _schema, _dv = _resolve_log(path, version)
+    return resolved, files
+
+
+def table_schema(path: str, version: int | None = None):
+    """The table schema AS OF ``version`` (default HEAD) as a
+    StructType, or None for tables whose surviving log never recorded
+    one (pre-schema-evolution history — readers fall back to parquet
+    inference, the legacy behavior). Commit records carry the full
+    post-commit schema (VERDICT r11 missing #3); the LAST record at or
+    below ``version`` wins, so time travel reads each version with the
+    columns/types it actually had."""
+    from pyspark.sql.types import StructType
+
+    _resolved, _files, schema_json, _dv = _resolve_log(path, version)
+    if schema_json is None:
+        return None
+    return StructType.fromJson(schema_json)
+
+
+# Lossless type-widening lattice for schema evolution: each pair maps
+# to the type that can represent every value of both. Only conversions
+# the parquet reader performs natively are listed (verified on this
+# Spark: int32->int64, int32->double, float->double read widened in
+# place) — anything else is an incompatible evolution and raises.
+_INT_CHAIN = ("byte", "short", "integer", "long")
+
+
+def _widen_atomic(a: str, b: str) -> str | None:
+    """Widened typeName for two ATOMIC type names, or None when neither
+    losslessly contains the other."""
+    if a == b:
+        return a
+    pair = {a, b}
+    if pair <= set(_INT_CHAIN):
+        return _INT_CHAIN[max(_INT_CHAIN.index(a), _INT_CHAIN.index(b))]
+    if pair == {"float", "double"}:
+        return "double"
+    # int-family <= 32 bits fits double exactly (53-bit mantissa);
+    # long does NOT (lossy above 2^53) and is deliberately excluded
+    small_ints = set(_INT_CHAIN[:3])
+    if (a in small_ints and b in ("float", "double")) or (
+        b in small_ints and a in ("float", "double")
+    ):
+        return "double"
+    return None
+
+
+def _merge_schemas(table_st, batch_st):
+    """Schema evolution (VERDICT r11 missing #3): the union schema of
+    the table and an incoming batch — table columns first (types
+    widened where the batch widened them), then batch-only columns
+    appended (old files null-fill them at read). Nested/complex types
+    must match exactly (no nested evolution). All fields are recorded
+    nullable: every historical file must remain readable under the
+    evolved schema, and absent columns read as null.
+
+    Returns (merged StructType, changed bool); raises ValueError on an
+    evolution the parquet reader cannot serve in place (e.g.
+    int->string, long->double)."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    batch_by_name = {f.name: f for f in batch_st.fields}
+    out = []
+    changed = False
+    for f in table_st.fields:
+        b = batch_by_name.get(f.name)
+        if b is None or b.dataType == f.dataType:
+            out.append(StructField(f.name, f.dataType, True))
+            continue
+        a_n, b_n = f.dataType.typeName(), b.dataType.typeName()
+        w = _widen_atomic(a_n, b_n)
+        if w is None:
+            raise ValueError(
+                f"incompatible schema change on column {f.name!r}: "
+                f"table {a_n} vs batch {b_n} (only add-column and "
+                f"lossless widenings {_INT_CHAIN}->long, float->double,"
+                " small-int->double are supported)"
+            )
+        wt = _parse_datatype_string("int" if w == "integer" else w)
+        if wt != f.dataType:
+            changed = True
+        out.append(StructField(f.name, wt, True))
+    table_names = {f.name for f in table_st.fields}
+    for f in batch_st.fields:
+        if f.name not in table_names:
+            out.append(StructField(f.name, f.dataType, True))
+            changed = True
+    return StructType(out), changed
+
+
+def _align_to(df: DataFrame, merged) -> DataFrame:
+    """Cast ``df``'s columns to their (possibly widened) types in the
+    merged schema. Only df's own columns — table columns the batch
+    lacks stay absent from its files and null-fill at read."""
+    by_name = {f.name: f.dataType for f in merged.fields}
+    cols = []
+    for f in df.schema.fields:
+        tgt = by_name[f.name]
+        cols.append(
+            F.col(f.name).cast(tgt).alias(f.name)
+            if tgt != f.dataType
+            else F.col(f.name)
+        )
+    return df.select(*cols)
+
+
+def _resolve_log(
+    path: str, version: int | None = None
+) -> tuple[int, list[str], dict | None, dict[str, list[str]]]:
+    """Shared log walk: (resolved version, live data files, schema
+    json as of the version or None, live deletion vectors as a
+    {data file rel: [dv sidecar rels]} map). DV entries accumulate
+    across commits; entries whose data file a later commit retired are
+    dropped here (their rows left the table with the file) so reads
+    never scan dead vectors."""
     import json
     import os
 
     d = _log_dir(path)
     if not os.path.isdir(d):
-        return -1, []
+        return -1, [], None, []
     names = os.listdir(d)
     base_version, files = -1, []
+    schema_json: dict | None = None
+    dv: dict[str, list[str]] = {}  # data file rel -> its dv sidecars
     all_ckpts = sorted(
         n
         for n in names
@@ -203,6 +321,8 @@ def committed_files(
         with open(os.path.join(d, ckpts[-1])) as f:
             rec = json.load(f)
         base_version, files = rec["version"], list(rec["files"])
+        schema_json = rec.get("schema")
+        dv = {k: list(v) for k, v in rec.get("dv", {}).items()}
     resolved = base_version
     for name in sorted(
         n
@@ -228,7 +348,13 @@ def committed_files(
         removed = set(rec.get("removed", []))
         if removed:
             files = [f for f in files if f not in removed]
+            for r in removed:
+                dv.pop(r, None)
         files.extend(rec["added"])
+        if rec.get("schema") is not None:
+            schema_json = rec["schema"]
+        for data_rel, sidecar in rec.get("dv_added", []):
+            dv.setdefault(data_rel, []).append(sidecar)
     if version is not None and resolved < version:
         # distinguish "asked beyond HEAD" (raise: the version does not
         # exist — Delta's VersionNotFoundException; silently resolving
@@ -254,7 +380,7 @@ def committed_files(
             f"cannot resolve version {version} of {path}: latest "
             f"committed version is {head_known}"
         )
-    return resolved, files
+    return resolved, files, schema_json, dv
 
 
 def table_history(path: str) -> list[dict]:
@@ -287,23 +413,31 @@ def table_history(path: str) -> list[dict]:
     return out
 
 
-def _maybe_checkpoint(path: str, version: int, files: list[str]) -> None:
+def _maybe_checkpoint(path: str, version: int) -> None:
     """Best-effort checkpoint manifest after winning commit `version`:
-    the FULL cumulative file list at that version, written atomically
-    (tmp + rename). Readers that never see it just walk more commit
-    files; a torn write is impossible and a duplicate (two winners of
-    different versions checkpointing concurrently) is harmless —
-    resolution takes the newest."""
+    the FULL table state at that version — cumulative file list, the
+    schema as of the version, live deletion vectors — resolved from
+    the log (O(interval) metadata reads, every K commits) and written
+    atomically (tmp + rename). Readers that never see it just walk
+    more commit files; a torn write is impossible and a duplicate (two
+    winners of different versions checkpointing concurrently) is
+    harmless — resolution takes the newest."""
     import json
     import os
     import uuid
 
     if version < 0 or (version + 1) % CHECKPOINT_INTERVAL != 0:
         return
+    resolved, files, schema_json, dv = _resolve_log(path, version)
+    rec = {"version": resolved, "files": files}
+    if schema_json is not None:
+        rec["schema"] = schema_json
+    if dv:
+        rec["dv"] = dv
     d = _log_dir(path)
     tmp = os.path.join(d, f".ckpt-tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
-        json.dump({"version": version, "files": files}, f)
+        json.dump(rec, f)
     os.replace(tmp, os.path.join(d, f"checkpoint-{version:012d}.json"))
 
 
@@ -321,14 +455,75 @@ def read_committed(
     lets them go. Reading a version whose retired files were already
     vacuumed fails at scan time (the honest failure mode every
     table format shares); size the vacuum retention to the audit
-    window."""
+    window (retention IS the time-travel window).
+
+    Schema: read under the schema RECORDED as of the version (schema
+    evolution support) — files written before a column was added
+    null-fill it; files written before a widening are read at the
+    widened type (in-place parquet widening). Tables whose surviving
+    log never recorded a schema fall back to parquet inference, the
+    legacy behavior.
+
+    Deletion vectors: rows a `merge_delete(mode="dv")` commit marked
+    deleted are filtered here via a (file, row position) anti-join
+    against the live DV sidecars — merge-on-read; the data files are
+    untouched until OPTIMIZE rewrites them."""
+    df = _scan_committed(spark, path, version=version)
+    if df is None:
+        return None
+    return df.drop("__kdp_file", "__kdp_pos")
+
+
+def _scan_committed(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame | None:
+    """The manifest-resolved scan all committed reads share: files as
+    of the version, the recorded schema applied, deletion-vector rows
+    filtered — plus `__kdp_file` (table-relative source file) and
+    `__kdp_pos` (row position in file) stamped FROM THE SCAN for
+    callers that need row provenance (CoW rewrites, DV staging).
+    Stamping at the scan matters: `_metadata` pseudo-columns resolve
+    only on a file-source frame, and `input_file_name()` through a
+    join is whichever side streams — both footguns this helper
+    removes. The DV anti-join is on (file, pos); the DV side is
+    delete-sized (size-gated broadcast)."""
     import os
 
-    _, files = committed_files(path, version=version)
+    from pyspark.sql.types import StructType
+
+    _v, files, schema_json, dv = _resolve_log(path, version)
     if not files:
         return None
-    return spark.read.option("basePath", path).parquet(
-        *[os.path.join(path, f) for f in files]
+    r = spark.read.option("basePath", path)
+    if schema_json is not None:
+        r = r.schema(StructType.fromJson(schema_json))
+    df = r.parquet(*[os.path.join(path, f) for f in files])
+    # table-relative source path: the DV sidecars and commit records
+    # store relatives so the table stays movable
+    prefix = "file:" + os.path.abspath(path) + "/"
+    df = df.withColumn(
+        "__kdp_file",
+        F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})"),
+    ).withColumn("__kdp_pos", F.col("_metadata.row_index"))
+    if not dv:
+        return df
+    sidecars = sorted({s for v in dv.values() for s in v})
+    sidecar_bytes = 0
+    for s_ in sidecars:
+        try:
+            sidecar_bytes += os.path.getsize(os.path.join(path, s_))
+        except OSError:
+            pass
+    vecs = spark.read.parquet(
+        *[os.path.join(path, s) for s in sidecars]
+    )
+    return df.join(
+        _maybe_broadcast(vecs, sidecar_bytes),
+        on=[
+            df["__kdp_file"] == vecs["file"],
+            df["__kdp_pos"] == vecs["pos"],
+        ],
+        how="left_anti",
     )
 
 
@@ -378,6 +573,7 @@ def merge_upsert(
     keys: list[str],
     partition_cols: list[str] | None = None,
     max_retries: int = 20,
+    merge_schema: bool = False,
     _test_hook=None,
 ) -> int:
     """Concurrent-writer-safe idempotent upsert — the transactional
@@ -414,20 +610,46 @@ def merge_upsert(
     broadcast-hinted only below `BROADCAST_KEYSET_MAX_BYTES` of
     committed data (the keyset grows without bound over a table's
     life; above the threshold the join strategy is left to
-    Spark/AQE)."""
-    import json
+    Spark/AQE).
+
+    SCHEMA EVOLUTION (``merge_schema=True``): a batch may ADD columns
+    (old files null-fill them at read) or losslessly WIDEN a column
+    (int-chain->long, float->double, small-int->double — exactly the
+    widenings the parquet reader serves in place); the commit records
+    the evolved schema, `read_committed` resolves schema as of its
+    version, and concurrent schema changes conflict with every
+    in-flight commit (full retry). With ``merge_schema=False`` (the
+    default) a mismatched batch raises instead of silently landing
+    files future readers can't reconcile. Incompatible changes
+    (int->string, drops, nested edits) always raise."""
     import os
-    import shutil
-    import uuid
 
     spark = df.sparkSession
     pcols = partition_cols or []
     batch = df.dropDuplicates(keys)
     for attempt in range(max_retries):
         version, cur_files = committed_files(path)
-        fresh = batch
+        base_schema_json = None
         snapshot = read_committed(spark, path)
-        if snapshot is not None:
+        if snapshot is None:
+            # first commit defines the schema (normalized nullable)
+            merged, _ = _merge_schemas(batch.schema, batch.schema)
+            schema_json = merged.jsonValue()
+            fresh = _align_to(batch, merged)
+        else:
+            recorded = table_schema(path)
+            if recorded is not None:
+                base_schema_json = recorded.jsonValue()
+            eff = recorded if recorded is not None else snapshot.schema
+            merged, changed = _merge_schemas(eff, batch.schema)
+            if changed and not merge_schema:
+                raise ValueError(
+                    f"merge_upsert: batch schema differs from table "
+                    f"schema at {path} (new/widened columns); pass "
+                    "merge_schema=True to evolve the table"
+                )
+            schema_json = merged.jsonValue()
+            fresh = _align_to(batch, merged)
             existing = snapshot.select(*keys).dropDuplicates(keys)
             committed_bytes = 0
             for rel in cur_files:
@@ -456,17 +678,25 @@ def merge_upsert(
         if _try_commit(
             path,
             version,
-            cur_files,
             added,
             key_ranges=kr,
             cleanup_on_loss=False,
+            schema_json=schema_json,
         ):
             return n
         # lost the race — DISJOINT-COMMIT fast path first: if every
         # intervening winner touched provably different keys, land the
         # same staged files at the new head (zero re-plan/re-stage);
         # only a TRUE conflict pays the full retry
-        if _rebase_commit(path, version, added, (), kr):
+        if _rebase_commit(
+            path,
+            version,
+            added,
+            (),
+            kr,
+            schema_json=schema_json,
+            base_schema_json=base_schema_json,
+        ):
             return n
         _delete_staged(path, added)
     raise RuntimeError(
@@ -477,11 +707,12 @@ def merge_upsert(
 def _try_commit(
     path: str,
     version: int,
-    cur_files: list[str],
     added: list[str],
     removed: list[str] | tuple = (),
     key_ranges: dict | None = None,
     cleanup_on_loss: bool = True,
+    schema_json: dict | None = None,
+    dv_added: list | None = None,
 ) -> bool:
     """Claim commit ``version + 1``: write the record to a temp file,
     then LINK it into the log — link(2) is atomic and fails with
@@ -494,7 +725,13 @@ def _try_commit(
     ``key_ranges`` ({col: [lo, hi]} over the keys this commit wrote,
     updated or deleted) is recorded for DISJOINT-COMMIT detection:
     a later loser may re-claim without re-staging iff its ranges are
-    provably disjoint from every intervening winner's (`_rebase_commit`)."""
+    provably disjoint from every intervening winner's (`_rebase_commit`).
+
+    ``schema_json`` is the full POST-commit table schema (recorded by
+    every writer; the last record wins at resolution — schema
+    evolution and schema-as-of-version time travel). ``dv_added`` is a
+    list of (data file rel, dv sidecar rel) pairs for merge-on-read
+    deletes."""
     import json
     import os
     import time
@@ -509,16 +746,15 @@ def _try_commit(
         rec["removed"] = list(removed)
     if key_ranges is not None:
         rec["key_ranges"] = key_ranges
+    if schema_json is not None:
+        rec["schema"] = schema_json
+    if dv_added:
+        rec["dv_added"] = [list(p) for p in dv_added]
     with open(tmp, "w") as f:
         json.dump(rec, f)
     try:
         os.link(tmp, cpath)
-        gone = set(removed)
-        _maybe_checkpoint(
-            path,
-            version + 1,
-            [f for f in cur_files if f not in gone] + added,
-        )
+        _maybe_checkpoint(path, version + 1)
         return True
     except FileExistsError:
         if cleanup_on_loss:
@@ -612,6 +848,10 @@ def _rebase_commit(
     added: list[str],
     removed: list[str] | tuple,
     key_ranges: dict | None,
+    schema_json: dict | None = None,
+    base_schema_json: dict | None = None,
+    referenced: list[str] | tuple = (),
+    dv_added: list | None = None,
     max_hops: int = 20,
 ) -> bool:
     """Disjoint-commit fast path (VERDICT r11 missing #2): after losing
@@ -624,7 +864,15 @@ def _rebase_commit(
       matched-set planned at ``read_version`` is still exact), and
     - no winner retired a file we also retire (our copy-on-write
       ``removed`` set must still be live at head — otherwise our
-      restaged keep-old rows would resurrect rows a winner rewrote).
+      restaged keep-old rows would resurrect rows a winner rewrote),
+    - no winner retired a file we merely REFERENCE (``referenced``: a
+      deletion-vector commit's target data files — a winner's CoW
+      rewrite of one carries the rows we deleted into a new file our
+      vectors don't cover), and
+    - no winner CHANGED THE TABLE SCHEMA (its recorded schema differs
+      from ``base_schema_json``, the schema at our read version) — a
+      metadata change invalidates every concurrent plan, the
+      Delta/Iceberg convention.
 
     A winner without recorded ranges (pre-r12 commits, OPTIMIZE's
     whole-table rewrite) conflicts conservatively. Returns True once
@@ -634,10 +882,10 @@ def _rebase_commit(
     write-write conflict detection in the Delta/Iceberg style."""
     if key_ranges is None:
         return False
-    my_removed = set(removed)
+    my_removed = set(removed) | set(referenced)
     base = read_version
     for _ in range(max_hops):
-        head, head_files = committed_files(path)
+        head, _head_files = committed_files(path)
         if head <= base:
             return False  # log went backwards? never rebase blind
         recs = _commits_between(path, base, head)
@@ -651,27 +899,22 @@ def _rebase_commit(
                 return False
             if my_removed & set(rec.get("removed", [])):
                 return False
+            if rec.get("schema") != base_schema_json:
+                return False  # winner changed the schema (or mixed
+                # writer versions): metadata conflict, full retry
         if _try_commit(
             path,
             head,
-            head_files,
             added,
             removed,
             key_ranges=key_ranges,
             cleanup_on_loss=False,
+            schema_json=schema_json,
+            dv_added=dv_added,
         ):
             return True
         base = head
     return False
-
-
-def _rel_to_table(uri: str, path: str) -> str:
-    """Table-relative path of an `input_file_name()` URI."""
-    import os
-    from urllib.parse import unquote, urlparse
-
-    p = unquote(urlparse(uri).path or uri)
-    return os.path.normpath(os.path.relpath(p, os.path.abspath(path)))
 
 
 def merge_update(
@@ -701,15 +944,17 @@ def merge_update(
     rewrites again iff its value still differs); concurrent
     update+insert on disjoint keys both land, one version apart.
 
-    Scale shape: the snapshot is read ONCE per attempt with
-    `input_file_name` stamped; changed keys, their files, and the
+    Scale shape: the snapshot is read ONCE per attempt with scan-level
+    file provenance stamped; changed keys, their files, and the
     rewrite frame are all update-sized (plus the contents of touched
     files — the copy-on-write amplification `delete_amplification_audit`
     measures; a clustered layout keeps each key's blast radius to one
     file). The matched-keys join is a plain equi-join (AQE-decided —
     never a forced broadcast; the table is unbounded). Returns
     (n_updated, n_inserted). Contract: ``df`` must not read ``path``,
-    and its schema must equal the table schema."""
+    and its schema must equal the table schema (schema evolution is
+    the upsert arm's job — evolve with `merge_upsert(...,
+    merge_schema=True)` first, then update)."""
     spark = df.sparkSession
     pcols = partition_cols or []
     # pin the batch once: it is re-joined and re-counted across
@@ -718,8 +963,12 @@ def merge_update(
 
     for attempt in range(max_retries):
         version, cur_files = committed_files(path)
-        snapshot = read_committed(spark, path)
-        if snapshot is None:
+        recorded = table_schema(path)
+        base_schema_json = (
+            recorded.jsonValue() if recorded is not None else None
+        )
+        snap = _scan_committed(spark, path)
+        if snap is None:
             inserts = batch
             n_upd, n_ins = 0, batch.count()
             if n_ins == 0:
@@ -727,13 +976,19 @@ def merge_update(
             rewrite_rel: list[str] = []
             staged_frame = inserts
             kr = _key_ranges(batch, keys)
+            schema_json = _merge_schemas(batch.schema, batch.schema)[
+                0
+            ].jsonValue()
         else:
-            data_cols = [c for c in snapshot.columns if c not in keys]
-            snap = snapshot.withColumn("__file", F.input_file_name())
+            data_cols = [
+                c
+                for c in snap.columns
+                if c not in keys and c not in ("__kdp_file", "__kdp_pos")
+            ]
             olds = snap.select(
                 *keys,
                 *[F.col(c).alias(f"__old_{c}") for c in data_cols],
-                "__file",
+                F.col("__kdp_file").alias("__file"),
             )
             j = batch.join(olds, keys, "inner")
             diff = ~F.struct(*[F.col(c) for c in data_cols]).eqNullSafe(
@@ -751,17 +1006,14 @@ def merge_update(
             n_ins = inserts.count()
             if n_upd == 0 and n_ins == 0:
                 return (0, 0)
-            file_uris = [
+            rewrite_rel = sorted(
                 r["__file"]
                 for r in changed.select("__file").distinct().collect()
-            ]
-            rewrite_rel = sorted(
-                {_rel_to_table(u, path) for u in file_uris}
             )
             changed_keys = changed.select(*keys).distinct()
             keep_old = (
-                snap.where(F.col("__file").isin(file_uris))
-                .drop("__file")
+                snap.where(F.col("__kdp_file").isin(rewrite_rel))
+                .drop("__kdp_file", "__kdp_pos")
                 .join(changed_keys, keys, "left_anti")
             )
             updates = changed.select(*keys, *data_cols)
@@ -776,20 +1028,29 @@ def merge_update(
                 changed.select(*keys).unionByName(inserts.select(*keys)),
                 keys,
             )
+            schema_json = base_schema_json
         added = _stage_part_files(staged_frame, path, pcols)
         if _test_hook is not None:
             _test_hook(attempt)
         if _try_commit(
             path,
             version,
-            cur_files,
             added,
             rewrite_rel,
             key_ranges=kr,
             cleanup_on_loss=False,
+            schema_json=schema_json,
         ):
             return (n_upd, n_ins)
-        if _rebase_commit(path, version, added, rewrite_rel, kr):
+        if _rebase_commit(
+            path,
+            version,
+            added,
+            rewrite_rel,
+            kr,
+            schema_json=schema_json,
+            base_schema_json=base_schema_json,
+        ):
             return (n_upd, n_ins)
         _delete_staged(path, added)
     raise RuntimeError(
@@ -803,26 +1064,44 @@ def merge_delete(
     keys: list[str],
     partition_cols: list[str] | None = None,
     max_retries: int = 20,
+    mode: str = "cow",
     _test_hook=None,
 ) -> int:
     """WHEN MATCHED DELETE on the transactional sink (VERDICT r10 #4 —
     the right-to-be-forgotten arm of the MERGE family): rows of the
-    committed table whose keys match a row of ``df`` are REMOVED via
-    copy-on-write rewrite of exactly the files holding them (the
-    survivors of each touched file are restaged; the commit's
-    ``removed`` list retires the originals); unmatched ``df`` keys are
-    ignored. Same optimistic protocol as `merge_upsert`/`merge_update`
-    — plan against snapshot V, stage invisible files, claim V+1 by
-    atomic link.
+    committed table whose keys match a row of ``df`` are REMOVED;
+    unmatched ``df`` keys are ignored. Same optimistic protocol as
+    `merge_upsert`/`merge_update` — plan against snapshot V, stage
+    invisible files, claim V+1 by atomic link.
 
-    Replay is a NO-OP: a re-run finds zero matching keys and returns 0
-    without staging or committing. Deleted rows stay readable through
-    `read_committed(..., version=V-1)` until `vacuum_uncommitted`'s
-    retention lets the retired files go — retention IS the audit/undo
-    window. Scale shape mirrors merge_update: matched keys, touched
-    files, and the rewrite frame are delete-sized plus the contents of
-    touched files (the CoW amplification a clustered layout bounds).
-    ``df`` must not read ``path``. Returns rows deleted."""
+    ``mode="cow"`` (default): copy-on-write rewrite of exactly the
+    files holding matched keys (the survivors of each touched file are
+    restaged; the commit's ``removed`` list retires the originals).
+    Cost is O(touched files) — fine on clustered layouts, but a
+    scattered-key delete rewrites many files
+    (`delete_amplification_audit` N187 measures exactly this).
+
+    ``mode="dv"`` — MERGE-ON-READ deletion vectors (VERDICT r11
+    missing #4): instead of rewriting data files, stage one
+    delete-sized sidecar of (file, row position) pairs under
+    `_kdp_dv/` and commit it as ``dv_added``; `read_committed` filters
+    the marked rows with a broadcast anti-join at scan time. Data file
+    bytes are untouched — RTBF cost is O(delete), not O(touched
+    files); OPTIMIZE later rewrites files without the dead rows and
+    the resolution drops the vectors with the retired files. Time
+    travel to V-1 still shows the rows (the DV commit is after V-1).
+
+    Replay is a NO-OP in both modes: a re-run finds zero matching keys
+    (DV-marked rows are already invisible to the planning read) and
+    returns 0 without staging or committing. Deleted rows stay
+    readable through `read_committed(..., version=V-1)` until
+    `vacuum_uncommitted`'s retention lets the retired files/sidecars
+    go — retention IS the audit/undo window. ``df`` must not read
+    ``path``. A DV table MUST be read through `read_committed` (the
+    manifest + vectors define it); a directory-listing reader sees
+    pre-delete rows. Returns rows deleted."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"merge_delete: unknown mode {mode!r}")
     spark = df.sparkSession
     pcols = partition_cols or []
     del_keys = (
@@ -830,10 +1109,52 @@ def merge_delete(
     )
     for attempt in range(max_retries):
         version, cur_files = committed_files(path)
-        snapshot = read_committed(spark, path)
-        if snapshot is None:
+        recorded = table_schema(path)
+        base_schema_json = (
+            recorded.jsonValue() if recorded is not None else None
+        )
+        schema_json = base_schema_json
+        snap = _scan_committed(spark, path)
+        if snap is None:
             return 0
-        snap = snapshot.withColumn("__file", F.input_file_name())
+        if mode == "dv":
+            marked = (
+                snap.join(del_keys, keys, "left_semi")
+                .select(*keys, "__kdp_file", "__kdp_pos")
+                .localCheckpoint(eager=True)
+            )
+            n_del = marked.count()
+            if n_del == 0:
+                return 0
+            kr = _key_ranges(marked.select(*keys), keys)
+            sidecar, data_rels = _stage_dv_sidecar(marked, path)
+            dv_added = [(rel, sidecar) for rel in data_rels]
+            if _test_hook is not None:
+                _test_hook(attempt)
+            if _try_commit(
+                path,
+                version,
+                [],
+                key_ranges=kr,
+                cleanup_on_loss=False,
+                schema_json=schema_json,
+                dv_added=dv_added,
+            ):
+                return n_del
+            if _rebase_commit(
+                path,
+                version,
+                [],
+                (),
+                kr,
+                schema_json=schema_json,
+                base_schema_json=base_schema_json,
+                referenced=data_rels,
+                dv_added=dv_added,
+            ):
+                return n_del
+            _delete_staged(path, [sidecar])
+            continue
         matched = (
             snap.join(del_keys, keys, "left_semi")
             .localCheckpoint(eager=True)
@@ -841,16 +1162,13 @@ def merge_delete(
         n_del = matched.count()
         if n_del == 0:
             return 0
-        file_uris = [
-            r["__file"]
-            for r in matched.select("__file").distinct().collect()
-        ]
         rewrite_rel = sorted(
-            {_rel_to_table(u, path) for u in file_uris}
+            r["__kdp_file"]
+            for r in matched.select("__kdp_file").distinct().collect()
         )
         keep_old = (
-            snap.where(F.col("__file").isin(file_uris))
-            .drop("__file")
+            snap.where(F.col("__kdp_file").isin(rewrite_rel))
+            .drop("__kdp_file", "__kdp_pos")
             .join(del_keys, keys, "left_anti")
         )
         kr = _key_ranges(matched.select(*keys), keys)
@@ -860,19 +1178,71 @@ def merge_delete(
         if _try_commit(
             path,
             version,
-            cur_files,
             added,
             rewrite_rel,
             key_ranges=kr,
             cleanup_on_loss=False,
+            schema_json=schema_json,
         ):
             return n_del
-        if _rebase_commit(path, version, added, rewrite_rel, kr):
+        if _rebase_commit(
+            path,
+            version,
+            added,
+            rewrite_rel,
+            kr,
+            schema_json=schema_json,
+            base_schema_json=base_schema_json,
+        ):
             return n_del
         _delete_staged(path, added)
     raise RuntimeError(
         f"merge_delete: no commit after {max_retries} attempts ({path})"
     )
+
+
+def _stage_dv_sidecar(
+    marked: DataFrame, path: str
+) -> tuple[str, list[str]]:
+    """Write one deletion-vector sidecar parquet under `_kdp_dv/` from
+    a frame carrying __file (absolute scan URI) and __pos (row index)
+    — invisible until a commit's ``dv_added`` names it. Returns
+    (sidecar rel path, sorted distinct data-file rels it covers).
+    Delete-sized: coalesce(1) is the correct layout."""
+    import os
+    import shutil
+    import uuid
+
+    vecs = marked.select(
+        F.col("__kdp_file").alias("file"),
+        F.col("__kdp_pos").alias("pos"),
+    )
+    stage = os.path.join(path, f"_kdp_stage_{uuid.uuid4().hex}")
+    vecs.coalesce(1).write.mode("overwrite").parquet(stage)
+    dv_dir = os.path.join(path, "_kdp_dv")
+    os.makedirs(dv_dir, exist_ok=True)
+    sidecar_rel = None
+    data_rels: set[str] = set()
+    for fn in os.listdir(stage):
+        if fn.endswith(".parquet"):
+            newname = f"dv-{uuid.uuid4().hex}.snappy.parquet"
+            os.replace(
+                os.path.join(stage, fn), os.path.join(dv_dir, newname)
+            )
+            sidecar_rel = os.path.join("_kdp_dv", newname)
+            break
+    shutil.rmtree(stage, ignore_errors=True)
+    if sidecar_rel is None:
+        raise RuntimeError("deletion-vector stage wrote no parquet")
+    spark = marked.sparkSession
+    for r in (
+        spark.read.parquet(os.path.join(path, sidecar_rel))
+        .select("file")
+        .distinct()
+        .collect()
+    ):
+        data_rels.add(r["file"])
+    return sidecar_rel, sorted(data_rels)
 
 
 def optimize_table(
@@ -908,6 +1278,10 @@ def optimize_table(
         version, cur_files = committed_files(path)
         if not cur_files:
             return (0, 0)
+        recorded = table_schema(path)
+        schema_json = (
+            recorded.jsonValue() if recorded is not None else None
+        )
         snapshot = read_committed(spark, path)
         total = 0
         for rel in cur_files:
@@ -931,7 +1305,13 @@ def optimize_table(
         added = _stage_part_files(frame, path, pcols)
         if _test_hook is not None:
             _test_hook(attempt)
-        if _try_commit(path, version, cur_files, added, cur_files):
+        if _try_commit(
+            path,
+            version,
+            added,
+            cur_files,
+            schema_json=schema_json,
+        ):
             return (len(cur_files), len(added))
     raise RuntimeError(
         f"optimize_table: no commit after {max_retries} attempts ({path})"
@@ -975,13 +1355,22 @@ def vacuum_uncommitted(
     import os
     import time
 
-    _, files = committed_files(path)
+    _, files, _schema, live_dv = _resolve_log(path)
     keep = {os.path.normpath(f) for f in files}
+    keep |= {
+        os.path.normpath(s)
+        for v in live_dv.values()
+        for s in v
+    }
     # retirement times: rel -> ts of the commit that removed it (added
     # names are collision-free uuids, so a rel is removed at most once;
     # commits predating the ts field leave None -> mtime fallback, the
-    # legacy lower bound)
+    # legacy lower bound). A DV sidecar retires when the LAST data file
+    # it covers retires (before that it is live and kept above) — aging
+    # it from file mtime would have the exact creation-vs-retirement
+    # bug of ADVICE r11 #2.
     retired_ts: dict[str, float] = {}
+    dv_covers: dict[str, set[str]] = {}  # sidecar -> data rels, all-time
     d = _log_dir(path)
     if os.path.isdir(d):
         for name in os.listdir(d):
@@ -994,11 +1383,21 @@ def vacuum_uncommitted(
                     rec = json.load(f)
             except (OSError, json.JSONDecodeError):
                 continue
+            for data_rel, sidecar in rec.get("dv_added", []):
+                dv_covers.setdefault(
+                    os.path.normpath(sidecar), set()
+                ).add(os.path.normpath(data_rel))
             ts = rec.get("ts")
             if ts is None:
                 continue
             for rel in rec.get("removed", []):
                 retired_ts[os.path.normpath(rel)] = ts
+    for sidecar, covered in dv_covers.items():
+        if sidecar in keep:
+            continue
+        times = [retired_ts.get(r) for r in covered]
+        if all(t is not None for t in times):
+            retired_ts[sidecar] = max(times)
     cutoff = time.time() - retention_seconds
     removed = 0
     for root, dirs, fs in os.walk(path):
@@ -1022,6 +1421,149 @@ def vacuum_uncommitted(
                     continue  # already gone (concurrent vacuum/writer)
                 removed += 1
     return removed
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame | None:
+    """CDC / incremental read from the commit log (VERDICT r11 next
+    #7 — the feed a downstream incremental consumer needs): every row
+    change in commits (``from_version``, ``to_version``] as
+    (row..., _change_type insert|delete, _commit_version). An update
+    appears as its delete(old values) + insert(new values) pair —
+    the minimal change-feed form every CDC consumer can fold.
+
+    Per commit the change set is the VALUE-LEVEL diff of the files it
+    touched: rows of added files `exceptAll` rows of removed files are
+    the inserts, the reverse are the deletes — so a copy-on-write
+    rewrite's restaged UNCHANGED rows cancel out instead of appearing
+    as phantom delete+insert pairs, and a pure re-layout OPTIMIZE
+    yields zero changes by construction. Deletion-vector commits
+    contribute their marked rows as deletes (the (file, pos) pairs
+    resolved against the still-live data files).
+
+    Scale shape: per commit, two scans bounded by the commit's blast
+    radius (its added+removed files — never the table) and one
+    exceptAll shuffle of the same size; versions union together. All
+    files are read under the schema AS OF ``to_version`` — widenings
+    are monotone, so older files widen in place and pre-evolution rows
+    null-fill added columns (their delete/insert pairs still cancel:
+    both sides read under the same schema).
+
+    Raises when the range's commits were log-compacted away, and fails
+    at scan time if a replayed file was already vacuumed (the honest
+    failure mode; size retention to the longest consumer lag). Returns
+    None for an empty range."""
+    import os
+
+    head, _files = committed_files(path)
+    if to_version is None:
+        to_version = head
+    if to_version > head:
+        raise ValueError(
+            f"read_changes: to_version {to_version} exceeds HEAD {head}"
+        )
+    if from_version >= to_version:
+        return None
+    recs = _commits_between(path, from_version, to_version)
+    if recs is None:
+        raise ValueError(
+            f"read_changes: commits ({from_version}, {to_version}] of "
+            f"{path} are no longer all readable (log compaction)"
+        )
+    st = table_schema(path, to_version)
+    # DV state AS OF from_version, walked forward commit by commit:
+    # a removed file's rows that were ALREADY dv-deleted must not
+    # re-report as deletes when a CoW rewrite/OPTIMIZE retires the file
+    _v0, _f0, _s0, live_dv = _resolve_log(path, from_version)
+    prefix = "file:" + os.path.abspath(path) + "/"
+
+    def _read(rels: list[str], with_meta: bool = False) -> DataFrame | None:
+        if not rels:
+            return None
+        r = spark.read.option("basePath", path)
+        if st is not None:
+            r = r.schema(st)
+        df = r.parquet(*[os.path.join(path, f) for f in rels])
+        if with_meta:
+            df = df.withColumn(
+                "__kdp_file",
+                F.expr(
+                    f"substring(_metadata.file_path, {len(prefix) + 1})"
+                ),
+            ).withColumn("__kdp_pos", F.col("_metadata.row_index"))
+        return df
+
+    def _dv_join(base: DataFrame, sidecars: list[str], how: str) -> DataFrame:
+        vecs = spark.read.parquet(
+            *[os.path.join(path, s_) for s_ in sidecars]
+        )
+        return base.join(
+            F.broadcast(vecs),
+            on=[
+                base["__kdp_file"] == vecs["file"],
+                base["__kdp_pos"] == vecs["pos"],
+            ],
+            how=how,
+        ).drop("__kdp_file", "__kdp_pos")
+
+    out = []
+
+    def _tag(df: DataFrame, kind: str, v: int) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(kind)).withColumn(
+            "_commit_version", F.lit(v)
+        )
+
+    for rec in recs:
+        v = rec["version"]
+        removed_rels = list(rec.get("removed", []))
+        a = _read(rec.get("added", []))
+        pre_sidecars = sorted(
+            {
+                s_
+                for rel in removed_rels
+                for s_ in live_dv.get(rel, [])
+            }
+        )
+        if pre_sidecars:
+            # live rows only: drop already-dv-deleted rows of the
+            # retired files before diffing
+            r = _dv_join(
+                _read(removed_rels, with_meta=True),
+                pre_sidecars,
+                "left_anti",
+            )
+        else:
+            r = _read(removed_rels)
+        if a is not None and r is not None:
+            out.append(_tag(a.exceptAll(r), "insert", v))
+            out.append(_tag(r.exceptAll(a), "delete", v))
+        elif a is not None:
+            out.append(_tag(a, "insert", v))
+        elif r is not None:
+            out.append(_tag(r, "delete", v))
+        dv_added = rec.get("dv_added", [])
+        if dv_added:
+            data_rels = sorted({d for d, _s in dv_added})
+            sidecars = sorted({s_ for _d, s_ in dv_added})
+            marked = _dv_join(
+                _read(data_rels, with_meta=True), sidecars, "left_semi"
+            )
+            out.append(_tag(marked, "delete", v))
+        # advance the dv state past this commit
+        for rel in removed_rels:
+            live_dv.pop(rel, None)
+        for data_rel, sidecar in dv_added:
+            live_dv.setdefault(data_rel, []).append(sidecar)
+    if not out:
+        return None
+    res = out[0]
+    for f in out[1:]:
+        res = res.unionByName(f, allowMissingColumns=True)
+    return res
 
 
 def write_csv(df: DataFrame, path: str) -> None:

@@ -454,3 +454,371 @@ def test_disjoint_update_rebase_and_cow_file_conflict(
     }
     assert got[k_win] == "C" and got[k_lose] == "D" and got[2] == "A"
     assert len(got) == 10  # no resurrected/duplicated rows
+
+
+# ------------------------- schema evolution (VERDICT #5)
+
+
+def test_schema_evolution_add_and_widen(spark, tmp_path):
+    """Add-column + lossless type widening through merge_upsert
+    (merge_schema=True): HEAD reads the union schema (old files
+    null-fill, int files read as long in place), time travel to V0
+    reads the ORIGINAL schema, strict mode raises, incompatible
+    evolutions always raise."""
+    from kommunedata_data_pipeline_spark.sources import sinks
+
+    path = str(tmp_path / "tbl")
+    sinks.merge_upsert(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"),
+        path,
+        ["k"],
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        sinks.merge_upsert(
+            spark.createDataFrame(
+                [(3, 2**40, "x")], "k int, v long, tag string"
+            ),
+            path,
+            ["k"],
+        )
+    sinks.merge_upsert(
+        spark.createDataFrame(
+            [(3, 2**40, "x")], "k int, v long, tag string"
+        ),
+        path,
+        ["k"],
+        merge_schema=True,
+    )
+    head = sinks.read_committed(spark, path)
+    types = {f.name: f.dataType.simpleString() for f in head.schema.fields}
+    assert types == {"k": "int", "v": "bigint", "tag": "string"}
+    got = sorted((r.k, r.v, r.tag) for r in head.collect())
+    assert got == [(1, 10, None), (2, 20, None), (3, 2**40, "x")]
+    v0 = sinks.read_committed(spark, path, version=0)
+    assert [f.name for f in v0.schema.fields] == ["k", "v"]
+    assert v0.schema["v"].dataType.simpleString() == "int"
+    assert sorted((r.k, r.v) for r in v0.collect()) == [(1, 10), (2, 20)]
+    with pytest.raises(ValueError, match="incompatible"):
+        sinks.merge_upsert(
+            spark.createDataFrame(
+                [(4, "oops", "y")], "k int, v string, tag string"
+            ),
+            path,
+            ["k"],
+            merge_schema=True,
+        )
+
+
+def test_schema_evolution_optimize_rewrites_latest(spark, tmp_path):
+    """OPTIMIZE rewrites every file at the LATEST schema: after it, all
+    physical files carry the evolved columns (pre-evolution parquet is
+    gone from the manifest), and reads stay identical."""
+    import pyarrow.parquet as pq
+    from kommunedata_data_pipeline_spark.sources import sinks
+
+    path = str(tmp_path / "tbl")
+    sinks.merge_upsert(
+        spark.createDataFrame([(1, 10)], "k int, v int"), path, ["k"]
+    )
+    sinks.merge_upsert(
+        spark.createDataFrame([(2, 2**40, "x")], "k int, v long, tag string"),
+        path,
+        ["k"],
+        merge_schema=True,
+    )
+    before = sorted(
+        (r.k, r.v, r.tag)
+        for r in sinks.read_committed(spark, path).collect()
+    )
+    sinks.optimize_table(spark, path, target_file_bytes=1 << 20)
+    _, files = sinks.committed_files(path)
+    for rel in files:
+        sch = pq.read_schema(os.path.join(path, rel))
+        assert set(sch.names) >= {"k", "v", "tag"}
+        assert str(sch.field("v").type) == "int64"
+    after = sorted(
+        (r.k, r.v, r.tag)
+        for r in sinks.read_committed(spark, path).collect()
+    )
+    assert after == before
+
+
+def test_schema_change_conflicts_with_concurrent_writer(
+    spark, tmp_path
+):
+    """A schema-evolving winner forces every concurrent loser to the
+    full-retry path (metadata change conflicts with everything, the
+    Delta/Iceberg convention) — no rebase may land files planned
+    against the old schema."""
+    from kommunedata_data_pipeline_spark.sources import sinks
+
+    path = str(tmp_path / "tbl")
+    sinks.merge_upsert(
+        spark.createDataFrame([(1, 10)], "k int, v int"), path, ["k"]
+    )
+    hook_calls = {"n": 0}
+
+    def hook(attempt):
+        hook_calls["n"] += 1
+        if hook_calls["n"] == 1:
+            sinks.merge_upsert(
+                spark.createDataFrame(
+                    [(50, 5, "w")], "k int, v int, tag string"
+                ),
+                path,
+                ["k"],
+                merge_schema=True,
+            )
+
+    # disjoint keys, but the winner evolved the schema -> full retry
+    sinks.merge_upsert(
+        spark.createDataFrame([(100, 7)], "k int, v int"),
+        path,
+        ["k"],
+        _test_hook=hook,
+    )
+    assert hook_calls["n"] == 2
+    head = sinks.read_committed(spark, path)
+    got = {r.k: (r.v, r.tag) for r in head.collect()}
+    assert got == {1: (10, None), 50: (5, "w"), 100: (7, None)}
+
+
+# ------------------------- deletion vectors (VERDICT #6)
+
+
+def test_dv_delete_merge_on_read(spark, tmp_path):
+    """merge_delete(mode='dv'): rows invisible at HEAD, visible at
+    V-1, DATA FILE BYTES UNCHANGED (merge-on-read), replay a no-op,
+    OPTIMIZE rewrites without the dead rows and drops the vectors."""
+    import glob
+    import json
+    from kommunedata_data_pipeline_spark.sources import sinks
+
+    path = str(tmp_path / "tbl")
+    sinks.merge_upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "k int, v string"
+        ),
+        path,
+        ["k"],
+    )
+    _, files_before = sinks.committed_files(path)
+    bytes_before = {
+        rel: os.path.getsize(os.path.join(path, rel))
+        for rel in files_before
+    }
+    n = sinks.merge_delete(
+        spark.createDataFrame([(5,), (7,)], "k int"),
+        path,
+        ["k"],
+        mode="dv",
+    )
+    assert n == 2
+    head = sinks.read_committed(spark, path)
+    assert sorted(r.k for r in head.collect()) == [
+        k for k in range(20) if k not in (5, 7)
+    ]
+    # time travel: pre-delete rows visible
+    v0 = sinks.read_committed(spark, path, version=0)
+    assert v0.count() == 20
+    # data files untouched byte-for-byte
+    _, files_after = sinks.committed_files(path)
+    assert sorted(files_after) == sorted(files_before)
+    for rel, b in bytes_before.items():
+        assert os.path.getsize(os.path.join(path, rel)) == b
+    # the commit is dv_added-only
+    logd = os.path.join(path, "_kdp_log")
+    rec = json.load(open(sorted(glob.glob(logd + "/0*.json"))[-1]))
+    assert rec["added"] == [] and rec.get("dv_added")
+    # replay no-op (dv-marked rows invisible to the planning read)
+    assert (
+        sinks.merge_delete(
+            spark.createDataFrame([(5,)], "k int"), path, ["k"], mode="dv"
+        )
+        == 0
+    )
+    # a dv-deleted key can be re-upserted (first-write-wins respects dv)
+    assert (
+        sinks.merge_upsert(
+            spark.createDataFrame([(5, "back")], "k int, v string"),
+            path,
+            ["k"],
+        )
+        == 1
+    )
+    # OPTIMIZE folds files, drops vectors, keeps rows identical
+    rows_pre = sorted(
+        (r.k, r.v) for r in sinks.read_committed(spark, path).collect()
+    )
+    sinks.optimize_table(spark, path, target_file_bytes=1 << 20)
+    assert (
+        sorted(
+            (r.k, r.v)
+            for r in sinks.read_committed(spark, path).collect()
+        )
+        == rows_pre
+    )
+    from kommunedata_data_pipeline_spark.sources.sinks import _resolve_log
+
+    _v, _f, _s, dv = _resolve_log(path)
+    assert dv == {}
+
+
+def test_dv_vacuum_keeps_live_sidecars(spark, tmp_path):
+    """vacuum: live DV sidecars always survive; after OPTIMIZE retires
+    their data files they age from the RETIRING commit's ts (not
+    sidecar mtime), exactly like retired data files."""
+    from kommunedata_data_pipeline_spark.sources import sinks
+
+    path = str(tmp_path / "tbl")
+    sinks.merge_upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k int, v string"
+        ),
+        path,
+        ["k"],
+    )
+    sinks.merge_delete(
+        spark.createDataFrame([(3,)], "k int"), path, ["k"], mode="dv"
+    )
+    dv_dir = os.path.join(path, "_kdp_dv")
+    sidecars = os.listdir(dv_dir)
+    assert len(sidecars) == 1
+    # retention 0 must NOT touch the live sidecar
+    sinks.vacuum_uncommitted(path, retention_seconds=0)
+    assert os.listdir(dv_dir) == sidecars
+    assert sorted(
+        r.k for r in sinks.read_committed(spark, path).collect()
+    ) == [k for k in range(10) if k != 3]
+    # OPTIMIZE retires the data files -> sidecar is dead but YOUNG by
+    # retirement time: a 1h retention keeps it (time travel window)
+    sinks.optimize_table(spark, path, target_file_bytes=1 << 20)
+    sinks.vacuum_uncommitted(path, retention_seconds=3600)
+    assert os.listdir(dv_dir) == sidecars
+    # eager sweep (retention 0): dead sidecar collected
+    sinks.vacuum_uncommitted(path, retention_seconds=0)
+    assert os.listdir(dv_dir) == []
+
+
+def test_dv_cost_is_delete_sized_on_scattered_layout(spark, tmp_path):
+    """The point of DVs: on a layout where the delete keys scatter
+    across every file, CoW rewrites ~all table bytes while DV writes
+    only a delete-sized sidecar. Measured here by bytes written."""
+    from kommunedata_data_pipeline_spark.sources import sinks
+
+    # keys striped so each of the 8 files holds one of the delete keys;
+    # payloads sized so per-file parquet overhead is NOT the story
+    df = (
+        spark.range(8000)
+        .selectExpr(
+            "cast(id as int) as k",
+            "repeat(uuid(), 4) as v",
+        )
+        .repartition(8)
+    )
+    path_cow = str(tmp_path / "cow")
+    path_dv = str(tmp_path / "dv")
+    for p in (path_cow, path_dv):
+        sinks.merge_upsert(df, p, ["k"])
+    dels = spark.createDataFrame(
+        [(i,) for i in range(0, 8000, 1000)], "k int"
+    )
+
+    def table_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    b0_cow, b0_dv = table_bytes(path_cow), table_bytes(path_dv)
+    assert sinks.merge_delete(dels, path_cow, ["k"]) == 8
+    assert sinks.merge_delete(dels, path_dv, ["k"], mode="dv") == 8
+    cow_written = table_bytes(path_cow) - b0_cow
+    dv_written = table_bytes(path_dv) - b0_dv
+    # same visible rows either way
+    assert (
+        sorted(r.k for r in sinks.read_committed(spark, path_cow).collect())
+        == sorted(r.k for r in sinks.read_committed(spark, path_dv).collect())
+    )
+    # DV wrote an order of magnitude less than the scattered CoW
+    assert dv_written * 5 < cow_written
+
+
+# ------------------------- CDC / incremental reads (VERDICT #7)
+
+
+def test_read_changes_reconciles_with_snapshot_diff(spark, tmp_path):
+    """The change stream between two versions replays an old snapshot
+    into the new one exactly, matches snapshot_diff's verdicts, CoW
+    keep-old restages cancel out, OPTIMIZE emits ZERO changes, and DV
+    deletes appear once."""
+    from kommunedata_data_pipeline_spark.operators.relational import (
+        snapshot_diff,
+    )
+    from kommunedata_data_pipeline_spark.sources import sinks
+
+    path = str(tmp_path / "tbl")
+    sinks.merge_upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k int, v string"
+        ),
+        path,
+        ["k"],
+    )  # v0
+    sinks.merge_update(
+        spark.createDataFrame([(3, "V3"), (11, "v11")], "k int, v string"),
+        path,
+        ["k"],
+    )  # v1: update + insert
+    sinks.merge_delete(
+        spark.createDataFrame([(7,)], "k int"), path, ["k"]
+    )  # v2: cow delete
+    sinks.merge_delete(
+        spark.createDataFrame([(9,)], "k int"), path, ["k"], mode="dv"
+    )  # v3: dv delete
+    sinks.optimize_table(spark, path, target_file_bytes=1 << 20)  # v4
+
+    ch = sinks.read_changes(spark, path, 0)
+    rows = [(r._commit_version, r._change_type, r.k, r.v) for r in ch.collect()]
+    assert sorted(rows) == [
+        (1, "delete", 3, "v3"),
+        (1, "insert", 3, "V3"),
+        (1, "insert", 11, "v11"),
+        (2, "delete", 7, "v7"),
+        (3, "delete", 9, "v9"),
+    ]
+    # replay v0 + changes == head
+    state = {
+        r.k: r.v
+        for r in sinks.read_committed(spark, path, version=0).collect()
+    }
+    for v, kind, k, val in sorted(
+        rows, key=lambda t: (t[0], 0 if t[1] == "delete" else 1)
+    ):
+        if kind == "delete":
+            assert state.pop(k) == val
+        else:
+            state[k] = val
+    head = {
+        r.k: r.v for r in sinks.read_committed(spark, path).collect()
+    }
+    assert state == head
+    # snapshot_diff oracle: net per-key statuses agree
+    old = sinks.read_committed(spark, path, version=0).withColumn(
+        "h", F.md5(F.col("v"))
+    )
+    new = sinks.read_committed(spark, path).withColumn(
+        "h", F.md5(F.col("v"))
+    )
+    diff = {
+        r.k: r.status
+        for r in snapshot_diff(old, new, "k", "h").collect()
+        if r.status != "unchanged"
+    }
+    assert diff == {3: "changed", 7: "removed", 9: "removed", 11: "added"}
+    # empty range and beyond-HEAD
+    assert sinks.read_changes(spark, path, 4) is None
+    with pytest.raises(ValueError, match="exceeds HEAD"):
+        sinks.read_changes(spark, path, 0, to_version=99)
