@@ -13693,6 +13693,29 @@ _R10_DRIVER_CHECKED = frozenset(
 )
 # ...and append _R10_DRIVER_CHECKED to _ALL_CHECK_ROUNDS
 
+_R11_DRIVER_CHECKED = frozenset(
+    {
+        "q_agg_state_merge", "q_assoc_rules", "q_benford",
+        "q_bfs_levels", "q_bm25_topk", "q_bpe_token_count",
+        "q_chi_square", "q_compaction_plan", "q_cube_dow", "q_debounce",
+        "q_distinct_two_phase", "q_edit_join_k2", "q_edit_join_prefix",
+        "q_embedding_near_dup", "q_entropy_report",
+        "q_equidepth_histogram", "q_ewma", "q_exact_percentiles",
+        "q_fuzzy_join_edit", "q_gini_skew", "q_group_by_all",
+        "q_grouping_sets", "q_intersect_except", "q_interval_union",
+        "q_k_anonymity", "q_kl_divergence", "q_lateral_topk",
+        "q_m4_downsample", "q_media_frames", "q_minhash_index_update",
+        "q_path_trigrams", "q_percentiles", "q_prefix_jaccard",
+        "q_record_linkage", "q_recursive_cte", "q_ref_integrity",
+        "q_robust_outliers", "q_rolling_fingerprint",
+        "q_rolling_median", "q_seasonal_residuals",
+        "q_sliding_distinct", "q_sssp_bounded", "q_stream_enrich",
+        "q_stream_stateful", "q_table_fingerprint",
+        "q_time_weighted_avg", "q_unpivot_metrics", "q_weighted_median",
+        "q_window_frames", "q_winsorize",
+    }
+)
+
 _ALL_CHECK_ROUNDS = (
     _R1_DRIVER_CHECKED,
     _R2_DRIVER_CHECKED,
@@ -13704,6 +13727,7 @@ _ALL_CHECK_ROUNDS = (
     _R8_DRIVER_CHECKED,
     _R9_DRIVER_CHECKED,
     _R10_DRIVER_CHECKED,
+    _R11_DRIVER_CHECKED,
 )
 
 

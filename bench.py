@@ -22,9 +22,13 @@ import __spark_entry__ as entrymod  # noqa: E402
 from kommunedata_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+def prepare_session(sf_dir: str):
+    """The bench session: data-sized shuffle partitions, suite-cached
+    base scans, Python-worker + TWS warmups — everything untimed that
+    would otherwise bill one-off costs to the first query. Shared by
+    `main` and by scripts/judge_ratio.py --interleaved (the
+    cross-engine A/B must time queries under the SAME session shape
+    the recorded bench used)."""
     # size shuffle partitions to the data (the knob is an upper bound —
     # AQE coalesces below it, but the initial task count still costs
     # scheduling time per stage): ~32 MB per partition, floor 8, cap at
@@ -137,119 +141,110 @@ def main() -> None:
             # /dev/shm is RAM — leaking a parquet dir + RocksDB
             # checkpoint per bench run would eat memory across runs
             shutil.rmtree(warm_dir, ignore_errors=True)
+    return spark
 
-    # best-of-2 per query: this box shows multi-x CPU-steal variance
-    # between identical runs; the min is the reproducible steady-state.
-    # The FIRST attempt builds the DataFrame (Python-side py4j expression
-    # construction, measured at 0.1-0.3 s for expression-heavy queries —
-    # client API chatter, not engine work); the second reuses it, so the
-    # min reflects Catalyst + execution the way a prepared statement
-    # would. Streaming queries execute inside fn() and return a memory
-    # sink read, so they are rebuilt per attempt.
-    # Floor decomposition (judge-requested): split each query's wall
-    # time into ENGINE EXECUTION vs the per-query floor the aggregate
-    # ratio punishes linearly as the registry grows (driver-side
-    # planning, py4j chatter, job scheduling gaps — ~0.1-0.2 s/query at
-    # sf0.1 regardless of data volume). Batch queries: tag every attempt
-    # with a unique job group and read the merged wall-clock coverage of
-    # its jobs from the JVM AppStatusStore (jobs start AFTER Catalyst
-    # planning, so covered-time ≈ scheduling+execution; gaps and
-    # pre-job planning are the floor). Streaming queries run on their
-    # own thread where job-group tags don't propagate — for them the
-    # stash in streaming.windows.LAST_RUN_DURATIONS supplies per-phase
-    # durationMs, and addBatch is the execution component.
+
+def _job_coverage_sec(spark, tag: str) -> float | None:
+    """Merged [submission, completion] wall coverage (sec) of all
+    jobs tagged with job-group `tag`, or None if none recorded."""
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        intervals = []
+        for _ in range(10):  # status listener bus is async
+            intervals = []
+            pending = False
+            jobs = store.jobsList(None)
+            for i in range(jobs.size()):
+                j = jobs.apply(i)
+                grp = j.jobGroup()
+                if not (grp.isDefined() and grp.get() == tag):
+                    continue
+                sub, comp = j.submissionTime(), j.completionTime()
+                if not sub.isDefined():
+                    continue
+                if not comp.isDefined():
+                    pending = True
+                    break
+                intervals.append(
+                    (sub.get().getTime(), comp.get().getTime())
+                )
+            if not pending:
+                break
+            time.sleep(0.05)
+        if not intervals:
+            return None
+        intervals.sort()
+        covered, cur_s, cur_e = 0, *intervals[0]
+        for s, e in intervals[1:]:
+            if s > cur_e:
+                covered += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered += cur_e - cur_s
+        return covered / 1000.0
+    except Exception:
+        return None
+
+
+def time_one(spark, name: str, fn, sf_dir: str):
+    """Best-of-2 (+adaptive 3rd on >50% disagreement) timing of one
+    registered query under the bench discipline. Returns (wall, exec)
+    seconds, or (-1.0, -1.0) on failure. The FIRST attempt builds the
+    DataFrame (py4j expression construction, 0.1-0.3 s for
+    expression-heavy queries); the second reuses it, so the min
+    reflects Catalyst + execution the way a prepared statement would.
+    Streaming queries execute inside fn() and are rebuilt per attempt;
+    their exec component is the addBatch duration stash."""
     from kommunedata_data_pipeline_spark.streaming.windows import (
         LAST_RUN_DURATIONS,
     )
 
-    def _job_coverage_sec(tag: str) -> float | None:
-        """Merged [submission, completion] wall coverage (sec) of all
-        jobs tagged with job-group `tag`, or None if none recorded."""
+    attempts: list[float] = []
+    exec_attempts: list[float] = []
+    df = None
+    while len(attempts) < 2 or (
+        len(attempts) == 2
+        and abs(attempts[0] - attempts[1]) > 0.5 * min(attempts)
+    ):
+        tag = f"bench:{name}:{len(attempts)}"
+        spark.sparkContext.setJobGroup(tag, name)
+        t0 = time.perf_counter()
         try:
-            store = spark.sparkContext._jsc.sc().statusStore()
-            intervals = []
-            for _ in range(10):  # status listener bus is async
-                intervals = []
-                pending = False
-                jobs = store.jobsList(None)
-                for i in range(jobs.size()):
-                    j = jobs.apply(i)
-                    grp = j.jobGroup()
-                    if not (grp.isDefined() and grp.get() == tag):
-                        continue
-                    sub, comp = j.submissionTime(), j.completionTime()
-                    if not sub.isDefined():
-                        continue
-                    if not comp.isDefined():
-                        pending = True
-                        break
-                    intervals.append(
-                        (sub.get().getTime(), comp.get().getTime())
-                    )
-                if not pending:
-                    break
-                time.sleep(0.05)
-            if not intervals:
-                return None
-            intervals.sort()
-            covered, cur_s, cur_e = 0, *intervals[0]
-            for s, e in intervals[1:]:
-                if s > cur_e:
-                    covered += cur_e - cur_s
-                    cur_s, cur_e = s, e
-                else:
-                    cur_e = max(cur_e, e)
-            covered += cur_e - cur_s
-            return covered / 1000.0
-        except Exception:
-            return None
+            if df is None or name.startswith("q_stream"):
+                df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            wall = time.perf_counter() - t0
+            attempts.append(wall)
+            if name.startswith("q_stream"):
+                phases = LAST_RUN_DURATIONS.get(f"{name}_sink") or {}
+                ex = phases.get("addBatch")
+                exec_attempts.append(
+                    ex / 1000.0 if ex is not None else wall
+                )
+            else:
+                cov = _job_coverage_sec(spark, tag)
+                exec_attempts.append(cov if cov is not None else wall)
+        except Exception as exc:
+            print(f"BENCH FAIL {name}: {exc}", file=sys.stderr)
+            return -1.0, -1.0
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+    best = min(attempts)
+    return round(best, 3), round(exec_attempts[attempts.index(best)], 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = prepare_session(sf_dir)
 
     timings: dict[str, float] = {}
     exec_timings: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):
-        attempts: list[float] = []
-        exec_attempts: list[float] = []
-        df = None
-        failed = False
-        while len(attempts) < 2 or (
-            # adaptive 3rd attempt: if the first two disagree by >50%,
-            # one of them hit CPU steal — a third sample recovers the
-            # steady state for the cost of ONLY the noisy queries
-            len(attempts) == 2
-            and abs(attempts[0] - attempts[1]) > 0.5 * min(attempts)
-        ):
-            tag = f"bench:{name}:{len(attempts)}"
-            spark.sparkContext.setJobGroup(tag, name)
-            t0 = time.perf_counter()
-            try:
-                if df is None or name.startswith("q_stream"):
-                    df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                wall = time.perf_counter() - t0
-                attempts.append(wall)
-                if name.startswith("q_stream"):
-                    phases = LAST_RUN_DURATIONS.get(f"{name}_sink") or {}
-                    ex = phases.get("addBatch")
-                    exec_attempts.append(
-                        ex / 1000.0 if ex is not None else wall
-                    )
-                else:
-                    cov = _job_coverage_sec(tag)
-                    exec_attempts.append(cov if cov is not None else wall)
-            except Exception as exc:  # keep the bench line parseable on failure
-                failed = True
-                print(f"BENCH FAIL {name}: {exc}", file=sys.stderr)
-                break
-            finally:
-                spark.sparkContext.setJobGroup("", "")
-        timings[name] = -1.0 if failed else round(min(attempts), 3)
-        # exec time of the best WALL attempt (not min of exec — the two
-        # must describe the same run for floor = wall - exec to hold)
-        exec_timings[name] = (
-            -1.0
-            if failed
-            else round(exec_attempts[attempts.index(min(attempts))], 3)
-        )
+        w, e = time_one(spark, name, fn, sf_dir)
+        timings[name] = w
+        exec_timings[name] = e
 
     # Failed queries are EXCLUDED from the total (a -1 sentinel must not
     # offset real seconds) and named explicitly — a total with failures

@@ -822,3 +822,71 @@ def test_read_changes_reconciles_with_snapshot_diff(spark, tmp_path):
     assert sinks.read_changes(spark, path, 4) is None
     with pytest.raises(ValueError, match="exceeds HEAD"):
         sinks.read_changes(spark, path, 0, to_version=99)
+
+
+# ------------------------- incremental OPTIMIZE (r12)
+
+
+def test_incremental_optimize_small_files_only(spark, tmp_path):
+    """optimize_table(incremental=True) folds ONLY sub-threshold files:
+    right-sized files keep their bytes and manifest entries (the blast
+    radius a 100 TB table can afford), rows stay identical, picked
+    files' deletion vectors are applied in the rewrite while an
+    untouched file's vector survives and still filters, and a second
+    pass no-ops."""
+    from kommunedata_data_pipeline_spark.sources import sinks
+    from kommunedata_data_pipeline_spark.sources.sinks import _resolve_log
+
+    path = str(tmp_path / "tbl")
+    big = (
+        spark.range(20000)
+        .selectExpr("cast(id as int) as k", "repeat(uuid(),3) as v")
+        .coalesce(1)
+    )
+    sinks.merge_upsert(big, path, ["k"])
+    for i in range(6):
+        sinks.merge_upsert(
+            spark.createDataFrame([(100000 + i, "s")], "k int, v string"),
+            path,
+            ["k"],
+        )
+    # one dv row in a small (picked) file, one in the big (kept) file
+    sinks.merge_delete(
+        spark.createDataFrame([(100002,), (17,)], "k int"),
+        path,
+        ["k"],
+        mode="dv",
+    )
+    _, files = sinks.committed_files(path)
+    sizes = {
+        rel: os.path.getsize(os.path.join(path, rel)) for rel in files
+    }
+    big_files = {r for r, s in sizes.items() if s > 100_000}
+    assert big_files and len(files) > len(big_files) + 1
+    pre = sorted(
+        (r.k, r.v) for r in sinks.read_committed(spark, path).collect()
+    )
+    b, a = sinks.optimize_table(
+        spark,
+        path,
+        target_file_bytes=1 << 20,
+        incremental=True,
+        small_file_bytes=100_000,
+    )
+    assert b == len(files) and a == len(big_files) + 1
+    _, files2 = sinks.committed_files(path)
+    assert big_files <= set(files2)  # untouched, byte-identical entries
+    post = sorted(
+        (r.k, r.v) for r in sinks.read_committed(spark, path).collect()
+    )
+    assert post == pre
+    _v, _f, _s, dv = _resolve_log(path)
+    assert set(dv) == big_files  # picked files' vectors dropped
+    # convergence: second pass has nothing to fold
+    assert sinks.optimize_table(
+        spark,
+        path,
+        target_file_bytes=1 << 20,
+        incremental=True,
+        small_file_bytes=100_000,
+    ) == (a, a)
