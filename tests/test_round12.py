@@ -890,3 +890,52 @@ def test_incremental_optimize_small_files_only(spark, tmp_path):
         incremental=True,
         small_file_bytes=100_000,
     ) == (a, a)
+
+
+def test_checkpoint_carries_schema_and_dv(spark, tmp_path):
+    """Resolution from a checkpoint manifest (every CHECKPOINT_INTERVAL
+    commits) must reproduce schema and live deletion vectors exactly —
+    a checkpoint that recorded only the file list would silently shed
+    the evolved schema and resurrect dv-deleted rows for any reader
+    that starts from it."""
+    import glob
+    from kommunedata_data_pipeline_spark.sources import sinks
+
+    path = str(tmp_path / "tbl")
+    # commit 0: base; commit 1: evolve (+tag col); commit 2: dv delete;
+    # commits 3..10+: enough upserts to cross the checkpoint interval
+    sinks.merge_upsert(
+        spark.createDataFrame([(i, i) for i in range(10)], "k int, v int"),
+        path,
+        ["k"],
+    )
+    sinks.merge_upsert(
+        spark.createDataFrame([(100, 2**40, "x")], "k int, v long, tag string"),
+        path,
+        ["k"],
+        merge_schema=True,
+    )
+    sinks.merge_delete(
+        spark.createDataFrame([(3,)], "k int"), path, ["k"], mode="dv"
+    )
+    for i in range(sinks.CHECKPOINT_INTERVAL + 2):
+        sinks.merge_upsert(
+            spark.createDataFrame([(200 + i, 1, "y")], "k int, v long, tag string"),
+            path,
+            ["k"],
+        )
+    ckpts = glob.glob(os.path.join(path, "_kdp_log", "checkpoint-*.json"))
+    assert ckpts, "interval crossed but no checkpoint written"
+    ck = json.load(open(sorted(ckpts)[-1]))
+    assert ck.get("schema") is not None and ck.get("dv")
+    # wipe the pre-checkpoint commit files a reader would otherwise
+    # walk: resolution must come FROM the checkpoint alone
+    ck_v = ck["version"]
+    for f in glob.glob(os.path.join(path, "_kdp_log", "0*.json")):
+        if int(os.path.basename(f)[:-5]) <= ck_v:
+            os.remove(f)
+    head = sinks.read_committed(spark, path)
+    types = {f.name: f.dataType.simpleString() for f in head.schema.fields}
+    assert types == {"k": "int", "v": "bigint", "tag": "string"}
+    ks = {r.k for r in head.collect()}
+    assert 3 not in ks and 100 in ks and 205 in ks and 0 in ks
