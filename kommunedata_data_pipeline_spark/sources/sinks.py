@@ -35,6 +35,32 @@ primitives, each with a standard S3-class substitute:
 Data-file reads/writes go through Spark's Hadoop FS layer and need no
 change. Nothing in the protocol relies on directory mtimes, inode
 identity, or in-place file mutation.
+
+Transactional-table feature inventory (the minimal-Delta protocol,
+grown round by round; every arm pytest-verified):
+- ACID commits: optimistic version claim by atomic link; staged files
+  invisible until named by a commit (`merge_upsert`).
+- MERGE family: upsert (insert-new-keys), update (CoW of exactly the
+  changed-key files), delete (CoW or deletion-vector).
+- Disjoint-commit concurrency (r12): commits record key ranges; a
+  race loser provably disjoint from every intervening winner re-claims
+  at the new head without re-planning (`_rebase_commit`).
+- Schema evolution (r12): add-column + lossless widenings via
+  `merge_upsert(merge_schema=True)`; schema rides in commit records
+  and checkpoints; reads resolve schema as of the version.
+- Deletion vectors (r12): `merge_delete(mode="dv")` — merge-on-read,
+  O(delete) bytes; applied at scan, dropped at OPTIMIZE.
+- Time travel: `read_committed(version=)`; raises beyond HEAD and on
+  log-compacted history; vacuum retention IS the travel window.
+- CDC: `read_changes(from, to)` — per-commit value-level file diffs;
+  OPTIMIZE emits zero changes, updates emit delete+insert pairs.
+- OPTIMIZE: whole-table or incremental (r12: fold only sub-threshold
+  files — the blast radius a 100 TB table can afford), optional range
+  clustering for zone-map skipping.
+- Vacuum: retirement-time retention for CoW-retired files and dead DV
+  sidecars; orphans age by mtime.
+- Checkpoints every `CHECKPOINT_INTERVAL` commits carry files +
+  schema + live vectors: O(interval) log reads at any table age.
 """
 
 from __future__ import annotations
