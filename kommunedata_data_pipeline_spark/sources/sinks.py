@@ -56,14 +56,26 @@ grown round by round; every arm pytest-verified):
   OPTIMIZE emits zero changes, updates emit delete+insert pairs.
 - OPTIMIZE: whole-table or incremental (r12: fold only sub-threshold
   files — the blast radius a 100 TB table can afford), optional range
-  clustering for zone-map skipping.
+  clustering or multi-column Z-ORDER (r12: `cluster_method="zorder"`)
+  for zone-map skipping.
+- Per-file column statistics (r12): every commit records footer
+  min/max/null-count/row-count for its added files (driver-side, zero
+  Spark jobs) — serving `read_committed(prune=)` data skipping and
+  metadata-only `metadata_count` / `metadata_min_max` (the
+  `SELECT count(*)` that never opens a data file).
+- CHECK constraints (r12): `set_check_constraint` validates existing
+  rows, then every writer validates its batch before staging; the
+  active map rides in commit records like the schema.
 - Vacuum: retirement-time retention for CoW-retired files and dead DV
   sidecars; orphans age by mtime.
 - Checkpoints every `CHECKPOINT_INTERVAL` commits carry files +
-  schema + live vectors: O(interval) log reads at any table age.
+  schema + live vectors + stats + constraints: O(interval) log reads
+  at any table age.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -205,8 +217,8 @@ def committed_files(
     ALSO when the asked version exceeds HEAD (matching Delta's
     VersionNotFoundException: silently serving newer data than an
     audit asked for would mask caller bugs; ADVICE r11 #3)."""
-    resolved, files, _schema, _dv = _resolve_log(path, version)
-    return resolved, files
+    st = _resolve_log(path, version)
+    return st.version, st.files
 
 
 def table_schema(path: str, version: int | None = None):
@@ -219,7 +231,7 @@ def table_schema(path: str, version: int | None = None):
     columns/types it actually had."""
     from pyspark.sql.types import StructType
 
-    _resolved, _files, schema_json, _dv = _resolve_log(path, version)
+    schema_json = _resolve_log(path, version).schema_json
     if schema_json is None:
         return None
     return StructType.fromJson(schema_json)
@@ -312,25 +324,164 @@ def _align_to(df: DataFrame, merged) -> DataFrame:
     return df.select(*cols)
 
 
-def _resolve_log(
-    path: str, version: int | None = None
-) -> tuple[int, list[str], dict | None, dict[str, list[str]]]:
-    """Shared log walk: (resolved version, live data files, schema
-    json as of the version or None, live deletion vectors as a
-    {data file rel: [dv sidecar rels]} map). DV entries accumulate
-    across commits; entries whose data file a later commit retired are
-    dropped here (their rows left the table with the file) so reads
-    never scan dead vectors."""
+class _LogState(NamedTuple):
+    """Resolved table state as of a version — the shared product of
+    one log walk. ``dv`` maps a live data file to its deletion-vector
+    sidecars as (sidecar rel, n rows in this sidecar for this file |
+    None) pairs — the count rides in r12+ ``dv_added`` records so
+    metadata-only aggregates can subtract deletes without reading the
+    sidecar; None for pre-count history. ``stats`` maps a live data
+    file to its footer statistics ({"rows": n, "cols": {col: [lo, hi,
+    nulls]}}) when its commit recorded them; files absent here are
+    conservatively unknown. ``constraints`` is the active CHECK map
+    ({name: sql expr}) as of the version."""
+
+    version: int
+    files: list
+    schema_json: dict | None
+    dv: dict
+    stats: dict
+    constraints: dict
+
+
+def _dv_pair(entry) -> tuple[str, int | None]:
+    """Normalize a dv-map value element: pre-r12 checkpoints stored
+    bare sidecar rels, r12+ stores [sidecar, count]."""
+    if isinstance(entry, str):
+        return entry, None
+    return entry[0], (entry[1] if len(entry) > 1 else None)
+
+
+def _enforce_constraints(frame: DataFrame, constraints: dict) -> None:
+    """CHECK enforcement at commit time, SQL semantics: a row violates
+    a constraint only when the expression evaluates to FALSE (null
+    passes — `x > 0` admits null x; add `x IS NOT NULL` to forbid it).
+    One take(1) job per active constraint on the commit-sized frame;
+    raises naming the first violated constraint with a sample row."""
+    for name in sorted(constraints):
+        expr = constraints[name]
+        bad = frame.where(F.expr(expr) == F.lit(False)).take(1)
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated, e.g. by "
+                f"row {bad[0].asDict()}"
+            )
+
+
+def _with_missing_nulls(frame: DataFrame, merged) -> DataFrame:
+    """``frame`` plus null columns for every merged-schema field it
+    lacks — constraint expressions reference TABLE columns, and a
+    batch that omits an evolved column inserts null there (which is
+    exactly what the CHECK must see)."""
+    have = set(frame.columns)
+    add = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in merged.fields
+        if f.name not in have
+    ]
+    return frame.select("*", *add) if add else frame
+
+
+def table_constraints(path: str, version: int | None = None) -> dict:
+    """The active CHECK constraints ({name: sql expr}) as of
+    ``version`` (default HEAD). Constraints ride in commit records
+    like the schema (a set/drop commit carries the full post-commit
+    map; the last record carrying one wins) and in checkpoints, so
+    resolution stays O(interval)."""
+    return dict(_resolve_log(path, version).constraints)
+
+
+def set_check_constraint(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    expr: str,
+    max_retries: int = 20,
+) -> None:
+    """Add/replace a CHECK constraint on the committed table (the
+    Delta `ALTER TABLE ADD CONSTRAINT` shape): validates every
+    EXISTING row first (a constraint the table already violates is
+    rejected with the offending row), then commits a metadata-only
+    record carrying the full active map. From that version on, every
+    `merge_upsert`/`merge_update` validates the rows it writes before
+    staging and refuses the whole batch on a violation.
+
+    Concurrency: the record carries no ``key_ranges``, so EVERY
+    concurrent writer's disjoint-commit rebase refuses to jump it and
+    full-retries against the new head — where it sees and enforces the
+    new constraint. A writer can never race a row past a constraint:
+    winning the version claim requires planning at the previous
+    version, and a plan at any version >= the constraint commit
+    enforces it."""
+    for _ in range(max_retries):
+        lst = _resolve_log(path)
+        if lst.version < 0:
+            raise ValueError(
+                f"set_check_constraint: no committed table at {path}"
+            )
+        snap = read_committed(spark, path)
+        if snap is not None:
+            _enforce_constraints(snap, {name: expr})
+        new = dict(lst.constraints)
+        new[name] = expr
+        if _try_commit(
+            path,
+            lst.version,
+            [],
+            schema_json=lst.schema_json,
+            constraints=new,
+        ):
+            return
+    raise RuntimeError(
+        f"set_check_constraint: no commit after {max_retries} attempts"
+    )
+
+
+def drop_check_constraint(
+    path: str, name: str, max_retries: int = 20
+) -> None:
+    """Remove a CHECK constraint: commits the full post-drop map (an
+    EMPTY map is recorded explicitly — absence means 'unchanged', not
+    'none'). Unknown names raise."""
+    for _ in range(max_retries):
+        lst = _resolve_log(path)
+        if name not in lst.constraints:
+            raise ValueError(
+                f"drop_check_constraint: no constraint {name!r} on {path}"
+            )
+        new = {k: v for k, v in lst.constraints.items() if k != name}
+        if _try_commit(
+            path,
+            lst.version,
+            [],
+            schema_json=lst.schema_json,
+            constraints=new,
+        ):
+            return
+    raise RuntimeError(
+        f"drop_check_constraint: no commit after {max_retries} attempts"
+    )
+
+
+def _resolve_log(path: str, version: int | None = None) -> _LogState:
+    """Shared log walk: the `_LogState` (live files, schema, deletion
+    vectors, per-file stats, constraints) as of ``version`` (default
+    HEAD). DV/stats entries accumulate across commits; entries whose
+    data file a later commit retired are dropped here (their rows left
+    the table with the file) so reads never scan dead vectors or trust
+    stale statistics."""
     import json
     import os
 
     d = _log_dir(path)
     if not os.path.isdir(d):
-        return -1, [], None, []
+        return _LogState(-1, [], None, {}, {}, {})
     names = os.listdir(d)
     base_version, files = -1, []
     schema_json: dict | None = None
-    dv: dict[str, list[str]] = {}  # data file rel -> its dv sidecars
+    dv: dict[str, list] = {}  # data file rel -> [(sidecar, n|None)]
+    stats: dict[str, dict] = {}  # data file rel -> footer stats
+    constraints: dict[str, str] = {}
     all_ckpts = sorted(
         n
         for n in names
@@ -348,7 +499,12 @@ def _resolve_log(
             rec = json.load(f)
         base_version, files = rec["version"], list(rec["files"])
         schema_json = rec.get("schema")
-        dv = {k: list(v) for k, v in rec.get("dv", {}).items()}
+        dv = {
+            k: [_dv_pair(e) for e in v]
+            for k, v in rec.get("dv", {}).items()
+        }
+        stats = dict(rec.get("stats", {}))
+        constraints = dict(rec.get("constraints", {}))
     resolved = base_version
     for name in sorted(
         n
@@ -376,11 +532,17 @@ def _resolve_log(
             files = [f for f in files if f not in removed]
             for r in removed:
                 dv.pop(r, None)
+                stats.pop(r, None)
         files.extend(rec["added"])
         if rec.get("schema") is not None:
             schema_json = rec["schema"]
-        for data_rel, sidecar in rec.get("dv_added", []):
-            dv.setdefault(data_rel, []).append(sidecar)
+        if rec.get("constraints") is not None:
+            constraints = dict(rec["constraints"])
+        stats.update(rec.get("stats", {}))
+        for ent in rec.get("dv_added", []):
+            data_rel, sidecar = ent[0], ent[1]
+            n = ent[2] if len(ent) > 2 else None
+            dv.setdefault(data_rel, []).append((sidecar, n))
     if version is not None and resolved < version:
         # distinguish "asked beyond HEAD" (raise: the version does not
         # exist — Delta's VersionNotFoundException; silently resolving
@@ -406,7 +568,7 @@ def _resolve_log(
             f"cannot resolve version {version} of {path}: latest "
             f"committed version is {head_known}"
         )
-    return resolved, files, schema_json, dv
+    return _LogState(resolved, files, schema_json, dv, stats, constraints)
 
 
 def table_history(path: str) -> list[dict]:
@@ -439,6 +601,156 @@ def table_history(path: str) -> list[dict]:
     return out
 
 
+def _json_scalar(v) -> bool:
+    """True for values whose ordering survives a JSON round-trip
+    (commit records are JSON): int/float/str/bool, no NaN/inf, no
+    bytes/dates. Anything else is simply not recorded — conservative,
+    the file is read instead of skipped."""
+    import math
+
+    if isinstance(v, bool):
+        return True
+    if isinstance(v, (int, str)):
+        return True
+    if isinstance(v, float):
+        return math.isfinite(v)
+    return False
+
+
+def _footer_stats(path: str, rels: list[str]) -> dict:
+    """Per-file column statistics read from the staged parquet FOOTERS
+    — driver-side, zero Spark jobs (the Delta/Iceberg write-side stats
+    collection; VERDICT r11 engine-extension direction): {rel:
+    {"rows": n, "cols": {col: [min, max, null_count]}}}. Only
+    top-level atomic columns whose min/max are JSON-safe get entries;
+    an all-null column records [null, null, rows] (sound to skip for
+    any value probe — it holds no non-null values); a column whose
+    stats any row group failed to write gets NO entry (conservative:
+    probes on it never skip). Multi-row-group files fold min/min and
+    max/max. Partition columns live in the directory names, not the
+    footers — they get no entry here (partition pruning is the
+    directory layout's job)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # stats are an optimization, never a gate
+        return {}
+    out = {}
+    for rel in rels:
+        try:
+            md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        except Exception:
+            continue
+        # col -> [lo, hi, nulls] | None (= proven unusable)
+        agg: dict[str, list | None] = {}
+        for gi in range(md.num_row_groups):
+            rg = md.row_group(gi)
+            for ci in range(rg.num_columns):
+                c = rg.column(ci)
+                name = c.path_in_schema
+                if "." in name:  # nested leaf: not a top-level column
+                    continue
+                if name in agg and agg[name] is None:
+                    continue
+                s = c.statistics
+                cur = agg.get(name)
+                if s is None or s.null_count is None:
+                    agg[name] = None
+                    continue
+                if s.has_min_max:
+                    lo, hi = s.min, s.max
+                    if not (_json_scalar(lo) and _json_scalar(hi)):
+                        agg[name] = None
+                        continue
+                elif s.null_count == rg.num_rows:
+                    lo = hi = None  # all-null row group
+                else:
+                    agg[name] = None
+                    continue
+                if cur is None:  # absent (poisoned entries skipped above)
+                    agg[name] = [lo, hi, s.null_count]
+                else:
+                    if lo is not None and (
+                        cur[0] is None or lo < cur[0]
+                    ):
+                        cur[0] = lo
+                    if hi is not None and (
+                        cur[1] is None or hi > cur[1]
+                    ):
+                        cur[1] = hi
+                    cur[2] += s.null_count
+        cols = {k: v for k, v in agg.items() if v is not None}
+        out[rel] = {"rows": md.num_rows, "cols": cols}
+    return out
+
+
+def _stats_ranges(entry: dict | None) -> dict | None:
+    """Commit-record stats entry -> the {col: [lo, hi]} shape
+    `zones._file_matches` prunes with; None (always read) for files
+    without recorded stats."""
+    if entry is None:
+        return None
+    return {c: [v[0], v[1]] for c, v in entry.get("cols", {}).items()}
+
+
+def metadata_count(path: str, version: int | None = None) -> int | None:
+    """Exact row count of the committed table answered from the LOG
+    ALONE — zero data files opened (the `SELECT count(*)` every table
+    format serves from metadata at 100 TB): sum of the per-file footer
+    row counts recorded by each commit, minus the per-file deletion
+    -vector row counts recorded by each DV commit. Returns None when
+    any live file predates stats recording or any live DV predates
+    count recording (the honest "not answerable from metadata" —
+    fall back to `read_committed(...).count()`)."""
+    st = _resolve_log(path, version)
+    total = 0
+    for rel in st.files:
+        ent = st.stats.get(rel)
+        if ent is None or "rows" not in ent:
+            return None
+        total += ent["rows"]
+    for rel, pairs in st.dv.items():
+        for _sidecar, n in pairs:
+            if n is None:
+                return None
+            total -= n
+    return total
+
+
+def metadata_min_max(
+    path: str, col: str, version: int | None = None
+) -> tuple | None:
+    """(min, max, exact) of ``col`` over the committed table answered
+    from the log's per-file stats — zero data files opened. ``exact``
+    is False when any live file carries deletion vectors (a deleted
+    row may have been the extremum, so the values are then BOUNDS:
+    true min >= reported min is wrong — true min is >= nothing; the
+    reported range CONTAINS the true range). Returns None when any
+    live nonempty file lacks stats for ``col`` (not answerable), and
+    (None, None, True) for a table with no non-null values."""
+    st = _resolve_log(path, version)
+    lo = hi = None
+    exact = not st.dv
+    for rel in st.files:
+        ent = st.stats.get(rel)
+        if ent is None:
+            return None
+        if ent.get("rows", 0) == 0:
+            continue
+        c = ent.get("cols", {}).get(col)
+        if c is None:
+            return None
+        flo, fhi, _nulls = c
+        if flo is None:  # all-null file: contributes no values
+            continue
+        if lo is None or flo < lo:
+            lo = flo
+        if hi is None or fhi > hi:
+            hi = fhi
+    return lo, hi, exact
+
+
 def _maybe_checkpoint(path: str, version: int) -> None:
     """Best-effort checkpoint manifest after winning commit `version`:
     the FULL table state at that version — cumulative file list, the
@@ -454,12 +766,18 @@ def _maybe_checkpoint(path: str, version: int) -> None:
 
     if version < 0 or (version + 1) % CHECKPOINT_INTERVAL != 0:
         return
-    resolved, files, schema_json, dv = _resolve_log(path, version)
-    rec = {"version": resolved, "files": files}
-    if schema_json is not None:
-        rec["schema"] = schema_json
-    if dv:
-        rec["dv"] = dv
+    st = _resolve_log(path, version)
+    rec = {"version": st.version, "files": st.files}
+    if st.schema_json is not None:
+        rec["schema"] = st.schema_json
+    if st.dv:
+        rec["dv"] = {
+            k: [[s, n] for s, n in v] for k, v in st.dv.items()
+        }
+    if st.stats:
+        rec["stats"] = st.stats
+    if st.constraints:
+        rec["constraints"] = st.constraints
     d = _log_dir(path)
     tmp = os.path.join(d, f".ckpt-tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
@@ -468,7 +786,10 @@ def _maybe_checkpoint(path: str, version: int) -> None:
 
 
 def read_committed(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: dict | None = None,
 ) -> DataFrame | None:
     """Snapshot read of a merge_upsert table: ONLY files named by the
     commit log (an in-flight writer's staged/orphaned part files are
@@ -493,8 +814,17 @@ def read_committed(
     Deletion vectors: rows a `merge_delete(mode="dv")` commit marked
     deleted are filtered here via a (file, row position) anti-join
     against the live DV sidecars — merge-on-read; the data files are
-    untouched until OPTIMIZE rewrites them."""
-    df = _scan_committed(spark, path, version=version)
+    untouched until OPTIMIZE rewrites them.
+
+    ``prune``: statistics-based file skipping ({col: ("range", lo,
+    hi) | ("set", sorted values)}): files whose commit-recorded footer
+    stats prove no row can match are never opened — combine with a
+    clustered layout (`optimize_table(cluster_by=...)`) for the
+    Delta/Iceberg data-skipping read. CALLER CONTRACT: the probe must
+    be implied by the filter actually applied to the result (a probe
+    value never matches a null), otherwise rows are silently missing.
+    """
+    df = _scan_committed(spark, path, version=version, prune=prune)
     if df is None:
         return None
     return df.drop("__kdp_file", "__kdp_pos")
@@ -505,6 +835,7 @@ def _scan_committed(
     path: str,
     version: int | None = None,
     only_files: list[str] | None = None,
+    prune: dict | None = None,
 ) -> DataFrame | None:
     """The manifest-resolved scan all committed reads share: files as
     of the version, the recorded schema applied, deletion-vector rows
@@ -520,15 +851,34 @@ def _scan_committed(
     ``only_files``: restrict the scan (and its DV application) to a
     subset of the version's live files — the incremental-OPTIMIZE
     read, whose blast radius must be the picked files, not the
-    table."""
+    table.
+
+    ``prune``: statistics-based FILE SKIPPING ({col: ("range", lo, hi)
+    | ("set", sorted values)}, the `zones` probe spec): a live file is
+    dropped from the scan when its commit-recorded footer stats prove
+    no row can match — the Delta/Iceberg data-skipping read. Sound
+    under the caller contract that its post-filter only accepts rows
+    whose ``col`` is a NON-NULL value inside the probe (SQL predicates
+    on a column never match null); files whose commit predates stats
+    recording are always read."""
     import os
 
     from pyspark.sql.types import StructType
 
-    _v, files, schema_json, dv = _resolve_log(path, version)
+    from .zones import _file_matches
+
+    st = _resolve_log(path, version)
+    files, schema_json, dv = st.files, st.schema_json, dict(st.dv)
     if only_files is not None:
         live = set(files)
         files = [f for f in only_files if f in live]
+    if prune:
+        files = [
+            f
+            for f in files
+            if _file_matches(_stats_ranges(st.stats.get(f)), prune)
+        ]
+    if only_files is not None or prune:
         subset = set(files)
         dv = {k: v for k, v in dv.items() if k in subset}
     if not files:
@@ -546,7 +896,7 @@ def _scan_committed(
     ).withColumn("__kdp_pos", F.col("_metadata.row_index"))
     if not dv:
         return df
-    sidecars = sorted({s for v in dv.values() for s in v})
+    sidecars = sorted({s for v in dv.values() for s, _n in v})
     sidecar_bytes = 0
     for s_ in sidecars:
         try:
@@ -667,7 +1017,9 @@ def merge_upsert(
     pcols = partition_cols or []
     batch = df.dropDuplicates(keys)
     for attempt in range(max_retries):
-        version, cur_files = committed_files(path)
+        lst = _resolve_log(path)
+        version, cur_files = lst.version, lst.files
+        active = lst.constraints
         base_schema_json = None
         snapshot = read_committed(spark, path)
         if snapshot is None:
@@ -708,10 +1060,15 @@ def merge_upsert(
             n = fresh.count()
             if n == 0:
                 return 0
+            if active:
+                _enforce_constraints(
+                    _with_missing_nulls(fresh, merged), active
+                )
             kr = _key_ranges(fresh, keys)
             added = _stage_part_files(fresh, path, pcols)
         finally:
             fresh.unpersist()
+        stats = _footer_stats(path, added)
         if _test_hook is not None:
             _test_hook(attempt)
         if _try_commit(
@@ -721,6 +1078,7 @@ def merge_upsert(
             key_ranges=kr,
             cleanup_on_loss=False,
             schema_json=schema_json,
+            stats=stats,
         ):
             return n
         # lost the race — DISJOINT-COMMIT fast path first: if every
@@ -735,6 +1093,7 @@ def merge_upsert(
             kr,
             schema_json=schema_json,
             base_schema_json=base_schema_json,
+            stats=stats,
         ):
             return n
         _delete_staged(path, added)
@@ -752,6 +1111,8 @@ def _try_commit(
     cleanup_on_loss: bool = True,
     schema_json: dict | None = None,
     dv_added: list | None = None,
+    stats: dict | None = None,
+    constraints: dict | None = None,
 ) -> bool:
     """Claim commit ``version + 1``: write the record to a temp file,
     then LINK it into the log — link(2) is atomic and fails with
@@ -769,8 +1130,12 @@ def _try_commit(
     ``schema_json`` is the full POST-commit table schema (recorded by
     every writer; the last record wins at resolution — schema
     evolution and schema-as-of-version time travel). ``dv_added`` is a
-    list of (data file rel, dv sidecar rel) pairs for merge-on-read
-    deletes."""
+    list of (data file rel, dv sidecar rel, n rows) triples for
+    merge-on-read deletes. ``stats`` maps each added file to its
+    footer statistics (`_footer_stats`) — the data-skipping and
+    metadata-only-aggregate source. ``constraints`` (only set/drop
+    constraint commits pass it) is the full POST-commit CHECK map;
+    absent means unchanged."""
     import json
     import os
     import time
@@ -789,6 +1154,10 @@ def _try_commit(
         rec["schema"] = schema_json
     if dv_added:
         rec["dv_added"] = [list(p) for p in dv_added]
+    if stats:
+        rec["stats"] = stats
+    if constraints is not None:
+        rec["constraints"] = constraints
     with open(tmp, "w") as f:
         json.dump(rec, f)
     try:
@@ -891,6 +1260,7 @@ def _rebase_commit(
     base_schema_json: dict | None = None,
     referenced: list[str] | tuple = (),
     dv_added: list | None = None,
+    stats: dict | None = None,
     max_hops: int = 20,
 ) -> bool:
     """Disjoint-commit fast path (VERDICT r11 missing #2): after losing
@@ -950,6 +1320,7 @@ def _rebase_commit(
             cleanup_on_loss=False,
             schema_json=schema_json,
             dv_added=dv_added,
+            stats=stats,
         ):
             return True
         base = head
@@ -1001,17 +1372,18 @@ def merge_update(
     batch = df.dropDuplicates(keys).localCheckpoint(eager=True)
 
     for attempt in range(max_retries):
-        version, cur_files = committed_files(path)
-        recorded = table_schema(path)
-        base_schema_json = (
-            recorded.jsonValue() if recorded is not None else None
-        )
+        lst = _resolve_log(path)
+        version, cur_files = lst.version, lst.files
+        active = lst.constraints
+        base_schema_json = lst.schema_json
         snap = _scan_committed(spark, path)
         if snap is None:
             inserts = batch
             n_upd, n_ins = 0, batch.count()
             if n_ins == 0:
                 return (0, 0)
+            if active:
+                _enforce_constraints(batch, active)
             rewrite_rel: list[str] = []
             staged_frame = inserts
             kr = _key_ranges(batch, keys)
@@ -1045,6 +1417,15 @@ def merge_update(
             n_ins = inserts.count()
             if n_upd == 0 and n_ins == 0:
                 return (0, 0)
+            if active:
+                # only the rows this commit WRITES need checking:
+                # keep-old rows were validated by their own commits
+                _enforce_constraints(
+                    changed.select(*keys, *data_cols).unionByName(
+                        inserts.select(*keys, *data_cols)
+                    ),
+                    active,
+                )
             rewrite_rel = sorted(
                 r["__file"]
                 for r in changed.select("__file").distinct().collect()
@@ -1069,6 +1450,7 @@ def merge_update(
             )
             schema_json = base_schema_json
         added = _stage_part_files(staged_frame, path, pcols)
+        stats = _footer_stats(path, added)
         if _test_hook is not None:
             _test_hook(attempt)
         if _try_commit(
@@ -1079,6 +1461,7 @@ def merge_update(
             key_ranges=kr,
             cleanup_on_loss=False,
             schema_json=schema_json,
+            stats=stats,
         ):
             return (n_upd, n_ins)
         if _rebase_commit(
@@ -1089,6 +1472,7 @@ def merge_update(
             kr,
             schema_json=schema_json,
             base_schema_json=base_schema_json,
+            stats=stats,
         ):
             return (n_upd, n_ins)
         _delete_staged(path, added)
@@ -1147,11 +1531,9 @@ def merge_delete(
         df.select(*keys).dropDuplicates(keys).localCheckpoint(eager=True)
     )
     for attempt in range(max_retries):
-        version, cur_files = committed_files(path)
-        recorded = table_schema(path)
-        base_schema_json = (
-            recorded.jsonValue() if recorded is not None else None
-        )
+        lst = _resolve_log(path)
+        version, cur_files = lst.version, lst.files
+        base_schema_json = lst.schema_json
         schema_json = base_schema_json
         snap = _scan_committed(spark, path)
         if snap is None:
@@ -1166,8 +1548,11 @@ def merge_delete(
             if n_del == 0:
                 return 0
             kr = _key_ranges(marked.select(*keys), keys)
-            sidecar, data_rels = _stage_dv_sidecar(marked, path)
-            dv_added = [(rel, sidecar) for rel in data_rels]
+            sidecar, file_counts = _stage_dv_sidecar(marked, path)
+            data_rels = sorted(file_counts)
+            dv_added = [
+                (rel, sidecar, file_counts[rel]) for rel in data_rels
+            ]
             if _test_hook is not None:
                 _test_hook(attempt)
             if _try_commit(
@@ -1212,6 +1597,7 @@ def merge_delete(
         )
         kr = _key_ranges(matched.select(*keys), keys)
         added = _stage_part_files(keep_old, path, pcols)
+        stats = _footer_stats(path, added)
         if _test_hook is not None:
             _test_hook(attempt)
         if _try_commit(
@@ -1222,6 +1608,7 @@ def merge_delete(
             key_ranges=kr,
             cleanup_on_loss=False,
             schema_json=schema_json,
+            stats=stats,
         ):
             return n_del
         if _rebase_commit(
@@ -1232,6 +1619,7 @@ def merge_delete(
             kr,
             schema_json=schema_json,
             base_schema_json=base_schema_json,
+            stats=stats,
         ):
             return n_del
         _delete_staged(path, added)
@@ -1242,11 +1630,13 @@ def merge_delete(
 
 def _stage_dv_sidecar(
     marked: DataFrame, path: str
-) -> tuple[str, list[str]]:
+) -> tuple[str, dict[str, int]]:
     """Write one deletion-vector sidecar parquet under `_kdp_dv/` from
     a frame carrying __file (absolute scan URI) and __pos (row index)
     — invisible until a commit's ``dv_added`` names it. Returns
-    (sidecar rel path, sorted distinct data-file rels it covers).
+    (sidecar rel path, {data-file rel: rows deleted in it}) — the
+    per-file counts ride in the commit record so `metadata_count`
+    subtracts deletes without ever opening a sidecar.
     Delete-sized: coalesce(1) is the correct layout."""
     import os
     import shutil
@@ -1261,7 +1651,6 @@ def _stage_dv_sidecar(
     dv_dir = os.path.join(path, "_kdp_dv")
     os.makedirs(dv_dir, exist_ok=True)
     sidecar_rel = None
-    data_rels: set[str] = set()
     for fn in os.listdir(stage):
         if fn.endswith(".parquet"):
             newname = f"dv-{uuid.uuid4().hex}.snappy.parquet"
@@ -1274,14 +1663,15 @@ def _stage_dv_sidecar(
     if sidecar_rel is None:
         raise RuntimeError("deletion-vector stage wrote no parquet")
     spark = marked.sparkSession
+    file_counts: dict[str, int] = {}
     for r in (
         spark.read.parquet(os.path.join(path, sidecar_rel))
-        .select("file")
-        .distinct()
+        .groupBy("file")
+        .count()
         .collect()
     ):
-        data_rels.add(r["file"])
-    return sidecar_rel, sorted(data_rels)
+        file_counts[r["file"]] = r["count"]
+    return sidecar_rel, file_counts
 
 
 def optimize_table(
@@ -1293,16 +1683,24 @@ def optimize_table(
     max_retries: int = 20,
     incremental: bool = False,
     small_file_bytes: int | None = None,
+    cluster_method: str = "range",
     _test_hook=None,
 ) -> tuple[int, int]:
     """Transactional OPTIMIZE on the merge sink (VERDICT r10 #8a): fold
     the committed table's data files into ~``target_file_bytes`` files
-    — optionally range-CLUSTERED by ``cluster_by`` (repartitionByRange
-    + sortWithinPartitions, the layout that tightens per-file min/max
-    for zone-map / row-group skipping; `layout.zone_map_skip_stats`
-    measures the effect) — committed through the log as one version:
-    ``added`` = the rewritten files, ``removed`` = every file of the
-    snapshot it rewrote.
+    — optionally CLUSTERED by ``cluster_by`` — committed through the
+    log as one version: ``added`` = the rewritten files, ``removed`` =
+    every file of the snapshot it rewrote.
+
+    ``cluster_method="range"`` (default): repartitionByRange +
+    sortWithinPartitions, the layout that tightens per-file min/max
+    for zone-map / row-group skipping on the LEADING column(s) of the
+    lexicographic order (`layout.zone_map_skip_stats` measures it).
+    ``cluster_method="zorder"``: Morton bit-interleave of per-column
+    equi-depth bucket ids (`_zorder_key`) — every clustered column
+    keeps file-level locality, so `read_committed(prune=)` skips files
+    on predicates over ANY of them, not just the first (the multi-
+    dimensional layout Delta's OPTIMIZE ZORDER BY serves).
 
     ``incremental=True`` (r12): rewrite ONLY the files smaller than
     ``small_file_bytes`` (default ``target_file_bytes // 2``) — the
@@ -1328,6 +1726,10 @@ def optimize_table(
     the fold commit)."""
     import os
 
+    if cluster_method not in ("range", "zorder"):
+        raise ValueError(
+            f"optimize_table: unknown cluster_method {cluster_method!r}"
+        )
     pcols = partition_cols or []
     for attempt in range(max_retries):
         version, cur_files = committed_files(path)
@@ -1370,13 +1772,22 @@ def optimize_table(
         # AQE's partition coalescing never touches (pytest-pinned) —
         # no session-global conf toggle, so concurrent queries planned
         # in this session keep their AQE behavior (ADVICE r11 #4)
-        if cluster_by:
+        if cluster_by and cluster_method == "zorder":
+            z = _zorder_key(snapshot, cluster_by)
+            frame = (
+                snapshot.withColumn("__kdp_z", z)
+                .repartitionByRange(n_files, "__kdp_z")
+                .sortWithinPartitions("__kdp_z", *cluster_by)
+                .drop("__kdp_z")
+            )
+        elif cluster_by:
             frame = snapshot.repartitionByRange(
                 n_files, *cluster_by
             ).sortWithinPartitions(*cluster_by)
         else:
             frame = snapshot.repartition(n_files)
         added = _stage_part_files(frame, path, pcols)
+        stats = _footer_stats(path, added)
         if _test_hook is not None:
             _test_hook(attempt)
         if _try_commit(
@@ -1385,6 +1796,7 @@ def optimize_table(
             added,
             rewrite_rel,
             schema_json=schema_json,
+            stats=stats,
         ):
             return (
                 len(cur_files),
@@ -1393,6 +1805,104 @@ def optimize_table(
     raise RuntimeError(
         f"optimize_table: no commit after {max_retries} attempts ({path})"
     )
+
+
+# Per-column bucket resolution for Z-order by clustering width: one
+# column gets the full 16-bit range-cluster equivalent; more columns
+# split the interleaved key's useful bits between them.
+_ZBITS = {1: 16, 2: 8, 3: 5}
+
+
+def _zorder_key(df: DataFrame, cols: list[str]):
+    """Morton / Z-order key expression over ``cols`` — the multi-column
+    clustering OPTIMIZE uses so per-file min/max stay tight on EVERY
+    clustered column, not just the first of a lexicographic sort (the
+    Delta OSS `interleave_bits(range_partition_id(...))` construction,
+    rebuilt from public semantics). Two steps, both distributed:
+
+    1. ONE aggregation pass computes per-column quantile cut points
+       (`percentile_approx` over an order-preserving numeric surrogate:
+       numerics cast to double; strings use their first 6 bytes
+       big-endian — monotone in UTF-8 binary order, 48 bits is double-
+       exact; dates/timestamps via epoch). The pass is an extra scan of
+       exactly the data OPTIMIZE is already rewriting — maintenance
+       cost, never query cost.
+    2. each row's per-column bucket id (count of cut points <= its
+       surrogate, an `aggregate` over the literal cut array — nulls
+       bucket to 0) is bit-interleaved into one long; repartitionByRange
+       + sort on that key gives every clustered column ~2^bits-way file
+       locality.
+
+    Quantile cuts (not fixed-width) make the buckets equi-DEPTH, so
+    skew cannot collapse the interleave into a few giant buckets."""
+    bits = _ZBITS.get(len(cols), 4)
+    dtypes = dict(df.dtypes)
+    surrogates = {}
+    for c in cols:
+        dt = dtypes[c]
+        if dt in (
+            "tinyint",
+            "smallint",
+            "int",
+            "bigint",
+            "float",
+            "double",
+        ) or dt.startswith("decimal"):
+            surrogates[c] = F.col(c).cast("double")
+        elif dt == "string":
+            surrogates[c] = F.conv(
+                F.rpad(
+                    F.hex(F.encode(F.substring(F.col(c), 1, 6), "UTF-8")),
+                    12,
+                    "0",
+                ),
+                16,
+                10,
+            ).cast("double")
+        elif dt == "date":
+            surrogates[c] = F.datediff(
+                F.col(c), F.lit("1970-01-01")
+            ).cast("double")
+        elif dt == "timestamp":
+            surrogates[c] = F.col(c).cast("double")
+        elif dt == "boolean":
+            surrogates[c] = F.col(c).cast("int").cast("double")
+        else:
+            raise ValueError(
+                f"_zorder_key: unsupported column type {dt} for {c!r}"
+            )
+    probs = [(i + 1) / (1 << bits) for i in range((1 << bits) - 1)]
+    row = df.agg(
+        *[
+            F.percentile_approx(surrogates[c], probs, 10000).alias(
+                f"__q_{c}"
+            )
+            for c in cols
+        ]
+    ).first()
+    n = len(cols)
+    z = None
+    for j, c in enumerate(cols):
+        cuts = sorted(
+            {float(x) for x in (row[f"__q_{c}"] or []) if x is not None}
+        )
+        if cuts:
+            arr = F.array(*[F.lit(x) for x in cuts])
+            s = surrogates[c]
+            b = F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, cut: acc
+                + F.when(s >= cut, 1).otherwise(0),
+            ).cast("long")
+        else:  # all-null / constant column: one bucket
+            b = F.lit(0).cast("long")
+        for i in range(bits):
+            term = F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+            z = term if z is None else z + term
+    return z
 
 
 def vacuum_uncommitted(
@@ -1432,12 +1942,12 @@ def vacuum_uncommitted(
     import os
     import time
 
-    _, files, _schema, live_dv = _resolve_log(path)
-    keep = {os.path.normpath(f) for f in files}
+    lst = _resolve_log(path)
+    keep = {os.path.normpath(f) for f in lst.files}
     keep |= {
         os.path.normpath(s)
-        for v in live_dv.values()
-        for s in v
+        for v in lst.dv.values()
+        for s, _n in v
     }
     # retirement times: rel -> ts of the commit that removed it (added
     # names are collision-free uuids, so a rel is removed at most once;
@@ -1460,7 +1970,8 @@ def vacuum_uncommitted(
                     rec = json.load(f)
             except (OSError, json.JSONDecodeError):
                 continue
-            for data_rel, sidecar in rec.get("dv_added", []):
+            for ent in rec.get("dv_added", []):
+                data_rel, sidecar = ent[0], ent[1]
                 dv_covers.setdefault(
                     os.path.normpath(sidecar), set()
                 ).add(os.path.normpath(data_rel))
@@ -1555,7 +2066,10 @@ def read_changes(
     # DV state AS OF from_version, walked forward commit by commit:
     # a removed file's rows that were ALREADY dv-deleted must not
     # re-report as deletes when a CoW rewrite/OPTIMIZE retires the file
-    _v0, _f0, _s0, live_dv = _resolve_log(path, from_version)
+    live_dv = {
+        k: [s for s, _n in v]
+        for k, v in _resolve_log(path, from_version).dv.items()
+    }
     prefix = "file:" + os.path.abspath(path) + "/"
 
     def _read(rels: list[str], with_meta: bool = False) -> DataFrame | None:
@@ -1624,8 +2138,8 @@ def read_changes(
             out.append(_tag(r, "delete", v))
         dv_added = rec.get("dv_added", [])
         if dv_added:
-            data_rels = sorted({d for d, _s in dv_added})
-            sidecars = sorted({s_ for _d, s_ in dv_added})
+            data_rels = sorted({e[0] for e in dv_added})
+            sidecars = sorted({e[1] for e in dv_added})
             marked = _dv_join(
                 _read(data_rels, with_meta=True), sidecars, "left_semi"
             )
@@ -1633,8 +2147,8 @@ def read_changes(
         # advance the dv state past this commit
         for rel in removed_rels:
             live_dv.pop(rel, None)
-        for data_rel, sidecar in dv_added:
-            live_dv.setdefault(data_rel, []).append(sidecar)
+        for e in dv_added:
+            live_dv.setdefault(e[0], []).append(e[1])
     if not out:
         return None
     res = out[0]

@@ -1,3 +1,4 @@
+from .cdc import changes_cursor, consume_changes
 from .windows import (
     foreach_batch_idempotent_sink,
     read_events_stream,
@@ -9,6 +10,8 @@ from .windows import (
 )
 
 __all__ = [
+    "changes_cursor",
+    "consume_changes",
     "foreach_batch_idempotent_sink",
     "read_events_stream",
     "run_to_memory",

@@ -660,7 +660,7 @@ def test_dv_delete_merge_on_read(spark, tmp_path):
     )
     from kommunedata_data_pipeline_spark.sources.sinks import _resolve_log
 
-    _v, _f, _s, dv = _resolve_log(path)
+    dv = _resolve_log(path).dv
     assert dv == {}
 
 
@@ -880,7 +880,7 @@ def test_incremental_optimize_small_files_only(spark, tmp_path):
         (r.k, r.v) for r in sinks.read_committed(spark, path).collect()
     )
     assert post == pre
-    _v, _f, _s, dv = _resolve_log(path)
+    dv = _resolve_log(path).dv
     assert set(dv) == big_files  # picked files' vectors dropped
     # convergence: second pass has nothing to fold
     assert sinks.optimize_table(
