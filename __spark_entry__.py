@@ -13426,6 +13426,452 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(_t(spark, sf_dir, "orders"), n_tiles=5)
 
 
+def _lakehouse_tmp() -> str:
+    """Scratch root for the transactional-sink queries — RAM-backed
+    where available (the sink's files are commit-log bookkeeping, not
+    results; same placement as the ingest-family queries)."""
+    import os
+    import tempfile
+
+    return tempfile.mkdtemp(
+        prefix="kdp-lakehouse-",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+
+
+@_q(
+    "q_lakehouse_merge_roundtrip",
+    """
+    WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+    upd AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM base),
+    ins AS (
+      SELECT doc_id + 1000000 AS doc_id, 'syn' AS lang, source, n_chars
+      FROM base WHERE doc_id % 13 = 0),
+    merged AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    afterdel AS (SELECT * FROM merged WHERE NOT (doc_id % 11 = 0)),
+    final AS (SELECT * FROM afterdel WHERE NOT (doc_id % 5 = 3))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           (SELECT CAST(count(*) AS BIGINT) FROM final) AS meta_total,
+           (SELECT CAST(min(doc_id) AS BIGINT) FROM final) AS min_id,
+           (SELECT CAST(max(doc_id) AS BIGINT) FROM final) AS max_id
+    FROM final GROUP BY lang ORDER BY lang
+    """,
+)
+def q_lakehouse_merge_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full MERGE lifecycle on the transactional sink, oracle-exact
+    end to end (S14/N212/N220/N221/N224/N227 as ONE query instead of
+    pytest-only): load `documents` as version 0, MERGE-update the
+    doc_id%7 rows (+1000 chars) while inserting synthetic doc_id%13
+    twins, copy-on-write-delete doc_id%11, deletion-vector-delete
+    doc_id%5==3 (merge-on-read — data files untouched), then OPTIMIZE
+    with range clustering. The output aggregates the final snapshot
+    per language AND pins the commit log's metadata-only answers
+    against the oracle: `meta_total` is `metadata_count` (row count
+    from footer stats minus DV counts, zero data files opened) and
+    `min_id`/`max_id` are `metadata_min_max` — exact here because
+    OPTIMIZE rewrote the DV'd files (sources/sinks.py; reference
+    parity: the idempotent skip-if-exists landing of
+    scraper_utils.py:25-70, upgraded to a versioned table)."""
+    import os
+    import shutil
+
+    from kommunedata_data_pipeline_spark.sources import sinks
+
+    base = _lakehouse_tmp()
+    try:
+        path = os.path.join(base, "tbl")
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        sinks.merge_upsert(d, path, ["doc_id"])
+        upd = d.where(F.col("doc_id") % 7 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(1000)
+        )
+        ins = d.where(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+            F.lit("syn").alias("lang"),
+            F.col("source"),
+            F.col("n_chars"),
+        )
+        sinks.merge_update(upd.unionByName(ins), path, ["doc_id"])
+        snap = sinks.read_committed(spark, path)
+        sinks.merge_delete(
+            snap.where(F.col("doc_id") % 11 == 0).select("doc_id"),
+            path,
+            ["doc_id"],
+        )
+        snap = sinks.read_committed(spark, path)
+        sinks.merge_delete(
+            snap.where(F.col("doc_id") % 5 == 3).select("doc_id"),
+            path,
+            ["doc_id"],
+            mode="dv",
+        )
+        sinks.optimize_table(
+            spark, path, target_file_bytes=1 << 22, cluster_by=["doc_id"]
+        )
+        meta_total = sinks.metadata_count(path)
+        lo, hi, _exact = sinks.metadata_min_max(path, "doc_id")
+        res = (
+            sinks.read_committed(spark, path)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .withColumn("meta_total", F.lit(meta_total).cast("long"))
+            .withColumn("min_id", F.lit(lo).cast("long"))
+            .withColumn("max_id", F.lit(hi).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("lang")
+
+
+@_q(
+    "q_lakehouse_cdc_replay",
+    """
+    WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+    upd AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 9 = 0 THEN n_chars + 5
+                  ELSE n_chars END AS n_chars
+      FROM base),
+    ins AS (
+      SELECT doc_id + 2000000 AS doc_id, 'cdc' AS lang, n_chars
+      FROM base WHERE doc_id % 17 = 0),
+    final AS (
+      SELECT * FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+      WHERE NOT (doc_id % 6 = 1))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs_replay,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars_replay,
+           CAST(count(*) AS BIGINT) AS n_docs_snap,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars_snap
+    FROM final GROUP BY lang ORDER BY lang
+    """,
+)
+def q_lakehouse_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed consumed through the durable cursor and replayed to a
+    snapshot, oracle-exact (N225+N230 as one query): build a table
+    with an upsert, a MERGE update+insert and a deletion-vector
+    delete; then `consume_changes` polls the commit log ONE version at
+    a time (the backlog-slicing path) through a cursor file, the
+    delivered windows union into the full change stream, and a
+    keyed fold (latest version wins, insert beats its paired delete)
+    reconstructs the final state. The output carries the replayed
+    aggregate AND the direct-snapshot aggregate side by side — the
+    oracle emits each number twice, so replay==snapshot is part of
+    the hash, not just a pytest (streaming/cdc.py:consume_changes,
+    sources/sinks.py:read_changes)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from kommunedata_data_pipeline_spark.sources import sinks
+    from kommunedata_data_pipeline_spark.streaming import consume_changes
+
+    base = _lakehouse_tmp()
+    try:
+        path = os.path.join(base, "tbl")
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        sinks.merge_upsert(d, path, ["doc_id"])
+        upd = d.where(F.col("doc_id") % 9 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(5)
+        )
+        ins = d.where(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+            F.lit("cdc").alias("lang"),
+            F.col("n_chars"),
+        )
+        sinks.merge_update(upd.unionByName(ins), path, ["doc_id"])
+        snap = sinks.read_committed(spark, path)
+        sinks.merge_delete(
+            snap.where(F.col("doc_id") % 6 == 1).select("doc_id"),
+            path,
+            ["doc_id"],
+            mode="dv",
+        )
+        windows: list[DataFrame] = []
+
+        def handler(df: DataFrame, frm: int, to: int) -> None:
+            windows.append(df.localCheckpoint(eager=True))
+
+        state = os.path.join(base, "cursor")
+        while True:
+            frm, to = consume_changes(
+                spark, path, state, handler, max_versions=1
+            )
+            if frm == to:
+                break
+        changes = windows[0]
+        for w_ in windows[1:]:
+            changes = changes.unionByName(w_)
+        # replay fold: per key, the newest version wins; within a
+        # version an update's insert(new) supersedes its delete(old)
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("_commit_version"), F.desc("_change_type")
+        )
+        live = (
+            changes.withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("_change_type") == "insert"))
+            .drop("rn", "_change_type", "_commit_version")
+        )
+        rep = live.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_replay"),
+            F.sum("n_chars").cast("long").alias("sum_chars_replay"),
+        )
+        snap_agg = (
+            sinks.read_committed(spark, path)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs_snap"),
+                F.sum("n_chars").cast("long").alias("sum_chars_snap"),
+            )
+        )
+        res = rep.join(snap_agg, "lang").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("lang")
+
+
+@_q(
+    "q_stream_table_cdc",
+    """
+    WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+    u AS (SELECT doc_id, n_chars + 5 AS n_chars FROM base
+          WHERE doc_id % 9 = 0),
+    i AS (SELECT doc_id + 2000000 AS doc_id, n_chars FROM base
+          WHERE doc_id % 17 = 0),
+    cur AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0 THEN n_chars + 5
+                  ELSE n_chars END AS n_chars
+      FROM base
+      UNION ALL SELECT doc_id, n_chars FROM i),
+    v0 AS (SELECT 0 AS version, 'insert' AS change_type,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           FROM base),
+    v1d AS (SELECT 1, 'delete', CAST(count(*) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT)
+            FROM base WHERE doc_id % 9 = 0),
+    v1i AS (SELECT 1, 'insert', CAST(count(*) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT)
+            FROM (SELECT n_chars FROM u UNION ALL
+                  SELECT n_chars FROM i)),
+    v2d AS (SELECT 2, 'delete', CAST(count(*) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT)
+            FROM cur WHERE doc_id % 6 = 1)
+    SELECT * FROM (
+      SELECT * FROM v0 UNION ALL SELECT * FROM v1d
+      UNION ALL SELECT * FROM v1i UNION ALL SELECT * FROM v2d)
+    ORDER BY version, change_type
+    """,
+)
+def q_stream_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The committed table consumed as a REAL Structured Streaming
+    source (N231 — `readStream.format("kdp_table_changes")`, the
+    Delta "table as a stream source" shape on Spark 4's Python
+    DataSource streaming API): build a table with an upsert, a MERGE
+    update+insert and a deletion-vector delete, subscribe to its
+    commit log as a stream, and aggregate the delivered change feed
+    per (commit version, change type). The oracle prices every
+    commit's CDC granularity exactly — version 0's inserts, the
+    update's delete+insert pair counts (copy-on-write-restaged
+    unchanged rows cancel, so ONLY the changed rows appear), and the
+    DV delete's marked rows — pinning the stream's offset/diff
+    machinery to SQL, not just to pytest parity with `read_changes`
+    (sources/table_stream.py)."""
+    import os
+    import shutil
+
+    from kommunedata_data_pipeline_spark.sources.table_stream import (
+        read_table_changes_stream,
+    )
+    from kommunedata_data_pipeline_spark.sources import sinks
+
+    base = _lakehouse_tmp()
+    try:
+        path = os.path.join(base, "tbl")
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        sinks.merge_upsert(d, path, ["doc_id"])
+        upd = d.where(F.col("doc_id") % 9 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(5)
+        )
+        ins = d.where(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+            F.lit("cdc").alias("lang"),
+            F.col("n_chars"),
+        )
+        sinks.merge_update(upd.unionByName(ins), path, ["doc_id"])
+        snap = sinks.read_committed(spark, path)
+        sinks.merge_delete(
+            snap.where(F.col("doc_id") % 6 == 1).select("doc_id"),
+            path,
+            ["doc_id"],
+            mode="dv",
+        )
+        q = (
+            read_table_changes_stream(spark, path)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(base, "out"))
+            .option(
+                "checkpointLocation", os.path.join(base, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = (
+            spark.read.parquet(os.path.join(base, "out"))
+            .groupBy(
+                F.col("_commit_version").cast("int").alias("version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("version", "change_type")
+
+
+@_q(
+    "q_lakehouse_time_travel",
+    """
+    WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+    v0 AS (
+      SELECT 0 AS version, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(NULL AS BIGINT) AS n_flagged
+      FROM base GROUP BY lang),
+    upd AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 4 = 0 THEN n_chars + 7
+                  ELSE n_chars END AS n_chars,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE NULL END AS flag
+      FROM base),
+    ins AS (
+      SELECT doc_id + 3000000 AS doc_id, 'new' AS lang, n_chars, 2 AS flag
+      FROM base WHERE doc_id % 19 = 0),
+    head AS (
+      SELECT * FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+      WHERE NOT (doc_id % 10 = 2)),
+    vh AS (
+      SELECT 3 AS version, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(count(flag) AS BIGINT) AS n_flagged
+      FROM head GROUP BY lang)
+    SELECT CAST(version AS INT) AS version, lang, n_docs, sum_chars,
+           n_flagged
+    FROM (SELECT * FROM v0 UNION ALL SELECT * FROM vh)
+    ORDER BY version, lang
+    """,
+)
+def q_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel across a schema evolution, oracle-exact
+    (N219+N223 as one query): version 0 loads `documents`; version 1
+    is a `merge_upsert(merge_schema=True)` that ADDS a `flag` column
+    by inserting doc_id%19 twins (upsert is first-write-wins, so
+    evolution rides the INSERT commit); version 2 MERGE-updates the
+    doc_id%4 rows at the evolved schema (+7 chars, flag=1); version 3
+    copy-on-write-deletes doc_id%10==2. `read_committed` AS OF
+    version 0 serves the table with the columns it actually had (no
+    `flag` — the output's version-0 rows carry NULL n_flagged by
+    construction), while HEAD shows evolved rows with old rows
+    null-filled. Both versions aggregate per language into one frame;
+    the version numbers themselves are part of the hash, pinning the
+    single-writer commit sequence (sources/sinks.py:read_committed/
+    table_schema)."""
+    import os
+    import shutil
+
+    from kommunedata_data_pipeline_spark.sources import sinks
+
+    base = _lakehouse_tmp()
+    try:
+        path = os.path.join(base, "tbl")
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        sinks.merge_upsert(d, path, ["doc_id"])
+        ins = d.where(F.col("doc_id") % 19 == 0).select(
+            (F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
+            F.lit("new").alias("lang"),
+            F.col("n_chars"),
+            F.lit(2).cast("int").alias("flag"),
+        )
+        sinks.merge_upsert(ins, path, ["doc_id"], merge_schema=True)
+        evolved = d.where(F.col("doc_id") % 4 == 0).select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") + F.lit(7)).alias("n_chars"),
+            F.lit(1).cast("int").alias("flag"),
+        )
+        sinks.merge_update(evolved, path, ["doc_id"])
+        snap = sinks.read_committed(spark, path)
+        sinks.merge_delete(
+            snap.where(F.col("doc_id") % 10 == 2).select("doc_id"),
+            path,
+            ["doc_id"],
+        )
+        head, _files = sinks.committed_files(path)
+        v0 = (
+            sinks.read_committed(spark, path, version=0)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .select(
+                F.lit(0).cast("int").alias("version"),
+                "lang",
+                "n_docs",
+                "sum_chars",
+                F.lit(None).cast("long").alias("n_flagged"),
+            )
+        )
+        vh = (
+            sinks.read_committed(spark, path)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.count("flag").cast("long").alias("n_flagged"),
+            )
+            .select(
+                F.lit(head).cast("int").alias("version"),
+                "lang",
+                "n_docs",
+                "sum_chars",
+                "n_flagged",
+            )
+        )
+        res = v0.unionByName(vh).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return res.orderBy("version", "lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_meetings_to_fetch(spark, "/root/testdata/sf0.001")
