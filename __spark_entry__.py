@@ -2989,8 +2989,9 @@ def _maybe_register_tws_session_parity() -> None:
             session_close_tws,
         )
         from kommunedata_data_pipeline_spark.streaming.windows import (
+            finish_to_memory,
             read_events_stream,
-            run_to_memory,
+            start_to_memory,
         )
 
         def cohort(df: DataFrame) -> DataFrame:
@@ -3001,13 +3002,21 @@ def _maybe_register_tws_session_parity() -> None:
             ).select("user_id", "ts")
 
         enable_tws_workers(spark)
+        # The two session implementations are INDEPENDENT streams over
+        # the same bounded input — start both, then drain both (guide
+        # §2.6): the serial version paid two full stream lifecycles
+        # back-to-back while the cluster idled through each one's
+        # planning/WAL/stop floor. Confs are cloned per query at start
+        # (start_to_memory), so the TWS query keeps RocksDB + its
+        # partition count and the session_window query keeps the
+        # default store + 2 partitions, exactly as the serial runs did.
         with rocksdb_state_store(spark):
             s = session_close_tws(
                 cohort(read_events_stream(spark, sf_dir)),
                 gap="10 minutes",
                 watermark="0 seconds",
             )
-            run_to_memory(
+            h_tws = start_to_memory(
                 s,
                 "q_tws_sess_par_sink",
                 output_mode="append",
@@ -3025,9 +3034,18 @@ def _maybe_register_tws_session_parity() -> None:
                 "n_events",
             )
         )
-        run_to_memory(
-            sw, "q_sw_sess_par_sink", output_mode="append", shuffle_partitions=2
-        )
+        try:
+            h_sw = start_to_memory(
+                sw,
+                "q_sw_sess_par_sink",
+                output_mode="append",
+                shuffle_partitions=2,
+            )
+        except Exception:
+            finish_to_memory(h_tws[0], "q_tws_sess_par_sink", *h_tws[1:])
+            raise
+        finish_to_memory(h_tws[0], "q_tws_sess_par_sink", *h_tws[1:])
+        finish_to_memory(h_sw[0], "q_sw_sess_par_sink", *h_sw[1:])
         # merge the two streams' phase durations under this query's
         # canonical sink key so the bench floor decomposition sees the
         # combined addBatch instead of falling back to wall time

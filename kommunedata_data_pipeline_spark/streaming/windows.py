@@ -231,29 +231,23 @@ LAST_RUN_DURATIONS: dict[str, dict[str, int]] = {}
 LAST_RUN_STATE: dict[str, list[dict]] = {}
 
 
-def run_to_memory(
+def start_to_memory(
     stream_df: DataFrame,
     name: str,
     output_mode: str = "append",
     shuffle_partitions: int | None = 8,
 ):
-    """Drive a streaming query to completion against the available data
-    (real streaming execution, synchronous): memory sink +
-    processAllAvailable; returns the stopped query. Results:
-    ``spark.sql(f"SELECT * FROM {name}")``.
-
-    ``shuffle_partitions`` is scoped to the query start: a stateful
-    streaming op creates ONE state store instance per shuffle partition,
-    and that count is fixed at the first checkpoint forever — under the
-    driver's shuffle.partitions=200 session every micro-batch would pay
-    200 state-store tasks for a 15-key stream. Measured on the test
-    corpus (tmpfs checkpoints): per-partition state-store task overhead
-    dominates down to 2 partitions for JVM-stateful ops (window aggs,
-    stream-stream join; 4→2 saved ~0.35 s/query, 2→1 noise), while
-    Arrow/Pandas-stateful ops want 8+ (the Python worker pool is the
-    scarce resource, not store commits). A real deployment sizes it to
-    key cardinality × executor count once, up front. None = inherit
-    the session conf."""
+    """START a memory-sink streaming query under the run_to_memory
+    conf discipline and return ``(query, finalize, ckpt)`` WITHOUT
+    draining it — the overlap half of `run_to_memory` (guide §2.6:
+    independent jobs in one application run concurrently; a parity
+    check that drives two independent streams serially leaves the
+    cluster idle for the whole second lifecycle). The session confs
+    (shuffle partitions, no-data micro-batches) are set only around
+    `.start()`: a streaming query CLONES the session at start, so the
+    restore cannot leak into a query that is already running, and two
+    starts with different partition counts each keep their own.
+    Callers must pass the returned triple to `finish_to_memory`."""
     import os
     import shutil
     import uuid
@@ -291,6 +285,23 @@ def run_to_memory(
         if ckpt:
             writer = writer.option("checkpointLocation", ckpt)
         q = writer.queryName(name).start()
+    except Exception:
+        if ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        raise
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set(part_key, prev_parts)
+        spark.conf.set(nodata_key, prev_nodata)
+    return q, finalize, ckpt
+
+
+def finish_to_memory(q, name: str, finalize: bool, ckpt: str | None):
+    """Drain, stash and stop a query started by `start_to_memory` —
+    the second half of `run_to_memory`'s body, verbatim."""
+    import shutil
+
+    try:
         q.processAllAvailable()
         # The watermark-advancing no-data batch commits asynchronously
         # and can race with stop(). Wait for a zero-input batch that
@@ -344,12 +355,42 @@ def run_to_memory(
             pass
         q.stop()
     finally:
-        if shuffle_partitions is not None:
-            spark.conf.set(part_key, prev_parts)
-        spark.conf.set(nodata_key, prev_nodata)
         if ckpt:
             shutil.rmtree(ckpt, ignore_errors=True)
     return q
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = 8,
+):
+    """Drive a streaming query to completion against the available data
+    (real streaming execution, synchronous): memory sink +
+    processAllAvailable; returns the stopped query. Results:
+    ``spark.sql(f"SELECT * FROM {name}")``.
+
+    ``shuffle_partitions`` is scoped to the query start: a stateful
+    streaming op creates ONE state store instance per shuffle partition,
+    and that count is fixed at the first checkpoint forever — under the
+    driver's shuffle.partitions=200 session every micro-batch would pay
+    200 state-store tasks for a 15-key stream. Measured on the test
+    corpus (tmpfs checkpoints): per-partition state-store task overhead
+    dominates down to 2 partitions for JVM-stateful ops (window aggs,
+    stream-stream join; 4→2 saved ~0.35 s/query, 2→1 noise), while
+    Arrow/Pandas-stateful ops want 8+ (the Python worker pool is the
+    scarce resource, not store commits). A real deployment sizes it to
+    key cardinality × executor count once, up front. None = inherit
+    the session conf.
+
+    Composed from `start_to_memory` + `finish_to_memory` so that
+    callers with several INDEPENDENT streams can start them all and
+    drain them together instead of paying serial lifecycles."""
+    q, finalize, ckpt = start_to_memory(
+        stream_df, name, output_mode, shuffle_partitions
+    )
+    return finish_to_memory(q, name, finalize, ckpt)
 
 
 def foreach_batch_idempotent_sink(
