@@ -58,16 +58,6 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
-# Suite-scoped shingle cache (SPARK_GRAFT_CACHE_TABLES=1, set by bench.py):
-# the capped and uncapped Jaccard queries share the same exploded shingle
-# base; persisting it once halves their combined cost. Keyed by the input
-# DataFrame object (held live — a bare id() could be recycled by the
-# allocator and alias a different frame); a new input for the same k
-# evicts and unpersists the previous entry, so at most one shingle table
-# is pinned per k. Off by default.
-_SHINGLE_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
-
-
 def _safe_unpersist(df: DataFrame) -> None:
     """Unpersist an evicted cache entry, tolerating a stopped session:
     a process that runs sequential SparkSessions (notebooks, test
@@ -82,7 +72,7 @@ def _safe_unpersist(df: DataFrame) -> None:
 
 # Generic one-slot keyed cache for frames an operator reads several times
 # within one plan (both sides of a self-join, long/short splits, verify
-# joins). Same lifecycle discipline as _SHINGLE_CACHE/_SIG_CACHE: at most
+# joins). Same lifecycle discipline as _SIG_CACHE: at most
 # ONE cached frame is pinned per slot, and a new source DataFrame evicts
 # AND unpersists the previous one — a bare per-call .cache() with no
 # eviction leaked one pinned table per invocation under the stress
@@ -164,26 +154,17 @@ def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     The input is spread first (_ensure_parallel): the shingle explode
     multiplies rows by document length and must not be bound to a
     narrow upstream partitioning (single-file parquet reads and
-    checkpointed synthetics arrive in 1-2 partitions)."""
-    import os
-
-    cache_on = os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
-    hit = _SHINGLE_CACHE.get(k)
-    if cache_on and hit is not None and hit[0] is documents:
-        return hit[1]
-    sh = (
+    checkpointed synthetics arrive in 1-2 partitions). Never persisted
+    here: callers that read the shingle table more than once within ONE
+    plan cache it themselves (identity-keyed one-slot caches below), so
+    nothing is shared across queries."""
+    return (
         _ensure_parallel(documents)
         .select(
             "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("shingle")
         )
         .distinct()
     )
-    if cache_on:
-        if hit is not None:
-            _safe_unpersist(hit[1])
-        sh = sh.persist()
-        _SHINGLE_CACHE[k] = (documents, sh)
-    return sh
 
 
 _NGRAM_SH_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
@@ -477,7 +458,9 @@ def minhash_lsh_pairs(
     )
 
 
-# Signature cache with the same suite-scoped lifecycle as _SHINGLE_CACHE:
+# Signature cache, identity-keyed on the input frame (so it only ever
+# reuses WITHIN one query invocation — load_table returns a fresh frame
+# per call, and a different input evicts + unpersists):
 # the banded self-join reads the signature table twice (both join sides
 # compute it independently — no shuffle precedes the join, so nothing is
 # reused without a persist), and three registered queries plus the stress
