@@ -4533,9 +4533,22 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kommunedata_data_pipeline_spark.operators.dedup import dedup_exact
 
+    from kommunedata_data_pipeline_spark.functions.expr import pin_columns
+
     d = _t(spark, sf_dir, "documents")
-    kept = d.where(lang_guess(F.col("text")) != "unknown").where(
-        quality_score(F.col("text")) >= 0.71
+    # PIN the two gate scores (functions.expr.pin_columns): as bare
+    # where() predicates the optimizer pushes both inlined expressions
+    # below the spread exchange into the serial scan stage
+    kept = (
+        pin_columns(
+            d,
+            {
+                "__lang": lang_guess(F.col("text")),
+                "__q": quality_score(F.col("text")),
+            },
+        )
+        .where((F.col("__lang") != "unknown") & (F.col("__q") >= 0.71))
+        .drop("__lang", "__q")
     )
     ded = dedup_exact(kept).select("doc_id", "text")
     return cut_duplicated_spans(ded, n=5, min_count=2).orderBy("doc_id")

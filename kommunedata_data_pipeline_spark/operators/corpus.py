@@ -884,7 +884,13 @@ def chunk_dedup_keep_first(
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    base = toks.select("doc_id", chunk_arr.alias("chunks"))
+    # PIN the chunk array (see cdc_chunk_arrays): the posexplode below
+    # otherwise infers size/isnotnull filters that inline this whole
+    # slice-per-chunk expression below the spread exchange (serial scan
+    # stage) and re-evaluate it above.
+    from ..functions.expr import pin_columns
+
+    base = pin_columns(toks, {"chunks": chunk_arr}, keep=["doc_id"])
     occ = base.select(
         "doc_id", F.posexplode("chunks").alias("ci", "chunk")
     ).withColumn("k", F.col("doc_id") * 1_000_000 + F.col("ci"))
@@ -1532,8 +1538,17 @@ def cdc_chunk_arrays(
             ),
         ),
     )
-    return base.where(n > 0).select(
-        "doc_id", "source", chunks.alias("chunks")
+    # PIN the chunk expression (functions.expr.pin_columns): downstream
+    # explodes infer `size(chunks) > 0 AND isnotnull(chunks)` and the
+    # optimizer would inline this whole md5-per-token expression into a
+    # filter pushed below the spread exchange — evaluated serially in
+    # the narrow scan stage and then again up here (the r8
+    # generator-pushdown gotcha; measured 7.1 s -> sub-second on
+    # q_cdc_dedup at sf0.1, OPTIMIZATION_r12.md).
+    from ..functions.expr import pin_columns
+
+    return pin_columns(
+        base.where(n > 0), {"chunks": chunks}, keep=["doc_id", "source"]
     )
 
 

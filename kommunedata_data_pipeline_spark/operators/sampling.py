@@ -319,14 +319,22 @@ def token_budget_select(
     fully parallel — with the bucket offset added. Global cum =
     bucket-exclusive-prefix + within-bucket inclusive prefix because
     the order (quality DESC, key) sorts bucket-contiguously."""
+    from ..functions.expr import pin_columns
     from ..functions.text import quality_score
 
-    n_tok = token_count(F.col(text_col))
-    scored = documents.select(
-        key_col,
-        "source",
-        n_tok.cast("bigint").alias("n_tokens"),
-        quality_score(F.col(text_col)).alias("quality"),
+    # PIN quality (functions.expr.pin_columns): the bucket-offset join
+    # below is keyed on it, so the optimizer infers isnotnull(quality),
+    # inlines the whole composite-score expression into that filter and
+    # pushes it below the spread exchange — evaluated serially in the
+    # scan stage and again up here. Pinned, it evaluates once per side,
+    # parallel.
+    scored = pin_columns(
+        documents,
+        {
+            "n_tokens": token_count(F.col(text_col)).cast("bigint"),
+            "quality": quality_score(F.col(text_col)),
+        },
+        keep=[key_col, "source"],
     )
     wb = Window.orderBy(F.desc("quality")).rowsBetween(
         Window.unboundedPreceding, -1
@@ -438,12 +446,18 @@ def curriculum_schedule(
     plus the bucket offset. The epoch fan-out is an explode of
     sequence(tile, n_tiles) (a doc admitted by its tile and every later
     epoch), then one map-side-combinable aggregate keyed by epoch."""
+    from ..functions.expr import pin_columns
     from ..functions.text import quality_score, token_count
 
-    scored = documents.select(
-        key_col,
-        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
-        quality_score(F.col(text_col)).alias("quality"),
+    # PIN quality — same isnotnull-inference pushdown as
+    # token_budget_select (the rank join below is keyed on quality)
+    scored = pin_columns(
+        documents,
+        {
+            "n_tokens": token_count(F.col(text_col)).cast("bigint"),
+            "quality": quality_score(F.col(text_col)),
+        },
+        keep=[key_col],
     )
     wb = Window.orderBy(F.desc("quality")).rowsBetween(
         Window.unboundedPreceding, -1

@@ -324,18 +324,15 @@ def ann_index_update(
             F.col("b.embedding").alias("emb_b"),
         )
     )
-    pairs = (
-        ni.unionByName(nn)
-        .dropDuplicates(["vec_a", "vec_b"])
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 5).alias(
-                "cosine_sim"
-            ),
-        )
-        .where(F.col("cosine_sim") >= threshold)
-    )
+    from ..functions.expr import pin_columns
+
+    # PIN the verify cosine so the threshold filter binds the computed
+    # value instead of inlining the dot product twice (filter + project)
+    pairs = pin_columns(
+        ni.unionByName(nn).dropDuplicates(["vec_a", "vec_b"]),
+        {"cosine_sim": F.round(cosine(F.col("emb_a"), F.col("emb_b")), 5)},
+        keep=["vec_a", "vec_b"],
+    ).where(F.col("cosine_sim") >= threshold)
     return pairs, base_index.unionByName(new_bands)
 
 
@@ -352,21 +349,27 @@ def embedding_near_dup_pairs(
     only pairs straddling a sign flip in the first nbits dims; raise recall
     by unioning a second bucket over dims nbits..2*nbits (multi-probe), at
     one extra shuffle."""
+    from ..functions.expr import pin_columns
+
     b = embeddings.select(
         "vec_id", "embedding", sign_bucket(F.col("embedding"), nbits).alias("bucket")
     )
     a, c = b.alias("a"), b.alias("b")
-    return (
-        a.join(c, "bucket")
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 5).alias(
-                "cosine_sim"
+    cand = a.join(c, "bucket").where(F.col("a.vec_id") < F.col("b.vec_id"))
+    # PIN the verify cosine (see ann_index_update): one evaluation per
+    # candidate instead of filter + projection copies
+    return pin_columns(
+        cand,
+        {
+            "cosine_sim": F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")), 5
             ),
-        )
-        .where(F.col("cosine_sim") >= threshold)
+            "vec_a": F.col("a.vec_id"),
+            "vec_b": F.col("b.vec_id"),
+        },
+        keep=[],
+    ).select("vec_a", "vec_b", "cosine_sim").where(
+        F.col("cosine_sim") >= threshold
     )
 
 
@@ -783,10 +786,16 @@ def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding") -> Da
 
         return F.when(absmax > 0, let(absmax / F.lit(127.0), _with_scale))
 
+    from ..functions.expr import pin_columns
+
     return (
-        embeddings.select(
-            "vec_id",
-            let(F.col(vec_col), _q).alias("__s"),
+        # PIN the quantization struct: the isNotNull filter below would
+        # otherwise inline the whole three-fold expression into a
+        # predicate pushed under the spread exchange (serial scan
+        # stage) and re-evaluate it in the projection (r8
+        # generator-pushdown shape; see functions.expr.pin_columns)
+        pin_columns(
+            embeddings, {"__s": let(F.col(vec_col), _q)}, keep=["vec_id"]
         )
         # all-zero vectors have no scale; drop them (oracle: WHERE scale > 0)
         .where(F.col("__s").isNotNull())
