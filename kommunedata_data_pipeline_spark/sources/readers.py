@@ -33,14 +33,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     query)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in ("orders", "events", "documents", "embeddings"):
         # Fact tables in this testdata are single-row-group files = ONE
         # input split (parquet can't split below a row group), so every
@@ -66,6 +59,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         target = spark.sparkContext.defaultParallelism
         if _estimated_splits(spark, f"{sf_dir}/{name}.parquet") < target:
             df = df.repartition(target)
+    if name == "events":
+        # ts normalization ABOVE the spread exchange (it lands below
+        # only when the scan is single-split, i.e. exactly when below
+        # means serial): the exchange carries the same 8 bytes either
+        # way, and the conversion runs at full parallelism.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

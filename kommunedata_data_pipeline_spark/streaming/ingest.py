@@ -1208,8 +1208,17 @@ def substring_dedup_ingest(
         lo, hi = _batch_id_range(batch, "doc_id")
         if lo is None:
             return
-        grams = char_gram_hashes(batch, min_len).localCheckpoint(
-            eager=False
+        # ONE gram-table shuffle per batch: hash-partition the grams by
+        # their key BEFORE the shared checkpoint. localCheckpoint
+        # preserves the partitioning, so BOTH downstream gram-scale
+        # consumers — the first-occurrence groupBy and the coverage
+        # join — plan ZERO further exchanges over gram rows (previously
+        # each paid its own (h1, h2) exchange; guide §2.4 "two
+        # operations keyed the same way share one exchange").
+        grams = (
+            char_gram_hashes(batch, min_len)
+            .repartition("h1", "h2")
+            .localCheckpoint(eager=False)
         )
         firsts = grams.groupBy("h1", "h2").agg(
             F.min("doc_id").alias("min_doc")
@@ -1260,8 +1269,12 @@ def substring_dedup_ingest(
                 F.col("min_doc"), F.coalesce("stored_min", F.col("min_doc"))
             ).alias("min_doc"),
         )
+        # both sides already hash-partitioned by (h1, h2) — the
+        # SHUFFLE_HASH hint turns the exchange-free join into a hash
+        # build on the batch-distinct lookup side instead of paying two
+        # gram-scale sorts for a sort-merge join
         covered = (
-            grams.join(lookup, ["h1", "h2"])
+            grams.join(lookup.hint("shuffle_hash"), ["h1", "h2"])
             .where(F.col("min_doc") < F.col("doc_id"))
             .select("doc_id", "p")
         )
