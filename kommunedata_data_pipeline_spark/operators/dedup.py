@@ -155,9 +155,9 @@ def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     multiplies rows by document length and must not be bound to a
     narrow upstream partitioning (single-file parquet reads and
     checkpointed synthetics arrive in 1-2 partitions). Never persisted
-    here: callers that read the shingle table more than once within ONE
-    plan cache it themselves (identity-keyed one-slot caches below), so
-    nothing is shared across queries."""
+    here: callers whose PLAN reads the shingle table more than once use
+    `_cached_shingles` (identity-keyed one-slot cache), so nothing is
+    shared across queries."""
     return (
         _ensure_parallel(documents)
         .select(
@@ -167,7 +167,18 @@ def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-_NGRAM_SH_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+def _cached_shingles(documents: DataFrame, k: int) -> DataFrame:
+    """`doc_shingles` pinned for plans that consume it several times
+    (self-join sides, size/df-cap aggregations): without the pin, every
+    reference re-runs the explode+distinct from the scan — the r12
+    scan-cache removal made that 3-4 full recomputes per query
+    (measured: q_containment_pairs 3.5 s -> 1.3 s at sf0.1).
+    Identity-keyed on the input frame, so reuse never crosses queries."""
+    return one_slot_cached(
+        f"shingles:{k}", documents, lambda: doc_shingles(documents, k)
+    )
+
+
 
 
 def ngram_jaccard_pairs(
@@ -184,20 +195,9 @@ def ngram_jaccard_pairs(
     quadratic hot key; this is the standard frequency-cap trick and only
     loosens recall on docs made *entirely* of boilerplate.
     """
-    sh = doc_shingles(documents, k)
-    if not sh.is_cached:
-        # same one-slot lifecycle as _SIG_CACHE: the shingle table feeds
-        # three consumers below (sizes, both self-join sides), so it must
-        # persist, but a new input evicts the previous pin instead of
-        # accumulating one cached table per call
-        hit = _NGRAM_SH_CACHE.get(k)
-        if hit is not None and hit[0] is documents:
-            sh = hit[1]
-        else:
-            if hit is not None:
-                _safe_unpersist(hit[1])
-            sh = sh.cache()
-            _NGRAM_SH_CACHE[k] = (documents, sh)
+    # the shingle table feeds three consumers below (sizes, both
+    # self-join sides) — pinned via the shared one-slot cache
+    sh = _cached_shingles(documents, k)
     if df_cap is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > df_cap).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
@@ -286,7 +286,13 @@ def prefix_filter_jaccard_pairs(
             F.conv(F.substring(mh, 9, 8), 16, 10).cast("bigint")
         ),
     )
-    sh = doc_shingles(documents, k).select("doc_id", hx.alias("h"))
+    # two consumers (df groupBy + the pack join) — pin the HASHED frame
+    # so the explode+distinct+md5 runs once, not per reference
+    sh = one_slot_cached(
+        f"prefix_sh:{k}",
+        documents,
+        lambda: doc_shingles(documents, k).select("doc_id", hx.alias("h")),
+    )
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # pack each doc ONCE on the doc_id shuffle: globally-ordered token
     # array + size; prefixes slice off the front, verification
@@ -663,7 +669,8 @@ def minhash_accuracy_audit(
         6,
     )
     pairs = cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
-    sh = doc_shingles(documents, k)
+    # three consumers (sizes + both candidate-attach joins) — pinned
+    sh = _cached_shingles(documents, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # intersection size: attach a's shingle set to each candidate pair,
     # then equi-join on (doc_b, shingle) — each surviving row is one
@@ -1422,7 +1429,9 @@ def shingle_containment_pairs(
     never have its containment inflated past the threshold. Same
     100 TB properties: shingles shard uniformly, the df-cap bounds
     per-key fan-out, nothing is all-pairs."""
-    sh = doc_shingles(documents, k)
+    # four consumers of the shingle table (sizes, df-cap count, both
+    # self-join sides) — pinned, or each re-runs the explode+distinct
+    sh = _cached_shingles(documents, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if df_cap is not None:
         hot = (

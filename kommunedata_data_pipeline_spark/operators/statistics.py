@@ -34,19 +34,32 @@ def gini_skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
     job. Integer rank·count products keep the sum exact; the only float
     is the final division, rounded to 6 dp.
     """
-    parts = []
-    for c in cols:
-        freq = (
-            df.select(F.col(c).alias("k"))
-            .where(F.col("k").isNotNull())
-            .groupBy("k")
-            .agg(F.count(F.lit(1)).alias("f"))
-            .select(F.lit(c).alias("col_name"), "f", F.col("k").cast("string").alias("ks"))
+    # ONE pass over the table for every requested column (guide §1.2:
+    # fewer passes beats per-stage tuning): unpivot each row into
+    # (col_name, key-as-string) pairs and run a single combinable
+    # groupBy, instead of one scan + one shuffle per column. Grouping on
+    # the string form is count-identical (the cast is injective per
+    # column); the original grouped native and cast only for the
+    # tiebreak.
+    allfreq = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            F.col(c).cast("string").alias("ks"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("x")
         )
-        parts.append(freq)
-    allfreq = parts[0]
-    for p in parts[1:]:
-        allfreq = allfreq.unionByName(p)
+        .select("x.col_name", "x.ks")
+        .where(F.col("ks").isNotNull())
+        .groupBy("col_name", "ks")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
     w = Window.partitionBy("col_name").orderBy("f", "ks")
     ranked = allfreq.select(
         "col_name", "f", F.row_number().over(w).alias("i")

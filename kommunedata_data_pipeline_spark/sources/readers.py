@@ -54,8 +54,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #
         # lineitem stays single-split: one-shot, a map-side partial agg
         # over one 600k-row split beats paying the full-table shuffle
-        # before any reduction (measured r2; re-confirmed when the r12
-        # scan-cache removal made every load one-shot again).
+        # before any reduction (measured r2; re-confirmed r12 after the
+        # scan-cache removal: repartitioning lineitem at load read
+        # q21 1.84->3.82s, q11 0.89->1.16s, q1 ~flat in a same-session
+        # A/B — reverted).
         target = spark.sparkContext.defaultParallelism
         if _estimated_splits(spark, f"{sf_dir}/{name}.parquet") < target:
             df = df.repartition(target)
