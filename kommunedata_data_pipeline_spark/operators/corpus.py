@@ -1236,9 +1236,23 @@ def dsir_select(
     ).withColumn(
         "bucket", F.pmod(md5_bigint(F.col("token")), F.lit(n_buckets))
     )
-    counts = toks.groupBy("bucket").agg(
-        F.sum(F.col("__tgt")).alias("c_t"),
-        F.sum(1 - F.col("__tgt")).alias("c_s"),
+    # ONE token pass: reduce the token stream to the per-(doc, bucket)
+    # histogram first (map-side combinable, <= n_buckets rows per doc)
+    # and pin it — both the model counts and the raw scoring below are
+    # integer rollups of this frame, so the tokenize+explode never
+    # re-runs (previously each consumer re-scanned: 2 full passes).
+    from .dedup import one_slot_cached
+
+    hist = one_slot_cached(
+        f"dsir_hist:{n_buckets}:{text_col}",
+        documents,
+        lambda: toks.groupBy("doc_id", "__tgt", "bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    counts = hist.groupBy("bucket").agg(
+        F.sum(F.col("n") * F.col("__tgt")).alias("c_t"),
+        F.sum(F.col("n") * (1 - F.col("__tgt"))).alias("c_s"),
     )
     totals = counts.agg(
         F.sum("c_t").alias("tot_t"), F.sum("c_s").alias("tot_s")
@@ -1262,12 +1276,12 @@ def dsir_select(
         )
     )
     raw_scores = (
-        toks.where(F.col("__tgt") == 0)
+        hist.where(F.col("__tgt") == 0)
         .join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.sum("w_micro").alias("score_micro"),
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("w_micro") * F.col("n")).alias("score_micro"),
+            F.sum("n").alias("n_tokens"),
         )
     )
     return (

@@ -133,6 +133,9 @@ def tfidf_knn(
             F.split(normalized_text(F.col(text_col)), " ")
         ).alias("term"),
     ).where(F.col("term") != "")
+    # NOT pinned: an r12 A/B read the pinned-postings variant at the
+    # same-or-worse wall (the tokenize is cheap and the 4 parallel
+    # scan pipelines beat one cache materialization + 3 memory reads)
     tf = toks.groupBy("doc_id", "__q", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
