@@ -13767,6 +13767,23 @@ def q_stream_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
+        # stash per-phase durations under the bench's canonical sink
+        # key so exec reflects addBatch instead of falling back to wall
+        try:
+            import json as _json
+
+            from kommunedata_data_pipeline_spark.streaming.windows import (
+                LAST_RUN_DURATIONS,
+            )
+
+            _phases: dict = {}
+            for _p in q.recentProgress:
+                _d = _json.loads(_p.json) if hasattr(_p, "json") else _p
+                for _k, _v in (_d.get("durationMs") or {}).items():
+                    _phases[_k] = _phases.get(_k, 0) + int(_v)
+            LAST_RUN_DURATIONS["q_stream_table_cdc_sink"] = _phases
+        except Exception:
+            pass
         res = (
             spark.read.parquet(os.path.join(base, "out"))
             .groupBy(
