@@ -640,15 +640,23 @@ def test_prototype_classify_map_side_assignment(spark):
 
 
 def test_cdc_dedup_no_pre_aggregate_explode_no_udf(spark):
-    """cdc_dedup: chunking is pure array expressions (the only Generate
-    is the chunk-stream explode feeding the aggregate), the chunk
-    aggregate partially combines map-side, and nothing runs in Python."""
+    """cdc_dedup: chunking is pure array expressions, the chunk
+    aggregate partially combines map-side, and nothing runs in Python.
+    Exactly ONE row-multiplying generator (the chunk-stream explode);
+    the additional 1:1 Generate is the r12 `pin_columns` barrier that
+    keeps the md5-per-token chunker out of pushed filter conditions
+    (functions/expr.py)."""
     p = _plan(spark, "q_cdc_dedup")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    assert p.count("Generate") <= 2  # tree + detail of ONE explode
+    # one row-multiplying explode: the chunk stream (explode(chunks) —
+    # every other explode in the plan is the pin's explode(array(...)))
+    assert p.count("explode(chunks") == 1
     assert "partial_count" in p or "HashAggregate" in p
+    # the pin's whole point: no pushed filter re-states the chunker
+    for cond in re.findall(r"Condition : (.*)", p):
+        assert "md5" not in cond
 
 
 def test_token_budget_no_global_window(spark):
