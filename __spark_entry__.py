@@ -13756,6 +13756,15 @@ def q_stream_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["doc_id"],
             mode="dv",
         )
+        # Drop any previous attempt's phase stash BEFORE starting (the
+        # windows.py runner's stale-stash discipline): if the stash
+        # below fails, bench.py must fall back to wall, not silently
+        # reuse the prior attempt's addBatch durations (ADVICE r12).
+        from kommunedata_data_pipeline_spark.streaming.windows import (
+            LAST_RUN_DURATIONS as _DURS,
+        )
+
+        _DURS.pop("q_stream_table_cdc_sink", None)
         q = (
             read_table_changes_stream(spark, path)
             .writeStream.format("parquet")

@@ -271,27 +271,60 @@ def main() -> None:
         "failed": failed,
         "sf": sf_val,
     }
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
-    with open(sidecar, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
-    print(json.dumps(detail), file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "value_exec": total_exec,
-                "unit": "sec",
-                "queries": {},
-                "queries_file": "BENCH_QUERIES.json",
-                "n_queries": len(timings),
-                "n_failed": len(failed),
-                "failed": failed,
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Two sidecars: the unsuffixed name is the stable path scripts read
+    # (ab_snapshot, judge_ratio), the cpu-suffixed one survives the
+    # driver's second scale-down run — r12's 8-core leg OVERWROTE the
+    # 32-core per-query record (VERDICT r12 "what's wrong" #1).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    for fname in ("BENCH_QUERIES.json", f"BENCH_QUERIES_c{cpus}.json"):
+        with open(os.path.join(here, fname), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail), file=sys.stderr, flush=True)
+    # stdout line: the driver keeps only the LAST ~2000 chars of output
+    # and parses the final JSON line (r1: a 2.4 KB line came back
+    # "parsed": null), so the full 293-query dict cannot ride on stdout.
+    # Ship the HEAVIEST queries inline — wall + exec for the same names,
+    # most-expensive first — growing the line until a hard byte budget;
+    # the driver gets per-query deltas/scaling for every query that
+    # matters while the tail (<1 s each) stays in the sidecars. This is
+    # additions-only vs the r1-r12 contract (queries was {} on stdout).
+    base = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "value_exec": total_exec,
+        "unit": "sec",
+        "queries": {},
+        "exec_queries": {},
+        "queries_file": "BENCH_QUERIES.json",
+        "n_queries": len(timings),
+        "n_queries_shown": 0,
+        "n_failed": len(failed),
+        "failed": failed,
+        "sf": sf_val,
+    }
+    budget = 1900
+    by_cost = sorted(
+        (n for n, t in timings.items() if t >= 0),
+        key=lambda n: -timings[n],
     )
+    shown: dict[str, float] = {}
+    shown_exec: dict[str, float] = {}
+    for n in by_cost:
+        shown[n] = timings[n]
+        shown_exec[n] = exec_timings[n]
+        trial = dict(base, queries=shown, exec_queries=shown_exec,
+                     n_queries_shown=len(shown))
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            del shown[n], shown_exec[n]
+            break
+    base.update(
+        queries=shown, exec_queries=shown_exec, n_queries_shown=len(shown)
+    )
+    # stderr flushed first, stdout flushed here: the driver's capture
+    # merges both streams and keeps the tail — the parseable line must
+    # be LAST in the merged order, not just last on its own stream.
+    print(json.dumps(base, separators=(",", ":")), flush=True)
     spark.stop()
 
 

@@ -52,6 +52,12 @@ def pin_columns(
 
     ``keep``: pass-through columns (default: all of ``df``'s)."""
     keep = list(df.columns) if keep is None else keep
+    # Name-collision guards (ADVICE r12): a '__pinned' pass-through or a
+    # pinned name shadowing a kept column would produce duplicate /
+    # ambiguous output columns with a confusing downstream error.
+    assert "__pinned" not in keep, "pin_columns: '__pinned' collides with keep"
+    overlap = set(exprs) & set(keep)
+    assert not overlap, f"pin_columns: exprs shadow kept columns {sorted(overlap)}"
     packed = F.explode(
         F.array(F.struct(*[e.alias(n) for n, e in exprs.items()]))
     )

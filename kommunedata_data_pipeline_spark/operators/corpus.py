@@ -1243,8 +1243,12 @@ def dsir_select(
     # re-runs (previously each consumer re-scanned: 2 full passes).
     from .dedup import one_slot_cached
 
+    # The slot key must carry target_pred: the cached hist bakes __tgt
+    # in, so two calls on the SAME frame object with different
+    # predicates are different computations (ADVICE r12: omitting it
+    # silently returned the first predicate's selection).
     hist = one_slot_cached(
-        f"dsir_hist:{n_buckets}:{text_col}",
+        f"dsir_hist:{n_buckets}:{text_col}:{target_pred}",
         documents,
         lambda: toks.groupBy("doc_id", "__tgt", "bucket").agg(
             F.count(F.lit(1)).alias("n")

@@ -75,33 +75,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _estimated_splits(spark: SparkSession, path: str) -> int:
-    """Driver-side estimate of the scan's input-split count:
-    ceil(total bytes / spark.sql.files.maxPartitionBytes). Exact for the
-    single-file tables here; a lower bound for multi-file directories
-    (openCostInBytes padding ignored), which only errs toward adding
-    parallelism to small scans."""
+    """Driver-side estimate of the scan's input-split count, mirroring
+    Spark's FilePartition.maxSplitBytes math (ADVICE r12): the actual
+    split size is  min(maxPartitionBytes, max(openCostInBytes,
+    (totalBytes + nFiles*openCost) / defaultParallelism)) , NOT a flat
+    maxPartitionBytes — for mid-size files Spark already scans in
+    parallel via the bytesPerCore term, and a flat-divisor estimate
+    would trigger an unnecessary full repartition shuffle. Still a
+    per-FILE ceiling-sum like Spark's packing (a split never spans
+    files); row-group granularity is ignored, so single-row-group files
+    can over-count — acceptable: it only errs toward a repartition of a
+    file Spark *thinks* it can split but can't."""
     import os
 
-    def _bytes(p: str) -> int:
+    def _sizes(p: str) -> list[int]:
         if os.path.isdir(p):
-            return sum(
-                _bytes(os.path.join(p, f))
-                for f in os.listdir(p)
-                if not f.startswith(("_", "."))
-            )
+            out: list[int] = []
+            for f in os.listdir(p):
+                if not f.startswith(("_", ".")):
+                    out.extend(_sizes(os.path.join(p, f)))
+            return out
         try:
-            return os.path.getsize(p)
+            return [os.path.getsize(p)]
         except OSError:
-            return 0
+            return []
 
-    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
-    s = raw.strip().lower().removesuffix("b")
-    mult = units.get(s[-1:], 1)
-    if mult != 1:
-        s = s[:-1]
-    max_bytes = max(1, int(float(s)) * mult)
-    return max(1, -(-_bytes(path) // max_bytes))
+    def _conf_bytes(key: str, default: str) -> int:
+        raw = spark.conf.get(key, default)
+        units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+        s = raw.strip().lower().removesuffix("b")
+        mult = units.get(s[-1:], 1)
+        if mult != 1:
+            s = s[:-1]
+        return max(1, int(float(s)) * mult)
+
+    sizes = _sizes(path)
+    if not sizes:
+        return 1
+    max_bytes = _conf_bytes("spark.sql.files.maxPartitionBytes", "134217728")
+    open_cost = _conf_bytes("spark.sql.files.openCostInBytes", "4194304")
+    total_padded = sum(sizes) + open_cost * len(sizes)
+    bytes_per_core = total_padded // max(1, spark.sparkContext.defaultParallelism)
+    split = min(max_bytes, max(open_cost, bytes_per_core))
+    return sum(max(1, -(-sz // split)) for sz in sizes)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

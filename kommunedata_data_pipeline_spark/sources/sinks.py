@@ -1057,14 +1057,19 @@ def merge_upsert(
             )
         fresh = fresh.cache()
         try:
-            n = fresh.count()
+            # one stats job: row count + conflict ranges together
+            # (VERDICT r12 #5 — was two jobs on the cached frame)
+            r = fresh.agg(
+                F.count(F.lit(1)).alias("__n"), *_key_range_aggs(keys)
+            ).first()
+            n = int(r["__n"])
             if n == 0:
                 return 0
             if active:
                 _enforce_constraints(
                     _with_missing_nulls(fresh, merged), active
                 )
-            kr = _key_ranges(fresh, keys)
+            kr = _key_ranges_from_row(r, keys)
             added = _stage_part_files(fresh, path, pcols)
         finally:
             fresh.unpersist()
@@ -1183,14 +1188,11 @@ def _delete_staged(path: str, added: list[str]) -> None:
             pass
 
 
-def _key_ranges(frame: DataFrame, keys: list[str]) -> dict | None:
-    """{key col: [lo, hi]} over ``frame`` — the commit record's
-    conflict-detection ranges. None (= always-conflict, the
-    conservative value) when a key column holds nulls or a
-    non-JSON-comparable type (only int/float/str survive a JSON
-    round-trip with ordering intact; dates/timestamps would compare a
-    live object against a serialized string). One tiny agg job on an
-    already-cached/checkpointed frame."""
+def _key_range_aggs(keys: list[str]) -> list:
+    """The min/max/null-count aggregate columns `_key_ranges` needs —
+    exposed so a caller folding several per-commit stats into ONE job
+    (merge_update/merge_delete, VERDICT r12 next #5) can append these
+    to its own aggregation instead of paying a separate pass."""
     aggs = []
     for k in keys:
         aggs.append(F.min(k).alias(f"__lo_{k}"))
@@ -1198,7 +1200,12 @@ def _key_ranges(frame: DataFrame, keys: list[str]) -> dict | None:
         aggs.append(
             F.sum(F.col(k).isNull().cast("int")).alias(f"__n_{k}")
         )
-    r = frame.agg(*aggs).first()
+    return aggs
+
+
+def _key_ranges_from_row(r, keys: list[str]) -> dict | None:
+    """Parse `_key_range_aggs` output into the commit-record ranges
+    (same contract as `_key_ranges`)."""
     out = {}
     for k in keys:
         if r[f"__n_{k}"]:
@@ -1212,6 +1219,38 @@ def _key_ranges(frame: DataFrame, keys: list[str]) -> dict | None:
             return None
         out[k] = [lo, hi]
     return out
+
+
+def _merge_key_range_rows(rows, keys: list[str]) -> dict | None:
+    """Combine several `_key_range_aggs` rows (one per group of a
+    grouped stats job) into the global conflict ranges — same contract
+    as `_key_ranges` (None when any key holds nulls / a non-comparable
+    type / no rows)."""
+    out = {}
+    for k in keys:
+        if any(r[f"__n_{k}"] for r in rows):
+            return None
+        los = [r[f"__lo_{k}"] for r in rows if r[f"__lo_{k}"] is not None]
+        his = [r[f"__hi_{k}"] for r in rows if r[f"__hi_{k}"] is not None]
+        if not los:
+            return None
+        lo, hi = min(los), max(his)
+        if not isinstance(lo, (int, float, str)) or isinstance(lo, bool):
+            return None
+        out[k] = [lo, hi]
+    return out
+
+
+def _key_ranges(frame: DataFrame, keys: list[str]) -> dict | None:
+    """{key col: [lo, hi]} over ``frame`` — the commit record's
+    conflict-detection ranges. None (= always-conflict, the
+    conservative value) when a key column holds nulls or a
+    non-JSON-comparable type (only int/float/str survive a JSON
+    round-trip with ordering intact; dates/timestamps would compare a
+    live object against a serialized string). One tiny agg job on an
+    already-cached/checkpointed frame."""
+    r = frame.agg(*_key_range_aggs(keys)).first()
+    return _key_ranges_from_row(r, keys)
 
 
 def _ranges_disjoint(a: dict, b: dict) -> bool:
@@ -1368,8 +1407,10 @@ def merge_update(
     spark = df.sparkSession
     pcols = partition_cols or []
     # pin the batch once: it is re-joined and re-counted across
-    # attempts, and must not drift between the plan and the write
-    batch = df.dropDuplicates(keys).localCheckpoint(eager=True)
+    # attempts, and must not drift between the plan and the write.
+    # LAZY: the first consumer (the `work` materialization below)
+    # computes it — an eager checkpoint would pay a separate job.
+    batch = df.dropDuplicates(keys).localCheckpoint(eager=False)
 
     for attempt in range(max_retries):
         lst = _resolve_log(path)
@@ -1401,34 +1442,55 @@ def merge_update(
                 *[F.col(c).alias(f"__old_{c}") for c in data_cols],
                 F.col("__kdp_file").alias("__file"),
             )
-            j = batch.join(olds, keys, "inner")
             diff = ~F.struct(*[F.col(c) for c in data_cols]).eqNullSafe(
                 F.struct(*[F.col(f"__old_{c}") for c in data_cols])
             )
-            changed = (
-                j.where(diff)
+            # ONE snapshot pass + ONE materialization of exactly the
+            # rows this commit writes (VERDICT r12 next #5 — was: two
+            # snapshot scans into two checkpoints, then two counts, a
+            # distinct-collect and a range agg, each its own job): a
+            # LEFT join marks matches via __file (snapshot rows always
+            # carry scan provenance), unmatched batch rows are the
+            # inserts, matched rows count only when a value DIFFERS.
+            # LAZY checkpoint: the stats agg right below is the first
+            # action, so the materialization rides in that job instead
+            # of paying its own.
+            work = (
+                batch.join(olds, keys, "left")
+                .where(F.col("__file").isNull() | diff)
                 .select(*keys, *data_cols, "__file")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            inserts = batch.join(
-                snap.select(*keys), keys, "left_anti"
-            ).localCheckpoint(eager=True)
-            n_upd = changed.count()
-            n_ins = inserts.count()
+            # ONE stats job off the checkpointed frame: update/insert
+            # counts, the touched-file set and the conflict-detection
+            # ranges together (the ranges cover exactly the keys this
+            # commit WRITES — unchanged batch keys need no protection:
+            # not rewriting them already matches the read-version-first
+            # serial order).
+            r = work.agg(
+                F.sum(F.col("__file").isNotNull().cast("int")).alias(
+                    "__n_upd"
+                ),
+                F.sum(F.col("__file").isNull().cast("int")).alias(
+                    "__n_ins"
+                ),
+                F.collect_set("__file").alias("__files"),
+                *_key_range_aggs(keys),
+            ).first()
+            n_upd = int(r["__n_upd"] or 0)
+            n_ins = int(r["__n_ins"] or 0)
             if n_upd == 0 and n_ins == 0:
                 return (0, 0)
             if active:
                 # only the rows this commit WRITES need checking:
                 # keep-old rows were validated by their own commits
                 _enforce_constraints(
-                    changed.select(*keys, *data_cols).unionByName(
-                        inserts.select(*keys, *data_cols)
-                    ),
-                    active,
+                    work.select(*keys, *data_cols), active
                 )
-            rewrite_rel = sorted(
-                r["__file"]
-                for r in changed.select("__file").distinct().collect()
+            rewrite_rel = sorted(r["__files"])
+            changed = work.where(F.col("__file").isNotNull())
+            inserts = work.where(F.col("__file").isNull()).select(
+                *keys, *data_cols
             )
             changed_keys = changed.select(*keys).distinct()
             keep_old = (
@@ -1440,14 +1502,7 @@ def merge_update(
             staged_frame = keep_old.unionByName(
                 updates.select(*keep_old.columns)
             ).unionByName(inserts.select(*keep_old.columns))
-            # conflict-detection ranges cover exactly the keys this
-            # commit WRITES (changed + inserted) — unchanged batch keys
-            # need no protection: not rewriting them already matches
-            # the read-version-first serial order
-            kr = _key_ranges(
-                changed.select(*keys).unionByName(inserts.select(*keys)),
-                keys,
-            )
+            kr = _key_ranges_from_row(r, keys)
             schema_json = base_schema_json
         added = _stage_part_files(staged_frame, path, pcols)
         stats = _footer_stats(path, added)
@@ -1527,8 +1582,9 @@ def merge_delete(
         raise ValueError(f"merge_delete: unknown mode {mode!r}")
     spark = df.sparkSession
     pcols = partition_cols or []
+    # LAZY: materialized by the first stats agg that consumes it
     del_keys = (
-        df.select(*keys).dropDuplicates(keys).localCheckpoint(eager=True)
+        df.select(*keys).dropDuplicates(keys).localCheckpoint(eager=False)
     )
     for attempt in range(max_retries):
         lst = _resolve_log(path)
@@ -1542,13 +1598,30 @@ def merge_delete(
             marked = (
                 snap.join(del_keys, keys, "left_semi")
                 .select(*keys, "__kdp_file", "__kdp_pos")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            n_del = marked.count()
+            # ONE stats job, grouped by data file: per-file delete
+            # counts (they ride in the commit record), the total, and
+            # the conflict ranges all come out of this collect —
+            # previously a global agg + a re-read of the written
+            # sidecar paid two more jobs. The lazy checkpoint above
+            # materializes inside this same job.
+            rows = (
+                marked.groupBy("__kdp_file")
+                .agg(
+                    F.count(F.lit(1)).alias("__n_del"),
+                    *_key_range_aggs(keys),
+                )
+                .collect()
+            )
+            n_del = sum(int(r["__n_del"]) for r in rows)
             if n_del == 0:
                 return 0
-            kr = _key_ranges(marked.select(*keys), keys)
-            sidecar, file_counts = _stage_dv_sidecar(marked, path)
+            file_counts = {
+                r["__kdp_file"]: int(r["__n_del"]) for r in rows
+            }
+            kr = _merge_key_range_rows(rows, keys)
+            sidecar = _stage_dv_sidecar(marked, path)
             data_rels = sorted(file_counts)
             dv_added = [
                 (rel, sidecar, file_counts[rel]) for rel in data_rels
@@ -1579,23 +1652,31 @@ def merge_delete(
                 return n_del
             _delete_staged(path, [sidecar])
             continue
+        # only the keys + file provenance are consumed downstream —
+        # checkpoint the NARROW projection, and fold count + touched
+        # files + conflict ranges into ONE stats job (VERDICT r12 #5;
+        # was: a full-row checkpoint, a count, a distinct-collect and a
+        # range agg, each its own job)
         matched = (
             snap.join(del_keys, keys, "left_semi")
-            .localCheckpoint(eager=True)
+            .select(*keys, "__kdp_file")
+            .localCheckpoint(eager=False)
         )
-        n_del = matched.count()
+        r = matched.agg(
+            F.count(F.lit(1)).alias("__n_del"),
+            F.collect_set("__kdp_file").alias("__files"),
+            *_key_range_aggs(keys),
+        ).first()
+        n_del = int(r["__n_del"])
         if n_del == 0:
             return 0
-        rewrite_rel = sorted(
-            r["__kdp_file"]
-            for r in matched.select("__kdp_file").distinct().collect()
-        )
+        rewrite_rel = sorted(r["__files"])
         keep_old = (
             snap.where(F.col("__kdp_file").isin(rewrite_rel))
             .drop("__kdp_file", "__kdp_pos")
             .join(del_keys, keys, "left_anti")
         )
-        kr = _key_ranges(matched.select(*keys), keys)
+        kr = _key_ranges_from_row(r, keys)
         added = _stage_part_files(keep_old, path, pcols)
         stats = _footer_stats(path, added)
         if _test_hook is not None:
@@ -1628,16 +1709,15 @@ def merge_delete(
     )
 
 
-def _stage_dv_sidecar(
-    marked: DataFrame, path: str
-) -> tuple[str, dict[str, int]]:
+def _stage_dv_sidecar(marked: DataFrame, path: str) -> str:
     """Write one deletion-vector sidecar parquet under `_kdp_dv/` from
     a frame carrying __file (absolute scan URI) and __pos (row index)
-    — invisible until a commit's ``dv_added`` names it. Returns
-    (sidecar rel path, {data-file rel: rows deleted in it}) — the
-    per-file counts ride in the commit record so `metadata_count`
-    subtracts deletes without ever opening a sidecar.
-    Delete-sized: coalesce(1) is the correct layout."""
+    — invisible until a commit's ``dv_added`` names it. Returns the
+    sidecar rel path; the per-file delete counts the commit record
+    needs come from the caller's grouped stats job (the sidecar used
+    to be RE-READ here just to count per file — one extra job + a disk
+    read per delete). Delete-sized: coalesce(1) is the correct
+    layout."""
     import os
     import shutil
     import uuid
@@ -1662,16 +1742,7 @@ def _stage_dv_sidecar(
     shutil.rmtree(stage, ignore_errors=True)
     if sidecar_rel is None:
         raise RuntimeError("deletion-vector stage wrote no parquet")
-    spark = marked.sparkSession
-    file_counts: dict[str, int] = {}
-    for r in (
-        spark.read.parquet(os.path.join(path, sidecar_rel))
-        .groupBy("file")
-        .count()
-        .collect()
-    ):
-        file_counts[r["file"]] = r["count"]
-    return sidecar_rel, file_counts
+    return sidecar_rel
 
 
 def optimize_table(

@@ -1910,3 +1910,44 @@ def test_dsir_null_predicate_means_raw_pool(spark):
     # universe) — verify by selecting top_n=5 and finding it
     all5 = dsir_select(df, F.col("lang") == "da", n_buckets=16, top_n=5).collect()
     assert 3 in {r["doc_id"] for r in all5}
+
+
+def test_dsir_cache_keyed_by_predicate(spark):
+    """ADVICE r12 (high): the dsir histogram cache bakes __tgt in, so a
+    second call on the SAME DataFrame object with a DIFFERENT predicate
+    must not reuse the first predicate's histogram."""
+    from kommunedata_data_pipeline_spark.operators.corpus import dsir_select
+
+    rows = [
+        (1, "da", "hund kat hest ko gris"),
+        (2, "da", "hund kat mus fugl fisk"),
+        (3, "en", "tree rock sand hill pond"),
+        (4, "en", "tree rock lake hill stone"),
+        (5, "sv", "hund tree kat rock hest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    da_first = dsir_select(df, F.col("lang") == "da", n_buckets=16, top_n=3).collect()
+    en_second = dsir_select(df, F.col("lang") == "en", n_buckets=16, top_n=3).collect()
+    # ground truth: the same predicates against fresh frame objects
+    fresh = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    en_truth = dsir_select(fresh, F.col("lang") == "en", n_buckets=16, top_n=3).collect()
+    fresh2 = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    da_truth = dsir_select(fresh2, F.col("lang") == "da", n_buckets=16, top_n=3).collect()
+    as_rows = lambda rs: sorted((r["doc_id"], r["score_micro"], r["n_tokens"]) for r in rs)
+    assert as_rows(en_second) == as_rows(en_truth)
+    assert as_rows(da_first) == as_rows(da_truth)
+
+
+def test_pin_columns_rejects_name_collisions(spark):
+    """ADVICE r12 (low): a '__pinned' pass-through column or an exprs
+    key shadowing a kept column must fail fast, not produce ambiguous
+    duplicate output columns downstream."""
+    import pytest
+
+    from kommunedata_data_pipeline_spark.functions.expr import pin_columns
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(AssertionError):
+        pin_columns(df.withColumnRenamed("b", "__pinned"), {"c": F.lit(1)})
+    with pytest.raises(AssertionError):
+        pin_columns(df, {"a": F.lit(1)})
