@@ -107,6 +107,57 @@ COMPACT_TARGET_FILE_BYTES = 8 * 1024 * 1024
 # write appends {"kind", "path", "bytes"}. Scripts only.
 WRITE_LOG: list | None = None
 
+# A just-staged delta whose TOTAL bytes are under this is folded into
+# one file driver-side before the rename (`_fold_small_delta_files`) —
+# bounded driver work per append, in the same class as the key-probe
+# collect (PRUNE_MAX_KEYS).
+SMALL_DELTA_FOLD_BYTES = 8 * 1024 * 1024
+
+
+def _fold_small_delta_files(staged: str) -> None:
+    """Fold a just-staged delta dir into ONE parquet file when the
+    whole delta is tiny (< SMALL_DELTA_FOLD_BYTES) — driver-side
+    pyarrow concat, zero Spark jobs, bounded bytes. Why: the delta
+    writes are REBALANCE-hinted so AQE sizes output files at scale,
+    but with AQE off (any sub-10 GB run, incl. the bench regime) the
+    hint is a no-op and every micro-batch delta lands as
+    shuffle-partition-count near-empty files — inflating every later
+    store listing/open and tripping the `_worth_pruning` file-count
+    gate with files that carry no skippable range. Runs on the staged
+    dir BEFORE the visibility rename, so a crash mid-fold leaves only
+    an orphaned staging dir (the `_append_delta` contract). A delta
+    larger than the threshold is left exactly as written."""
+    try:
+        parts = [f for f in os.listdir(staged) if f.endswith(".parquet")]
+    except OSError:
+        return
+    if len(parts) <= 1:
+        return
+    total = 0
+    for p in parts:
+        try:
+            total += os.path.getsize(os.path.join(staged, p))
+        except OSError:
+            return
+    if total > SMALL_DELTA_FOLD_BYTES:
+        return
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except ImportError:
+        return
+    try:
+        merged = pa.concat_tables(
+            pq.read_table(os.path.join(staged, p)) for p in sorted(parts)
+        )
+    except Exception:
+        return  # unreadable part: keep the staged files as written
+    out = os.path.join(staged, ".part-00000-folded.parquet.tmp")
+    pq.write_table(merged, out)
+    os.replace(out, os.path.join(staged, "part-00000-folded.parquet"))
+    for p in parts:
+        os.remove(os.path.join(staged, p))
+
 
 def _load_index(
     spark: SparkSession,
@@ -237,6 +288,7 @@ def _append_delta(
     per-file open/list on every subsequent read of the store."""
     tmp = f"{index_path}__delta_{uuid.uuid4().hex[:8]}"
     delta.hint("rebalance").write.mode("overwrite").parquet(tmp)
+    _fold_small_delta_files(tmp)
     os.makedirs(index_path, exist_ok=True)
     ver_name = f"ver={_next_ver(index_path)}"
     dest = os.path.join(index_path, ver_name)
@@ -254,6 +306,80 @@ def _append_delta(
         record_zone_ranges(index_path, zone_ranges, mine)
     elif zone_cols:
         update_zones(delta.sparkSession, index_path, zone_cols)
+
+
+def _append_delta_pair(
+    band_delta: DataFrame,
+    band_path: str,
+    band_ranges: dict,
+    ids_delta: DataFrame,
+    ids_path: str,
+    ids_ranges: dict,
+    id_col: str,
+) -> None:
+    """Append BOTH per-batch deltas (band rows + seen-ids sidecar) with
+    ONE Spark write job instead of two — the per-batch fixed-cost fold
+    of VERDICT r12 #4: the two frames share their upstream (the
+    checkpointed batch/band table anti-joined against the same seen
+    set), so a second write job re-paid planning + scheduling for no
+    extra information. The ids rows ride in the band schema with the
+    non-id columns null (parquet RLE makes the padding ~free) under a
+    `__store` partition column; readers are unaffected because every
+    ids-store consumer reads with an explicit `{id} bigint` schema
+    (extra file columns are pruned at scan).
+
+    Visibility order is preserved by the RENAMES, not the write: the
+    staged dir becomes visible band-first, ids-second — the crash
+    contract (`_dedup_ingest`: an id recorded without its band rows
+    would silently lose candidates; band rows without the id are
+    benign replay bloat). An empty side appends nothing at all
+    (appending a zero-row delta and skipping it are the same store).
+    """
+    tmp = f"{band_path}__delta2_{uuid.uuid4().hex[:8]}"
+    fields = band_delta.schema.fields
+    padded = ids_delta.select(
+        *[
+            F.col(f.name)
+            if f.name == id_col
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in fields
+        ]
+    )
+    combined = band_delta.withColumn("__store", F.lit("band")).unionByName(
+        padded.withColumn("__store", F.lit("ids"))
+    )
+    (
+        combined.hint("rebalance")
+        .write.partitionBy("__store")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    try:
+        for store, path, ranges in (
+            ("band", band_path, band_ranges),
+            ("ids", ids_path, ids_ranges),
+        ):
+            src = os.path.join(tmp, f"__store={store}")
+            if not os.path.isdir(src):
+                continue  # empty side (e.g. a replayed batch)
+            _fold_small_delta_files(src)
+            os.makedirs(path, exist_ok=True)
+            ver_name = f"ver={_next_ver(path)}"
+            dest = os.path.join(path, ver_name)
+            os.replace(src, dest)
+            if WRITE_LOG is not None:
+                WRITE_LOG.append(
+                    {"kind": "delta", "path": path, "bytes": _dir_bytes(dest)}
+                )
+            if ranges is not None:
+                mine = [
+                    os.path.join(ver_name, fn)
+                    for fn in os.listdir(dest)
+                    if fn.endswith(".parquet")
+                ]
+                record_zone_ranges(path, ranges, mine)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def read_cc_labels(spark: SparkSession, labels_path: str) -> DataFrame:
@@ -520,7 +646,10 @@ def _worth_pruning(index_path: str) -> bool:
 
 
 def _key_set_probe(
-    frame: DataFrame, key_col: str, index_path: str
+    frame: DataFrame,
+    key_col: str,
+    index_path: str,
+    overflow_state: dict | None = None,
 ) -> dict | None:
     """Zone probe for the BATCH's distinct join keys: a sorted key set
     for `_load_index(prune=...)`, or None (read the store whole) when
@@ -531,7 +660,19 @@ def _key_set_probe(
     operating point; SCALING.md carries the measurement). The collect
     is driver-side but hard-bounded by the cap, and it runs over the
     already-checkpointed band frame, so the keys job is the frame's
-    first (and shared) materialization."""
+    first (and shared) materialization.
+
+    ``overflow_state``: a caller-held per-stream dict. When the
+    previous TWO batches of the same stream both overflowed the key
+    cap, the probe is skipped without spending its job — batches of a
+    stream are similar-sized, so a high-cardinality key (the substring
+    ingest's per-char grams, where distinct keys ≈ batch characters)
+    would otherwise pay a full distinct+collect pass per batch only to
+    learn the same overflow again. A later batch that fits (the state
+    resets on success) resumes probing; skipping is always sound —
+    pruning is an optimization over the full read."""
+    if overflow_state is not None and overflow_state.get("overflows", 0) >= 2:
+        return None
     if not _worth_pruning(index_path):
         return None
     rows = (
@@ -541,7 +682,13 @@ def _key_set_probe(
         .collect()
     )
     if len(rows) > PRUNE_MAX_KEYS:
+        if overflow_state is not None:
+            overflow_state["overflows"] = (
+                overflow_state.get("overflows", 0) + 1
+            )
         return None
+    if overflow_state is not None:
+        overflow_state["overflows"] = 0
     return {key_col: ("set", sorted(r[0] for r in rows))}
 
 
@@ -767,16 +914,22 @@ def _dedup_ingest(
         if probe and "bkey" in probe:
             keys = probe["bkey"][1]
             band_ranges["bkey"] = (keys[0], keys[-1])
-        _append_delta(delta, index_path, zone_ranges=band_ranges)
-        # seen-ids delta from the BATCH (already id-deduped), not from
-        # the exploded band delta — no distinct shuffle per batch. A
-        # batch doc with no band rows (e.g. sub-shingle text) is still
-        # recorded as seen: it contributes nothing on replay either
-        # way, and first-write-wins treats a later re-send as inert.
-        _append_delta(
+        # ONE write job for both deltas (band rows + seen-ids sidecar);
+        # the ids delta comes from the BATCH (already id-deduped), not
+        # from the exploded band delta — no distinct shuffle per batch.
+        # A batch doc with no band rows (e.g. sub-shingle text) is
+        # still recorded as seen: it contributes nothing on replay
+        # either way, and first-write-wins treats a later re-send as
+        # inert. Visibility stays band-before-ids (see
+        # `_append_delta_pair` for the crash contract).
+        _append_delta_pair(
+            delta,
+            index_path,
+            band_ranges,
             _minus(batch.select(id_col), seen, id_col),
             ids_path,
-            zone_ranges={id_col: (lo, hi)},
+            {id_col: (lo, hi)},
+            id_col,
         )
         if auto_compact:
             maybe_compact(
@@ -817,11 +970,15 @@ def minhash_dedup_ingest(
     the delta)."""
     from ..operators.dedup import minhash_band_table, minhash_index_update
 
+    probe_state: dict = {}
+
     def update(spark: SparkSession, batch: DataFrame, seen: DataFrame):
         bands_df = minhash_band_table(
             batch, k, num_hashes, bands
         ).localCheckpoint(eager=False)
-        probe = _key_set_probe(bands_df, "bkey", index_path)
+        probe = _key_set_probe(
+            bands_df, "bkey", index_path, overflow_state=probe_state
+        )
         update.last_probe = probe  # zone range for the delta append
         index = _load_band_index(
             spark, index_path, _BAND_SCHEMA, "doc_id", probe
@@ -865,11 +1022,15 @@ def ann_dedup_ingest(
     smaller-id vector ever seen"."""
     from ..operators.similarity import ann_band_table, ann_index_update
 
+    probe_state: dict = {}
+
     def update(spark: SparkSession, batch: DataFrame, seen: DataFrame):
         bands_df = ann_band_table(batch, n_bands, band_bits).localCheckpoint(
             eager=False
         )
-        probe = _key_set_probe(bands_df, "bkey", index_path)
+        probe = _key_set_probe(
+            bands_df, "bkey", index_path, overflow_state=probe_state
+        )
         update.last_probe = probe  # zone range for the delta append
         index = _load_band_index(
             spark, index_path, _ANN_SCHEMA, "vec_id", probe
@@ -1201,6 +1362,7 @@ def substring_dedup_ingest(
     from ..operators.corpus import char_gram_hashes, merged_span_lengths
 
     schema = "h1 bigint, h2 bigint, min_doc bigint"
+    probe_state: dict = {}
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1238,7 +1400,11 @@ def substring_dedup_ingest(
         # checkpoint firsts only when the probe below will materialize
         # it anyway (collect + reuse); otherwise leave it fused into
         # the joined checkpoint's plan (no extra pass over the grams)
-        if _worth_pruning(index_path):
+        will_probe = (
+            probe_state.get("overflows", 0) < 2
+            and _worth_pruning(index_path)
+        )
+        if will_probe:
             firsts = firsts.localCheckpoint(eager=False)
         # the store read is ZONE-PRUNED to the batch's gram keys
         # (compaction range-partitions the base by h1): only files that
@@ -1247,8 +1413,18 @@ def substring_dedup_ingest(
         # delta (both are keyed by the batch's grams). A batch with
         # more distinct grams than PRUNE_MAX_KEYS reads the store whole
         # — the documented amortization point (a batch that large
-        # amortizes the scan; SCALING.md).
-        h_probe = _key_set_probe(firsts, "h1", index_path)
+        # amortizes the scan; SCALING.md). After two consecutive
+        # over-cap batches the probe itself is skipped
+        # (overflow_state): distinct gram keys ≈ batch characters here,
+        # so steady-state batches would re-pay a full distinct+collect
+        # pass per batch only to re-learn the overflow.
+        h_probe = (
+            _key_set_probe(
+                firsts, "h1", index_path, overflow_state=probe_state
+            )
+            if will_probe
+            else None
+        )
         store = _load_index(
             spark,
             index_path,
