@@ -838,7 +838,10 @@ def _cc_single_task(edges: DataFrame) -> DataFrame:
 
 
 def dup_clusters(
-    pairs: DataFrame, max_iter: int = 25, small_graph_edges: int = 5_000_000
+    pairs: DataFrame,
+    max_iter: int = 25,
+    small_graph_edges: int = 5_000_000,
+    max_edges_hint: int | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id),
     cluster_id = min doc_id in the component. The step after any pair
@@ -856,9 +859,19 @@ def dup_clusters(
     against exponential plan growth in iterative DataFrame algorithms);
     convergence is checked with a cheap count per round. Near-dup
     components are small cliques/chains, so rounds ≈ 2-4 in practice.
+
+    ``max_edges_hint``: a caller-known UPPER BOUND on the edge count.
+    When it already proves the set fits the single-task path, the
+    strategy count() is skipped — which matters when ``pairs`` is an
+    unmaterialized join pipeline (the per-batch CC ingest's label
+    contraction): the count would execute the whole pipeline once just
+    to pick the same strategy the bound proves. Both paths return the
+    identical labeling, so the hint can only change the PLAN.
     """
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    if pairs.count() <= small_graph_edges:
+    if (
+        max_edges_hint is not None and max_edges_hint <= small_graph_edges
+    ) or pairs.count() <= small_graph_edges:
         # adaptive fast path: union-find in one executor task (undirected
         # union happens inside union-find; no need to symmetrize)
         return _cc_single_task(edges)
@@ -1788,6 +1801,7 @@ def golden_records(
 def cc_index_update(
     labels: DataFrame,
     new_pairs: DataFrame,
+    max_edges_hint: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL connected components — the graph-family member of
     the index-update discipline (`minhash_index_update`,
@@ -1810,7 +1824,12 @@ def cc_index_update(
     (AQE broadcasts a small batch against a huge store — the
     production ingest shape), CC on the batch-sized contracted graph,
     ONE store-sized equi-join for the remap. The history's edge list
-    is never touched. Output: (doc_id, cluster_id)."""
+    is never touched. Output: (doc_id, cluster_id).
+
+    ``max_edges_hint``: caller-known upper bound on the batch's pair
+    count (the contracted graph is never larger than the batch) —
+    forwarded to `dup_clusters` so the per-batch strategy count()
+    doesn't execute the whole contraction pipeline once extra."""
     members = (
         new_pairs.select(F.col("doc_a").alias("doc_id"))
         .unionAll(new_pairs.select(F.col("doc_b").alias("doc_id")))
@@ -1833,7 +1852,7 @@ def cc_index_update(
         .select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
         .distinct()
     )
-    roots = dup_clusters(contracted).select(
+    roots = dup_clusters(contracted, max_edges_hint=max_edges_hint).select(
         F.col("doc_id").alias("cluster_id"),
         F.col("cluster_id").alias("root"),
     )

@@ -1286,15 +1286,25 @@ def cc_label_ingest(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.select("doc_a", "doc_b").dropDuplicates(
-            ["doc_a", "doc_b"]
+        # checkpoint the deduped batch (it feeds the contraction's
+        # member/edge sides 3×) and COUNT it instead of isEmpty(): the
+        # count is the checkpoint's materialization, doubles as the
+        # emptiness gate, and its value bounds the contracted graph
+        # (≤ batch pairs) — passed down so dup_clusters skips the
+        # strategy count() that otherwise executed the whole
+        # contraction pipeline once extra per batch.
+        batch = (
+            batch_df.select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+            .localCheckpoint(eager=False)
         )
-        if batch.isEmpty():
+        n_pairs = batch.count()
+        if n_pairs == 0:
             return
         labels = read_cc_labels(spark, labels_path).localCheckpoint(
             eager=False
         )
-        updated = cc_index_update(labels, batch)
+        updated = cc_index_update(labels, batch, max_edges_hint=n_pairs)
         old = labels.withColumnRenamed("cluster_id", "old_cid")
         delta = (
             updated.join(old, "doc_id", "left")

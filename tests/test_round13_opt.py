@@ -230,6 +230,38 @@ def test_fold_small_delta_files_roundtrip(spark, tmp_path):
     )
 
 
+def test_dup_clusters_edge_hint_skips_strategy_count(spark):
+    """A caller-known edge bound under the single-task threshold picks
+    the fast path WITHOUT spending the strategy count() — and the
+    labels are identical to the unhinted call."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+        "doc_a bigint, doc_b bigint",
+    )
+    want = {(r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()}
+    counts = {"n": 0}
+    real = CDF.count
+
+    def spy(self):
+        counts["n"] += 1
+        return real(self)
+
+    CDF.count = spy
+    try:
+        hinted = dup_clusters(pairs, max_edges_hint=5)
+        assert counts["n"] == 0, "hint must skip the strategy count"
+    finally:
+        CDF.count = real
+    got = {(r.doc_id, r.cluster_id) for r in hinted.collect()}
+    assert got == want
+
+
 def test_key_set_probe_overflow_memory(spark, tmp_path):
     """After two consecutive over-cap batches the probe is skipped
     without spending its collect job; a batch that fits resets the
