@@ -1162,7 +1162,14 @@ def decontaminate_ingest(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+        # checkpoint the deduped batch: the id-range agg below is its
+        # materialization, shared by the gram explode and both text
+        # reads of the landing plan (same discipline as _dedup_ingest)
+        batch = (
+            batch_df.select("doc_id", "text")
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint(eager=False)
+        )
         lo, hi = _batch_id_range(batch, "doc_id")
         if lo is None:
             return
@@ -1221,7 +1228,13 @@ def quality_route_ingest(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+        # checkpoint + agg-materialize the deduped batch: both routed
+        # sides read it (same discipline as _dedup_ingest)
+        batch = (
+            batch_df.select("doc_id", "text")
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint(eager=False)
+        )
         lo, hi = _batch_id_range(batch, "doc_id")
         if lo is None:
             return
@@ -1376,7 +1389,14 @@ def substring_dedup_ingest(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+        # checkpoint + agg-materialize the deduped batch: the gram
+        # explode and the stats projection both read it (same
+        # discipline as _dedup_ingest)
+        batch = (
+            batch_df.select("doc_id", "text")
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint(eager=False)
+        )
         lo, hi = _batch_id_range(batch, "doc_id")
         if lo is None:
             return
