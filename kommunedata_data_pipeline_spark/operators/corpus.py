@@ -673,18 +673,31 @@ def _dup_span_intervals(toks: DataFrame, n: int, min_count: int) -> DataFrame:
     and `cut_duplicated_spans` (act). Intervals within a doc are
     disjoint by construction, so downstream token-coverage sums are
     exact union sizes."""
-    grams = toks.select(
-        "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.posexplode(word_ngrams_from_tokens(F.col("toks"), n)).alias(
-            "start0", "gram"
-        ),
-    ).select(
-        "doc_id",
-        "n_tokens",
-        (F.col("start0") + 1).alias("s"),
-        (F.col("start0") + n).alias("e"),
-        "gram",
+    from .dedup import one_slot_cached
+
+    def build_grams():
+        return toks.select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.posexplode(word_ngrams_from_tokens(F.col("toks"), n)).alias(
+                "start0", "gram"
+            ),
+        ).select(
+            "doc_id",
+            "n_tokens",
+            (F.col("start0") + 1).alias("s"),
+            (F.col("start0") + n).alias("e"),
+            "gram",
+        )
+
+    # PIN the gram stream: it feeds BOTH the >=min_count frequency
+    # aggregate and the semi-join's probe side — unpinned, each
+    # consumer re-ran the whole upstream (scan → filters → windows →
+    # tokenize → n-gram explode) from the source (guide §5
+    # persist-when-reused; stage evidence in plans/r13). Identity-keyed
+    # one-slot cache, so nothing crosses queries.
+    grams = one_slot_cached(
+        f"dupspan_grams:{n}:{min_count}", toks, build_grams
     )
     hot = (
         grams.groupBy("gram")
@@ -800,8 +813,18 @@ def cut_duplicated_spans(
     (transform + filter + exists — no explode of the token stream, no
     UDF), so token data never shuffles at all. At 100 TB the join is
     doc_id-keyed and the span side is tiny relative to the text side."""
-    toks = _span_tokens(documents, text_col).select(
-        "doc_id", "toks", F.size("toks").alias("n_tokens")
+    from .dedup import one_slot_cached
+
+    # PIN the tokenized base: the span-interval core and the cut join
+    # both read it — unpinned, the whole upstream (which in the e2e
+    # chain includes the quality gates and the dedup window) executed
+    # once per consumer. Identity-keyed, never crosses queries.
+    toks = one_slot_cached(
+        f"cutspan_toks:{text_col}",
+        documents,
+        lambda: _span_tokens(documents, text_col).select(
+            "doc_id", "toks", F.size("toks").alias("n_tokens")
+        ),
     )
     span_arr = (
         _dup_span_intervals(toks.select("doc_id", "toks"), n, min_count)

@@ -20,7 +20,7 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT_DIR = os.path.join(REPO, "plans", "r12")
+OUT_DIR = os.path.join(REPO, "plans", os.environ.get("KDP_PLANS_TAG", "r13"))
 
 
 def main() -> None:

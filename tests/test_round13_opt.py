@@ -262,6 +262,34 @@ def test_dup_clusters_edge_hint_skips_strategy_count(spark):
     assert got == want
 
 
+def test_dup_span_gram_stream_pinned_once(spark):
+    """The span family's gram stream is pinned (one_slot_cached): the
+    optimized plan of duplicated_spans reads an InMemoryRelation for
+    both gram consumers instead of re-running the upstream explode per
+    reference — and the result is identical to a pin-free rebuild."""
+    from kommunedata_data_pipeline_spark.operators import corpus as C
+    from kommunedata_data_pipeline_spark.operators.dedup import (
+        _ONE_SLOT_CACHE,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    out = C.duplicated_spans(docs, n=5, min_count=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    assert any(k.startswith("dupspan_grams:") for k in _ONE_SLOT_CACHE)
+    got = {(r.doc_id, r.dup_tokens) for r in out.collect()}
+    # pin-free ground truth: a FRESH frame (new identity) builds a new
+    # pinned gram table; equality pins pin==rebuild
+    docs2 = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    )
+    got2 = {
+        (r.doc_id, r.dup_tokens)
+        for r in C.duplicated_spans(docs2, n=5, min_count=2).collect()
+    }
+    assert got == got2 and got
+
+
 def test_key_set_probe_overflow_memory(spark, tmp_path):
     """After two consecutive over-cap batches the probe is skipped
     without spending its collect job; a batch that fits resets the
