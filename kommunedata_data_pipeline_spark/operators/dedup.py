@@ -668,7 +668,14 @@ def minhash_accuracy_audit(
         / F.lit(float(num_hashes)),
         6,
     )
-    pairs = cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+    # PIN the estimated pairs: they feed the intersection join AND the
+    # final attach — unpinned, the banded signature self-join executed
+    # twice per run (guide §5; identity-keyed like the shingle pin)
+    pairs = one_slot_cached(
+        f"mh_audit_pairs:{k}:{num_hashes}:{bands}",
+        documents,
+        lambda: cand.select("doc_a", "doc_b", est.alias("est_jaccard")),
+    )
     # three consumers (sizes + both candidate-attach joins) — pinned
     sh = _cached_shingles(documents, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -1883,12 +1890,25 @@ def lsh_pr_audit(
     is two full-outer-ish set joins on (doc_a, doc_b) and one
     combinable count. Output: one row (n_truth, n_pred, n_hit,
     precision, recall, f1)."""
-    truth = ngram_jaccard_pairs(documents, k, threshold, df_cap).select(
-        "doc_a", "doc_b"
+    # PIN both pair sets: each feeds its own count aggregate AND the
+    # hit semi-join — unpinned, the expensive generators (shingle
+    # self-join / banded signature self-join + verify) executed twice
+    # each per run (guide §5 persist-when-reused; identity-keyed, so
+    # nothing crosses queries)
+    truth = one_slot_cached(
+        f"lshpr_truth:{k}:{threshold}:{df_cap}",
+        documents,
+        lambda: ngram_jaccard_pairs(documents, k, threshold, df_cap).select(
+            "doc_a", "doc_b"
+        ),
     )
-    pred = minhash_lsh_pairs(
-        documents, k, n_hashes, n_bands, threshold
-    ).select("doc_a", "doc_b")
+    pred = one_slot_cached(
+        f"lshpr_pred:{k}:{threshold}:{n_hashes}:{n_bands}",
+        documents,
+        lambda: minhash_lsh_pairs(
+            documents, k, n_hashes, n_bands, threshold
+        ).select("doc_a", "doc_b"),
+    )
     hit = truth.join(pred, ["doc_a", "doc_b"], "left_semi")
     agg = (
         truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
