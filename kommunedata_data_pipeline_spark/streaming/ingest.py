@@ -308,7 +308,10 @@ def _append_delta(
         update_zones(delta.sparkSession, index_path, zone_cols)
 
 
-def _append_delta_pair(
+def _append_landing_and_deltas(
+    kept: DataFrame,
+    out_path: str,
+    out_ranges: dict,
     band_delta: DataFrame,
     band_path: str,
     band_ranges: dict,
@@ -317,37 +320,55 @@ def _append_delta_pair(
     ids_ranges: dict,
     id_col: str,
 ) -> None:
-    """Append BOTH per-batch deltas (band rows + seen-ids sidecar) with
-    ONE Spark write job instead of two — the per-batch fixed-cost fold
-    of VERDICT r12 #4: the two frames share their upstream (the
-    checkpointed batch/band table anti-joined against the same seen
-    set), so a second write job re-paid planning + scheduling for no
-    extra information. The ids rows ride in the band schema with the
-    non-id columns null (parquet RLE makes the padding ~free) under a
-    `__store` partition column; readers are unaffected because every
-    ids-store consumer reads with an explicit `{id} bigint` schema
-    (extra file columns are pruned at scan).
+    """ONE Spark write job per micro-batch for all three persisted
+    effects — the landed survivors, the band-row delta and the seen-ids
+    sidecar delta (the per-batch fixed-cost fold of VERDICT r12 #4):
+    the three frames share their upstream (the checkpointed batch/band
+    table anti-joined against the same seen/landed sets), so each
+    further write job re-paid Catalyst planning + job scheduling for no
+    extra information. They are staged as partitions of one parquet
+    write under a union schema (absent columns null — parquet RLE
+    makes the padding ~free) and made visible in the crash-contract
+    order land → band → ids:
 
-    Visibility order is preserved by the RENAMES, not the write: the
-    staged dir becomes visible band-first, ids-second — the crash
-    contract (`_dedup_ingest`: an id recorded without its band rows
-    would silently lose candidates; band rows without the id are
-    benign replay bloat). An empty side appends nothing at all
-    (appending a zero-row delta and skipping it are the same store).
+    - landing files MOVE into the catalog dir file-by-file (the same
+      visibility granularity a plain `mode("append")` commit has); a
+      crash mid-move is a partial landing, which the ST2 row-level
+      catalog anti-join reconverges on replay;
+    - an id recorded without its band rows would silently lose
+      candidates, so the band dir renames into visibility BEFORE the
+      ids dir; band rows without their id are benign replay bloat
+      (`_dedup_ingest` docstring, cases a-c);
+    - an empty side appends nothing at all (appending a zero-row delta
+      and skipping it are the same store).
+
+    Readers are unaffected by the union schema: every catalog/ids
+    consumer reads with an explicit schema (extra file columns are
+    pruned at scan), and the band dir carries exactly the band schema
+    plus payload columns the band table already shared with the batch.
     """
-    tmp = f"{band_path}__delta2_{uuid.uuid4().hex[:8]}"
-    fields = band_delta.schema.fields
-    padded = ids_delta.select(
-        *[
-            F.col(f.name)
-            if f.name == id_col
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in fields
-        ]
+    fields: list = list(kept.schema.fields)
+    have = {f.name for f in fields}
+    fields += [f for f in band_delta.schema.fields if f.name not in have]
+
+    def pad(df: DataFrame) -> DataFrame:
+        cols = {f.name for f in df.schema.fields}
+        return df.select(
+            *[
+                F.col(f.name)
+                if f.name in cols
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fields
+            ]
+        )
+
+    combined = (
+        pad(kept)
+        .withColumn("__store", F.lit("land"))
+        .unionByName(pad(band_delta).withColumn("__store", F.lit("band")))
+        .unionByName(pad(ids_delta).withColumn("__store", F.lit("ids")))
     )
-    combined = band_delta.withColumn("__store", F.lit("band")).unionByName(
-        padded.withColumn("__store", F.lit("ids"))
-    )
+    tmp = f"{band_path}__delta3_{uuid.uuid4().hex[:8]}"
     (
         combined.hint("rebalance")
         .write.partitionBy("__store")
@@ -355,6 +376,21 @@ def _append_delta_pair(
         .parquet(tmp)
     )
     try:
+        land_src = os.path.join(tmp, "__store=land")
+        if os.path.isdir(land_src):
+            _fold_small_delta_files(land_src)
+            os.makedirs(out_path, exist_ok=True)
+            moved = []
+            for fn in sorted(os.listdir(land_src)):
+                if not fn.endswith(".parquet"):
+                    continue
+                dest_fn = f"land-{uuid.uuid4().hex[:8]}-{fn.lstrip('.')}"
+                os.replace(
+                    os.path.join(land_src, fn),
+                    os.path.join(out_path, dest_fn),
+                )
+                moved.append(dest_fn)
+            record_zone_ranges(out_path, out_ranges, moved)
         for store, path, ranges in (
             ("band", band_path, band_ranges),
             ("ids", ids_path, ids_ranges),
@@ -898,31 +934,26 @@ def _dedup_ingest(
         landed = _load_catalog_pruned(spark, out_path, id_col, lo, hi)
         if landed is not None:
             kept = kept.join(landed, [id_col], "left_anti")
-        before = list_parquet_files(out_path)
-        kept.write.mode("append").parquet(out_path)
-        # zone maintenance is DRIVER-SIDE on the hot path (superset
-        # ranges the batch already knows — no stats jobs per batch;
-        # compaction computes exact per-file stats). Only THIS append's
-        # files are tagged (before/after listing diff): a crashed
-        # earlier landing's unmanifested files must keep reading
-        # conservatively, not inherit this batch's id range.
-        record_zone_ranges(
-            out_path, {id_col: (lo, hi)}, new_files_since(out_path, before)
-        )
         band_ranges: dict = {id_col: (lo, hi)}
         probe = getattr(update_fn, "last_probe", None)
         if probe and "bkey" in probe:
             keys = probe["bkey"][1]
             band_ranges["bkey"] = (keys[0], keys[-1])
-        # ONE write job for both deltas (band rows + seen-ids sidecar);
-        # the ids delta comes from the BATCH (already id-deduped), not
-        # from the exploded band delta — no distinct shuffle per batch.
-        # A batch doc with no band rows (e.g. sub-shingle text) is
-        # still recorded as seen: it contributes nothing on replay
-        # either way, and first-write-wins treats a later re-send as
-        # inert. Visibility stays band-before-ids (see
-        # `_append_delta_pair` for the crash contract).
-        _append_delta_pair(
+        # ONE write job for the landing AND both deltas (band rows +
+        # seen-ids sidecar); zone maintenance stays DRIVER-SIDE
+        # (superset ranges the batch already knows, tagged on exactly
+        # the files this batch created). The ids delta comes from the
+        # BATCH (already id-deduped), not from the exploded band delta
+        # — no distinct shuffle per batch. A batch doc with no band
+        # rows (e.g. sub-shingle text) is still recorded as seen: it
+        # contributes nothing on replay either way, and
+        # first-write-wins treats a later re-send as inert. Visibility
+        # stays land → band → ids (see `_append_landing_and_deltas`
+        # for the crash contract).
+        _append_landing_and_deltas(
+            kept,
+            out_path,
+            {id_col: (lo, hi)},
             delta,
             index_path,
             band_ranges,

@@ -120,11 +120,11 @@ def test_delta_pair_one_write_and_small_fold(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
-def test_delta_pair_band_visible_before_ids(spark):
-    """The fused append renames the band side into visibility BEFORE
-    the ids side (the crash contract: an id recorded without its band
-    rows would silently lose candidates). Pinned by intercepting
-    os.replace and asserting the rename order."""
+def test_fused_append_visibility_order_land_band_ids(spark):
+    """The fused append makes effects visible in the crash-contract
+    order: landing files move first, then the band dir renames, then
+    the ids dir (an id recorded without its band rows would silently
+    lose candidates). Pinned by intercepting os.replace."""
     calls: list[str] = []
     real_replace = os.replace
 
@@ -133,6 +133,9 @@ def test_delta_pair_band_visible_before_ids(spark):
         return real_replace(src, dst, *a, **kw)
 
     base = _tmpbase("kdp-r13-order-")
+    kept = spark.createDataFrame(
+        [(1, "hello")], "doc_id bigint, text string"
+    )
     band = spark.createDataFrame(
         [(1, [1, 2], 0, "k1")],
         "doc_id bigint, sig array<bigint>, band int, bkey string",
@@ -140,7 +143,10 @@ def test_delta_pair_band_visible_before_ids(spark):
     ids = spark.createDataFrame([(1,)], "doc_id bigint")
     try:
         os.replace = spy
-        ing._append_delta_pair(
+        ing._append_landing_and_deltas(
+            kept,
+            f"{base}/landed",
+            {"doc_id": (1, 1)},
             band,
             f"{base}/idx",
             {"doc_id": (1, 1)},
@@ -151,23 +157,42 @@ def test_delta_pair_band_visible_before_ids(spark):
         )
     finally:
         os.replace = real_replace
-    ver_renames = [c for c in calls if "/ver=" in c]
-    assert len(ver_renames) == 2, calls
-    assert ver_renames[0].startswith(f"{base}/idx/"), ver_renames
-    assert ver_renames[1].startswith(f"{base}/idx_ids/"), ver_renames
+    visible = [
+        c
+        for c in calls
+        if (f"{base}/landed/" in c or "/ver=" in c)
+        and not c.endswith("_zones.json")
+    ]
+    assert len(visible) == 3, calls
+    assert visible[0].startswith(f"{base}/landed/"), visible
+    assert visible[1].startswith(f"{base}/idx/"), visible
+    assert visible[2].startswith(f"{base}/idx_ids/"), visible
+    # data round-trips through the union schema
+    assert spark.read.schema("doc_id bigint, text string").parquet(
+        f"{base}/landed"
+    ).collect()[0].text == "hello"
+    got = ing._load_index(
+        spark, f"{base}/idx", "doc_id bigint, sig array<bigint>, "
+        "band int, bkey string"
+    ).collect()
+    assert got[0].bkey == "k1" and got[0].sig == [1, 2]
     shutil.rmtree(base, ignore_errors=True)
 
 
-def test_delta_pair_empty_side_appends_nothing(spark):
-    """A replayed batch (both deltas empty) appends no ver dirs at all;
-    a batch whose band delta is empty but ids delta is not appends only
-    the ids side."""
+def test_fused_append_empty_sides_append_nothing(spark):
+    """A replayed batch (everything empty) creates no ver dirs and no
+    landing files; a batch with only an ids delta appends only the ids
+    side."""
     base = _tmpbase("kdp-r13-empty-")
     schema = "doc_id bigint, sig array<bigint>, band int, bkey string"
+    kept_empty = spark.createDataFrame([], "doc_id bigint, text string")
     band_empty = spark.createDataFrame([], schema)
     ids = spark.createDataFrame([(7,)], "doc_id bigint")
     try:
-        ing._append_delta_pair(
+        ing._append_landing_and_deltas(
+            kept_empty,
+            f"{base}/landed",
+            {"doc_id": (7, 7)},
             band_empty,
             f"{base}/idx",
             {"doc_id": (7, 7)},
@@ -175,6 +200,9 @@ def test_delta_pair_empty_side_appends_nothing(spark):
             f"{base}/idx_ids",
             {"doc_id": (7, 7)},
             "doc_id",
+        )
+        assert not os.path.isdir(f"{base}/landed") or not any(
+            f.endswith(".parquet") for f in os.listdir(f"{base}/landed")
         )
         assert not os.path.isdir(f"{base}/idx") or not any(
             n.startswith("ver=") for n in os.listdir(f"{base}/idx")
